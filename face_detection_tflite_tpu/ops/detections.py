@@ -1,0 +1,194 @@
+"""On-device BlazeFace postprocessing: decode + weighted NMS, fixed shapes.
+
+The reference does this on the host per image (`_collectCandidateScores` /
+`_decodeBoxesForIndices` in `lib/src/models/face_detection_model.dart:431-492`
+and `_weightedNmsDetections` in `lib/src/util/helpers.dart:183-221`).  Here it
+is a shape-static, batched XLA computation that fuses with the detector
+backbone into a single program: no host round-trip between the conv net and
+the final detection slab.
+
+Semantics matched to the reference:
+
+* score = sigmoid(clip(logit, ±100))  (`kRawScoreLimit`,
+  `face_model_config.dart:49`); the candidate filter uses the logit-domain
+  shortcut `logit >= log(p/(1-p))` (`face_detection_model.dart:473`).
+* box decode: raw / input_size + anchor center; keypoints likewise
+  (`lib/src/web/detection_decode.dart:60-77`); degenerate boxes (w<=0 or
+  h<=0) are rejected.
+* weighted NMS: score-sorted greedy clustering with STRICT IoU > threshold
+  (`helpers.dart:178-180`), cluster box = score-weighted average over the
+  cluster, output score and keypoints come from the cluster's max-score
+  member (`helpers.dart:183-221`).
+* letterbox removal: (v - pad) / (1 - pad_lo - pad_hi) per axis
+  (`helpers.dart:101-136`).
+
+Output is a fixed-size slab per image: (boxes [D,4], keypoints [D,K,2],
+scores [D], valid [D]) with D = ``max_detections``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["decode_detections", "weighted_nms", "detection_postprocess"]
+
+RAW_SCORE_LIMIT = 100.0  # face_model_config.dart:49
+MIN_SCORE = 0.5          # face_model_config.dart:53
+NMS_IOU = 0.3            # face_model_config.dart:77
+
+
+def decode_detections(raw_boxes, raw_scores, anchors, input_size):
+    """Decodes raw detector outputs to normalized boxes/keypoints/scores.
+
+    Args:
+      raw_boxes: [A, 16] raw box tensor (cx, cy, w, h, 6 keypoint pairs).
+      raw_scores: [A] or [A, 1] raw logits.
+      anchors: [A, 2] anchor centers (constant).
+      input_size: scalar float, the model input resolution (128/192/256).
+
+    Returns:
+      boxes [A, 4] (xmin, ymin, xmax, ymax), keypoints [A, 6, 2],
+      scores [A] (sigmoid with ±RAW_SCORE_LIMIT clip), valid [A] bool
+      (score >= MIN_SCORE and non-degenerate box).
+    """
+    raw_scores = raw_scores.reshape(raw_scores.shape[0] if raw_scores.ndim == 1
+                                    else raw_scores.shape[-2])
+    scaled = raw_boxes / input_size
+    cxy = scaled[:, 0:2] + anchors
+    wh = scaled[:, 2:4]
+    kp = scaled[:, 4:16].reshape(-1, 6, 2) + anchors[:, None, :]
+    half = wh * 0.5
+    boxes = jnp.concatenate([cxy - half, cxy + half], axis=-1)
+
+    clipped = jnp.clip(raw_scores, -RAW_SCORE_LIMIT, RAW_SCORE_LIMIT)
+    scores = jax.nn.sigmoid(clipped)
+    valid = (scores >= MIN_SCORE) & (wh[:, 0] > 0) & (wh[:, 1] > 0)
+    return boxes, kp, scores, valid
+
+
+def _iou_matrix(boxes):
+    """Pairwise IoU for [K, 4] boxes in (xmin, ymin, xmax, ymax)."""
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    inter = jnp.maximum(ix1 - ix0, 0) * jnp.maximum(iy1 - iy0, 0)
+    union = area[:, None] + area[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
+                 num_candidates: int = 128, iou_threshold: float = NMS_IOU):
+    """Fixed-shape weighted (blended) NMS.
+
+    Top-``num_candidates`` anchors by masked score are considered; candidates
+    are processed in descending score order.  Each unsuppressed candidate
+    leads a cluster of all remaining candidates with IoU strictly greater
+    than ``iou_threshold``; the emitted box is the score-weighted average of
+    the cluster, while score and keypoints come from the leader (the
+    reference keeps the max-score member's keypoints, `helpers.dart:211-218`).
+
+    Returns (boxes [D,4], keypoints [D,6,2], scores [D], valid [D]).
+    """
+    k = min(num_candidates, scores.shape[0])
+    masked_scores = jnp.where(valid, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    top_boxes = boxes[top_idx]
+    top_kp = keypoints[top_idx]
+    top_valid = top_scores > 0.0
+
+    iou = _iou_matrix(top_boxes)  # [k, k]
+    overlap = iou > iou_threshold  # strict >, helpers.dart:178-180
+
+    d = max_detections
+
+    def body(i, state):
+        suppressed, out_boxes, out_kp, out_scores, out_valid, n_out = state
+        is_leader = (~suppressed[i]) & top_valid[i] & (n_out < d)
+        # Cluster: unsuppressed remaining candidates overlapping the leader
+        # (the leader overlaps itself with IoU 1.0 > threshold).
+        cluster = overlap[i] & (~suppressed) & top_valid
+        w = jnp.where(cluster, top_scores, 0.0)
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        blended = jnp.sum(top_boxes * w[:, None], axis=0) / wsum
+
+        slot = jnp.minimum(n_out, d - 1)
+        out_boxes = jax.lax.cond(
+            is_leader,
+            lambda ob: jax.lax.dynamic_update_slice(
+                ob, blended[None], (slot, 0)),
+            lambda ob: ob, out_boxes)
+        out_kp = jax.lax.cond(
+            is_leader,
+            lambda ok: jax.lax.dynamic_update_slice(
+                ok, top_kp[i][None], (slot, 0, 0)),
+            lambda ok: ok, out_kp)
+        out_scores = jax.lax.cond(
+            is_leader,
+            lambda os_: jax.lax.dynamic_update_slice(
+                os_, top_scores[i][None], (slot,)),
+            lambda os_: os_, out_scores)
+        out_valid = jax.lax.cond(
+            is_leader,
+            lambda ov: jax.lax.dynamic_update_slice(
+                ov, jnp.ones((1,), jnp.bool_), (slot,)),
+            lambda ov: ov, out_valid)
+        suppressed = jnp.where(is_leader, suppressed | cluster, suppressed)
+        n_out = n_out + is_leader.astype(jnp.int32)
+        return suppressed, out_boxes, out_kp, out_scores, out_valid, n_out
+
+    init = (
+        jnp.zeros((k,), jnp.bool_),
+        jnp.zeros((d, 4), boxes.dtype),
+        jnp.zeros((d,) + keypoints.shape[1:], keypoints.dtype),
+        jnp.zeros((d,), scores.dtype),
+        jnp.zeros((d,), jnp.bool_),
+        jnp.int32(0),
+    )
+    _, ob, ok, osc, ov, _ = jax.lax.fori_loop(0, k, body, init)
+    return ob, ok, osc, ov
+
+
+def remove_letterbox(boxes, keypoints, padding):
+    """Undoes letterbox padding: (v - pad_lo) / (1 - pad_lo - pad_hi).
+
+    ``padding`` is (top, bottom, left, right) in normalized units,
+    matching `helpers.dart:101-136`.  Static per image bucket.
+    """
+    pt, pb, pl, pr = padding
+    sx = 1.0 - (pl + pr)
+    sy = 1.0 - (pt + pb)
+    boxes = jnp.stack([
+        (boxes[..., 0] - pl) / sx,
+        (boxes[..., 1] - pt) / sy,
+        (boxes[..., 2] - pl) / sx,
+        (boxes[..., 3] - pt) / sy,
+    ], axis=-1)
+    keypoints = jnp.stack([
+        (keypoints[..., 0] - pl) / sx,
+        (keypoints[..., 1] - pt) / sy,
+    ], axis=-1)
+    return boxes, keypoints
+
+
+def detection_postprocess(raw_boxes, raw_scores, anchors, input_size, padding,
+                          *, max_detections: int = 16,
+                          num_candidates: int = 128):
+    """decode -> weighted NMS -> letterbox removal, for one image.
+
+    vmap over the batch axis; all shapes static.
+    """
+    boxes, kp, scores, valid = decode_detections(
+        raw_boxes, raw_scores, anchors, input_size)
+    boxes, kp, scores, valid = weighted_nms(
+        boxes, kp, scores, valid,
+        max_detections=max_detections, num_candidates=num_candidates)
+    boxes, kp = remove_letterbox(boxes, kp, padding)
+    return boxes, kp, scores, valid

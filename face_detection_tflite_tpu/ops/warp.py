@@ -1,0 +1,115 @@
+"""Batched rotated-square ROI extraction (the on-device `warpAffine`).
+
+The reference extracts every face/eye crop on the host with OpenCV
+(`extractAlignedSquare`, `lib/src/util/helpers.dart:583-625`): a rotation
+matrix about the ROI center plus a scale that resamples the `size`-px square
+directly to the model input resolution in one pass, with pixel-center
+alignment identical to crop-then-`cv.resize`.
+
+Here the same transform is a shape-static bilinear gather: ROI parameters
+(center, size, theta) are traced values, the output grid is fixed at the
+model input size, so one vmapped call extracts every face crop of a batch
+inside the compiled program — no host round-trips between pipeline stages.
+
+Geometry (matching the reference exactly):
+  * ``size`` is rounded to an integer pixel count first (`helpers.dart:592`);
+  * ``scale = out_size / round(size)``;
+  * the source center lands at ``out_size/2 + 0.5*(scale-1)``
+    (`helpers.dart:604-612`), which makes the warp equivalent to cropping at
+    `size` then cv2-resizing to `out_size`;
+  * destination->source: ``src = c + R(theta)^T @ (dst - out_center)/scale``,
+    the inverse of `transformMeshToAbsolute`
+    (`lib/src/shared/face_geometry.dart:48-73`);
+  * out-of-bounds samples are black (BORDER_CONSTANT).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["extract_aligned_square", "extract_rois"]
+
+
+def _bilinear_sample(img, sx, sy, fill_value: float):
+    """Samples [H, W, C] at float coords (sx, sy) [out, out] with bilinear
+    interpolation and constant fill outside the image."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        val = img[yc, xc]  # advanced indexing gather -> [out, out, C]
+        inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        return jnp.where(inside[..., None], val, fill_value)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    wx = fx[..., None]
+    wy = fy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def extract_aligned_square(img, cx, cy, size, theta, *, out_size: int,
+                           flip_x: bool = False, fill_value: float = 0.0):
+    """Extracts one rotated square ROI from [H, W, C] to [out, out, C].
+
+    Args:
+      img: source image (any float dtype; uint8 should be cast first).
+      cx, cy: ROI center in source pixels (traced scalars).
+      size: ROI side length in source pixels (traced; rounded like the
+        reference).
+      theta: rotation in radians (positive rotates the ROI CCW in image
+        coords, matching `computeFaceAlignment`).
+      out_size: static output resolution (192 mesh / 64 iris / 112 embed).
+      flip_x: horizontally mirror the crop (right-eye iris path,
+        `face_detector_core.dart:567`).
+      fill_value: border constant (0 = black; use -1.0 for pre-normalized
+        [-1, 1] inputs).
+    """
+    size_int = jnp.maximum(jnp.round(size), 1.0)
+    scale = out_size / size_int
+    out_center = out_size / 2.0 + 0.5 * (scale - 1.0)
+
+    xs = jnp.arange(out_size, dtype=jnp.float32)
+    if flip_x:
+        xs = (out_size - 1) - xs
+    ys = jnp.arange(out_size, dtype=jnp.float32)
+    dx = (xs[None, :] - out_center) / scale  # [1, out]
+    dy = (ys[:, None] - out_center) / scale  # [out, 1]
+
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    sx = cx + ct * dx + st * dy
+    sy = cy - st * dx + ct * dy
+    return _bilinear_sample(img, sx, sy, fill_value)
+
+
+def extract_rois(img, cxs, cys, sizes, thetas, *, out_size: int,
+                 flip_x=None, fill_value: float = 0.0):
+    """Extracts N ROIs from one image: returns [N, out, out, C].
+
+    ``flip_x`` may be a [N] bool array (mixed left/right eye batches); the
+    flip is applied by mirroring the sample grid, so it costs nothing.
+    """
+    if flip_x is None:
+        fn = lambda cx, cy, s, t: extract_aligned_square(
+            img, cx, cy, s, t, out_size=out_size, fill_value=fill_value)
+        return jax.vmap(fn)(cxs, cys, sizes, thetas)
+
+    def one(cx, cy, s, t, flip):
+        unflipped = extract_aligned_square(
+            img, cx, cy, s, t, out_size=out_size, fill_value=fill_value)
+        return jnp.where(flip, unflipped[:, ::-1, :], unflipped)
+
+    return jax.vmap(one)(cxs, cys, sizes, thetas, flip_x)
