@@ -1,0 +1,48 @@
+"""face_detection_tflite_tpu — TPU-native MediaPipe-style face pipeline.
+
+A from-scratch JAX/XLA re-design of the capabilities of the
+`face_detection_tflite` Flutter package: BlazeFace detection (4 variants),
+468-pt FaceMesh, iris refinement, 52-coeff blendshapes, head pose, selfie
+segmentation, MobileFaceNet embeddings, gates, and temporal tracking — with
+every pipeline stage fused into batched XLA programs instead of
+host-orchestrated per-stage interpreters.
+
+Quick start::
+
+    from face_detection_tflite_tpu import FaceDetector
+    det = FaceDetector()
+    faces = det.detect_faces_from_filepath("photo.jpg")
+    faces[0].bounding_box, faces[0].mesh.points, faces[0].blendshapes
+"""
+
+from .convert.executor import ConvertedModel, convert_file, convert_model
+from .convert.tflite import parse_tflite
+from .models.embedding import (FaceEmbedding, compute_embedding_alignment,
+                               cosine_similarity, euclidean_distance)
+from .models.segmentation import (MulticlassSegmentationMask,
+                                  SegmentationClass, SegmentationMask,
+                                  SelfieSegmentation)
+from .pipeline.config import (FaceDetectionMode, FaceDetectionModel,
+                              SegmentationModel)
+from .pipeline.detector import FaceDetector, resolve_model_dir
+from .pipeline.programs import PipelineModels, build_pipeline_program
+from .pipeline.tracker import TemporalFaceTracker
+from .pipeline.types import (Blendshape, Detection, Eye, EyePair, Face,
+                             FaceBlendshapes, FaceContourType, FaceLandmarks,
+                             FaceLandmarkType, FaceMesh, HeadEulerAngles,
+                             RectF, FACE_CONTOUR_MESH_INDICES)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FaceDetector", "FaceDetectionMode", "FaceDetectionModel",
+    "SegmentationModel", "Face", "Detection", "FaceMesh", "Eye", "EyePair",
+    "FaceLandmarks", "FaceLandmarkType", "FaceContourType", "Blendshape",
+    "FaceBlendshapes", "HeadEulerAngles", "RectF",
+    "FACE_CONTOUR_MESH_INDICES", "SegmentationMask",
+    "MulticlassSegmentationMask", "SegmentationClass", "SelfieSegmentation",
+    "FaceEmbedding", "cosine_similarity", "euclidean_distance",
+    "compute_embedding_alignment", "TemporalFaceTracker", "PipelineModels",
+    "build_pipeline_program", "convert_file", "convert_model",
+    "parse_tflite", "ConvertedModel", "resolve_model_dir",
+]

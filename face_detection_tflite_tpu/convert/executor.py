@@ -521,7 +521,9 @@ def convert_model(
     return ConvertedModel(params, fn, input_shapes, output_shapes, name=name)
 
 
-def convert_file(path: str, name: str = "") -> ConvertedModel:
+def convert_file(path: str, name: str = "",
+                 precision: str = "highest") -> ConvertedModel:
     with open(path, "rb") as f:
         buf = f.read()
-    return convert_model(parse_tflite(buf), name=name or path)
+    return convert_model(parse_tflite(buf), name=name or path,
+                         precision=precision)

@@ -1,0 +1,222 @@
+"""Face embeddings: eye-based alignment + MobileFaceNet + L2 normalize.
+
+Port of `lib/src/models/face_embedding.dart`: the 112x112 eye-aligned crop
+(`computeEmbeddingAlignment`, face_embedding.dart:362-384: size =
+2.5 * eyeDist, center offset 0.15 * size below the eye midpoint along the
+crop's down axis), the 192-dim embedding, L2 normalization (`:386-400`),
+and cosine/euclidean comparison (`:283-334`).
+
+The reference ships `mobilefacenet.tflite` via its pub.dev package
+(`pubspec.yaml:45`; NOT present in this source checkout).  When a tflite
+file is available it is converted like every other network; otherwise a
+faithful MobileFaceNet-192 architecture (Chen et al. 2018, inference-time
+BN-folded) with seeded random weights keeps the full pipeline runnable and
+testable — `load()` makes the substitution explicit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.executor import ConvertedModel, convert_file
+from ..ops import warp
+from ..pipeline.config import EMBEDDING_DIM, EMBEDDING_INPUT_SIZE
+
+__all__ = ["compute_embedding_alignment", "FaceEmbedding",
+           "cosine_similarity", "euclidean_distance",
+           "build_mobilefacenet"]
+
+
+def compute_embedding_alignment(left_eye, right_eye):
+    """ROI (cx, cy, size, theta) from eye centers (absolute pixels).
+
+    `face_embedding.dart:362-384`.
+    """
+    dx = right_eye[0] - left_eye[0]
+    dy = right_eye[1] - left_eye[1]
+    theta = math.atan2(dy, dx)
+    eye_dist = math.hypot(dx, dy)
+    size = eye_dist * 2.5
+    eye_cx = (left_eye[0] + right_eye[0]) * 0.5
+    eye_cy = (left_eye[1] + right_eye[1]) * 0.5
+    off = size * 0.15
+    cx = eye_cx - off * math.sin(theta)
+    cy = eye_cy + off * math.cos(theta)
+    return cx, cy, size, theta
+
+
+def cosine_similarity(a, b) -> float:
+    """`face_embedding.dart:283-302`."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"Embedding dimensions must match: "
+                         f"{a.shape} vs {b.shape}")
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    return float(a @ b / denom) if denom > 0 else 0.0
+
+
+def euclidean_distance(a, b) -> float:
+    """`face_embedding.dart:304-334`."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"Embedding dimensions must match: "
+                         f"{a.shape} vs {b.shape}")
+    return float(np.linalg.norm(a - b))
+
+
+# ---------------------------------------------------------------------------
+# MobileFaceNet architecture (pure JAX, inference form).
+# ---------------------------------------------------------------------------
+
+def _conv(p, name, x, stride=1, groups=1, prelu=True, precision=None):
+    w = p[f"{name}_w"]  # HWIO
+    c_in = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32, precision=precision)
+    y = y + p[f"{name}_b"]
+    if prelu:
+        alpha = p[f"{name}_a"]
+        y = jnp.where(y >= 0, y, y * alpha)
+    return y
+
+
+def _bottleneck(p, name, x, expand, out_c, stride, precision=None):
+    c_in = x.shape[-1]
+    h = _conv(p, f"{name}_e", x, precision=precision)            # 1x1 expand
+    h = _conv(p, f"{name}_d", h, stride=stride,
+              groups=c_in * expand, precision=precision)         # 3x3 dw
+    h = _conv(p, f"{name}_p", h, prelu=False, precision=precision)  # 1x1 proj
+    if stride == 1 and c_in == out_c:
+        h = h + x
+    return h
+
+
+# (expand, channels, repeats, stride) — MobileFaceNet table.
+_MFN_BLOCKS = [(2, 64, 5, 2), (4, 128, 1, 2), (2, 128, 6, 1),
+               (4, 128, 1, 2), (2, 128, 2, 1)]
+
+
+def build_mobilefacenet(seed: int = 0, embedding_dim: int = EMBEDDING_DIM
+                        ) -> ConvertedModel:
+    """MobileFaceNet-112 with seeded He-init weights (BN folded away).
+
+    Returns a :class:`ConvertedModel`-shaped object so the pipeline treats
+    it exactly like a converted tflite graph.
+    """
+    rng = np.random.default_rng(seed)
+    params: dict[str, jnp.ndarray] = {}
+
+    def add_conv(name, kh, kw, c_in, c_out, groups=1, prelu=True):
+        fan_in = kh * kw * (c_in // groups)
+        w = rng.normal(0, math.sqrt(2.0 / fan_in),
+                       (kh, kw, c_in // groups, c_out)).astype(np.float32)
+        params[f"{name}_w"] = jnp.asarray(w)
+        params[f"{name}_b"] = jnp.zeros((c_out,), jnp.float32)
+        if prelu:
+            params[f"{name}_a"] = jnp.full((c_out,), 0.25, jnp.float32)
+
+    add_conv("stem", 3, 3, 3, 64)
+    add_conv("stem_dw", 3, 3, 64, 64, groups=64)
+    c_in = 64
+    for bi, (t, c, n, s) in enumerate(_MFN_BLOCKS):
+        for ri in range(n):
+            name = f"b{bi}_{ri}"
+            stride = s if ri == 0 else 1
+            add_conv(f"{name}_e", 1, 1, c_in, c_in * t)
+            add_conv(f"{name}_d", 3, 3, c_in * t, c_in * t, groups=c_in * t)
+            add_conv(f"{name}_p", 1, 1, c_in * t, c, prelu=False)
+            c_in = c
+    add_conv("head", 1, 1, c_in, 512)
+    add_conv("gdconv", 7, 7, 512, 512, groups=512, prelu=False)
+    add_conv("out", 1, 1, 512, embedding_dim, prelu=False)
+
+    def fn(p, x):
+        if tuple(x.shape) != (1, EMBEDDING_INPUT_SIZE, EMBEDDING_INPUT_SIZE, 3):
+            raise ValueError(
+                f"embedding input expects shape "
+                f"(1, {EMBEDDING_INPUT_SIZE}, {EMBEDDING_INPUT_SIZE}, 3), "
+                f"got {tuple(x.shape)}")
+        h = _conv(p, "stem", x, stride=2)
+        h = _conv(p, "stem_dw", h, groups=64)
+        c = 64
+        for bi, (t, ch, n, s) in enumerate(_MFN_BLOCKS):
+            for ri in range(n):
+                h = _bottleneck(p, f"b{bi}_{ri}", h, t, ch,
+                                s if ri == 0 else 1)
+                c = ch
+        h = _conv(p, "head", h)
+        # Global depthwise 7x7 VALID collapses spatial dims.
+        w = p["gdconv_w"]
+        h = jax.lax.conv_general_dilated(
+            h, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=512, preferred_element_type=jnp.float32)
+        h = h + p["gdconv_b"]
+        h = _conv(p, "out", h, prelu=False)
+        return (h.reshape(1, -1),)
+
+    return ConvertedModel(
+        params, fn,
+        input_shapes=[(1, EMBEDDING_INPUT_SIZE, EMBEDDING_INPUT_SIZE, 3)],
+        output_shapes=[(1, embedding_dim)],
+        name="mobilefacenet-random-init")
+
+
+class FaceEmbedding:
+    """Eye-aligned 192-dim face embeddings with a compiled crop+net program."""
+
+    def __init__(self, model: ConvertedModel):
+        self.model = model
+        self.is_pretrained = "random-init" not in model.name
+        self._programs: dict[tuple[int, int], object] = {}
+
+    @classmethod
+    def load(cls, tflite_path: Optional[str] = None) -> "FaceEmbedding":
+        """Loads from a mobilefacenet.tflite if given/present, else builds
+        the seeded random-weight architecture (embeddings are then
+        structurally valid but NOT identity-discriminative)."""
+        if tflite_path and os.path.exists(tflite_path):
+            return cls(convert_file(tflite_path))
+        return cls(build_mobilefacenet())
+
+    def _program(self, img_h: int, img_w: int):
+        key = (img_h, img_w)
+        if key not in self._programs:
+            def one(params, img, cx, cy, size, theta):
+                # The core warps with the negated alignment angle
+                # (face_detector_core.dart:433-440).
+                crop = warp.extract_aligned_square(
+                    img.astype(jnp.float32), cx, cy, size, -theta,
+                    out_size=EMBEDDING_INPUT_SIZE)
+                crop = crop * (1.0 / 127.5) - 1.0
+                (emb,) = self.model.fn(params, crop[None])
+                emb = emb.reshape(-1)
+                norm = jnp.sqrt(jnp.sum(emb * emb))
+                return jnp.where(norm > 0, emb / norm, emb)
+
+            self._programs[key] = jax.jit(one)
+        return self._programs[key]
+
+    def embed(self, image: np.ndarray, left_eye, right_eye) -> np.ndarray:
+        """L2-normalized embedding from an RGB image + eye centers (px)."""
+        image = np.asarray(image)
+        h, w, _ = image.shape
+        cx, cy, size, theta = compute_embedding_alignment(left_eye, right_eye)
+        prog = self._program(h, w)
+        return np.asarray(prog(self.model.params, jnp.asarray(image),
+                               cx, cy, size, theta))
+
+    # Static helpers mirroring the reference API.
+    cosine_similarity = staticmethod(cosine_similarity)
+    euclidean_distance = staticmethod(euclidean_distance)

@@ -1,0 +1,189 @@
+"""Selfie segmentation: binary (general/landscape) and multiclass.
+
+TPU-native port of `lib/src/models/selfie_segmentation.dart`: the letterbox
+preprocess, the segmenter network (converted from TFLite, including the
+MediaPipe ``Convolution2DTransposeBias`` custom op — see
+`selfie_segmentation.dart:57-66`), per-pixel multiclass softmax
+(`:656-699`), and the person mask (binary: raw sigmoid; multiclass:
+1 - background probability, `:705-721`) all compile into ONE XLA program,
+batched over images.
+
+Mask objects mirror `SegmentationMask` / `MulticlassSegmentationMask`
+(`face_types.dart:282-627`), including the padding-aware `upsample`.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.executor import ConvertedModel
+from ..ops.letterbox import letterbox_image, letterbox_params, resize_matrix
+
+__all__ = ["SegmentationClass", "SegmentationMask",
+           "MulticlassSegmentationMask", "SelfieSegmentation",
+           "MIN_SEGMENTATION_INPUT_SIZE"]
+
+MIN_SEGMENTATION_INPUT_SIZE = 32  # kMinSegmentationInputSize
+
+
+class SegmentationClass(enum.IntEnum):
+    """Multiclass channel order (`face_types.dart` SegmentationClass)."""
+
+    BACKGROUND = 0
+    HAIR = 1
+    BODY_SKIN = 2
+    FACE_SKIN = 3
+    CLOTHES = 4
+    OTHER = 5
+
+
+class SegmentationMask:
+    """Person-probability mask in model resolution with letterbox padding.
+
+    ``data`` is [H, W] float32 in [0, 1].  ``padding`` is normalized
+    (top, bottom, left, right) of the letterbox, used by :meth:`upsample`
+    to crop the valid region before resizing back to the original image.
+    """
+
+    def __init__(self, data: np.ndarray, original_width: int,
+                 original_height: int,
+                 padding: tuple[float, float, float, float]):
+        self.data = np.asarray(data)
+        self.height, self.width = self.data.shape[:2]
+        self.original_width = original_width
+        self.original_height = original_height
+        self.padding = padding
+
+    def upsample(self, target_width: Optional[int] = None,
+                 target_height: Optional[int] = None,
+                 max_size: int = 2048) -> "SegmentationMask":
+        """Crops letterbox padding and bilinearly resizes to target size
+        (default: original image size), capped at ``max_size`` on the longer
+        side (`face_types.dart:345-420`)."""
+        tw = target_width or self.original_width
+        th = target_height or self.original_height
+        max_dim = max(tw, th)
+        scale = max_size / max_dim if (max_size > 0 and max_dim > max_size) \
+            else 1.0
+        fw, fh = round(tw * scale), round(th * scale)
+
+        src = self.data
+        pt, pb, pl, pr = self.padding
+        if any(p > 0 for p in self.padding):
+            x0 = round(pl * self.width)
+            y0 = round(pt * self.height)
+            x1 = round((1.0 - pr) * self.width)
+            y1 = round((1.0 - pb) * self.height)
+            if x1 > x0 and y1 > y0:
+                src = src[y0:y1, x0:x1]
+
+        mh = resize_matrix(src.shape[0], fh)
+        mw = resize_matrix(src.shape[1], fw)
+        out = mh @ src @ mw.T
+        return SegmentationMask(out.astype(np.float32), self.original_width,
+                                self.original_height, (0.0, 0.0, 0.0, 0.0))
+
+    def confidence_at(self, x_norm: float, y_norm: float) -> float:
+        x = min(max(int(x_norm * self.width), 0), self.width - 1)
+        y = min(max(int(y_norm * self.height), 0), self.height - 1)
+        return float(self.data[y, x])
+
+
+class MulticlassSegmentationMask(SegmentationMask):
+    """Adds per-class probabilities ([H, W, 6], softmaxed)."""
+
+    def __init__(self, data, original_width, original_height, padding,
+                 class_data: np.ndarray):
+        super().__init__(data, original_width, original_height, padding)
+        self.class_data = np.asarray(class_data)
+
+    def class_mask(self, cls: SegmentationClass) -> np.ndarray:
+        return self.class_data[..., int(cls)]
+
+    @property
+    def hair_mask(self):
+        return self.class_mask(SegmentationClass.HAIR)
+
+    @property
+    def body_skin_mask(self):
+        return self.class_mask(SegmentationClass.BODY_SKIN)
+
+    @property
+    def face_skin_mask(self):
+        return self.class_mask(SegmentationClass.FACE_SKIN)
+
+    @property
+    def clothes_mask(self):
+        return self.class_mask(SegmentationClass.CLOTHES)
+
+    @property
+    def other_mask(self):
+        return self.class_mask(SegmentationClass.OTHER)
+
+    @property
+    def background_mask(self):
+        return self.class_mask(SegmentationClass.BACKGROUND)
+
+
+class SelfieSegmentation:
+    """Compiled segmentation pipeline for one image bucket.
+
+    One jitted program per (img_h, img_w): letterbox + network + mask math.
+    """
+
+    def __init__(self, model: ConvertedModel, multiclass: bool = False):
+        self.model = model
+        self.multiclass = multiclass
+        _, self.in_h, self.in_w, _ = model.input_shapes[0]
+        self._programs: dict[tuple[int, int], object] = {}
+
+    def _program(self, img_h: int, img_w: int):
+        key = (img_h, img_w)
+        if key not in self._programs:
+            lbp = letterbox_params(img_h, img_w, self.in_h, self.in_w)
+            mh = (jnp.asarray(resize_matrix(img_h, lbp.new_h))
+                  if lbp.new_h != img_h else None)
+            mw = (jnp.asarray(resize_matrix(img_w, lbp.new_w))
+                  if lbp.new_w != img_w else None)
+
+            def one(params, img):
+                x = letterbox_image(img.astype(jnp.float32), lbp, mh, mw)
+                (raw,) = self.model.fn(params, x[None])
+                raw = raw.reshape(self.in_h, self.in_w, -1)
+                if self.multiclass:
+                    probs = jax.nn.softmax(raw, axis=-1)
+                    person = 1.0 - probs[..., 0]
+                    return person, probs
+                return raw[..., 0], None
+
+            self._programs[key] = (
+                jax.jit(jax.vmap(one, in_axes=(None, 0))), lbp)
+        return self._programs[key]
+
+    def __call__(self, images: np.ndarray) -> list[SegmentationMask]:
+        """Segments a [B, H, W, 3] RGB batch (uint8/float 0..255)."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        b, h, w, _ = images.shape
+        if h < MIN_SEGMENTATION_INPUT_SIZE or w < MIN_SEGMENTATION_INPUT_SIZE:
+            raise ValueError(
+                f"image {w}x{h} is smaller than minimum "
+                f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
+        prog, lbp = self._program(h, w)
+        person, probs = prog(self.model.params, jnp.asarray(images))
+        person = np.asarray(person)
+        masks: list[SegmentationMask] = []
+        for i in range(b):
+            if self.multiclass:
+                masks.append(MulticlassSegmentationMask(
+                    person[i], w, h, lbp.padding,
+                    class_data=np.asarray(probs[i])))
+            else:
+                masks.append(SegmentationMask(person[i], w, h, lbp.padding))
+        return masks

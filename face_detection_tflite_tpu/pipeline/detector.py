@@ -1,0 +1,321 @@
+"""FaceDetector — the public orchestration API.
+
+Preserves the reference's `FaceDetector` surface
+(`lib/src/face_detector.dart:53`): create/initialize, detectFacesFrom*,
+embeddings, segmentation masks, combined detect+segment, gates, temporal
+tracking, resetTracking, dispose.  The execution model is inverted per
+SURVEY §7: instead of isolates + per-stage interpreter dispatches, each
+(image-size, mode) pair gets ONE compiled XLA program over a MAX_FACES
+slab, batched across images; the host only decodes images, launches
+programs, materializes `Face` objects, and runs the (inherently
+sequential) temporal tracker.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.executor import ConvertedModel, convert_file
+from ..models.embedding import FaceEmbedding
+from ..models.segmentation import SegmentationMask, SelfieSegmentation
+from .config import (DEFAULT_MAX_MISSED_FRAMES,
+                     DEFAULT_MIN_FACE_PRESENCE_CONFIDENCE, MIN_SCORE,
+                     MODEL_FILES, FaceDetectionMode, FaceDetectionModel,
+                     SegmentationModel)
+from .gates import validate_face_gates
+from .programs import PipelineModels, build_pipeline_program
+from .tracker import TemporalFaceTracker, validate_tracking_config
+from .types import Detection, Face, FaceMesh, RectF
+
+__all__ = ["FaceDetector", "resolve_model_dir"]
+
+_DEFAULT_MODEL_DIRS = (
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "assets", "models"),
+    "/root/reference/assets/models",
+)
+
+
+def resolve_model_dir(model_dir: Optional[str] = None) -> str:
+    """Finds the directory holding the .tflite model assets."""
+    candidates = ([model_dir] if model_dir else []) + \
+        [os.environ.get("FDT_TPU_MODEL_DIR")] + list(_DEFAULT_MODEL_DIRS)
+    for c in candidates:
+        if c and os.path.isdir(c):
+            return c
+    raise FileNotFoundError(
+        "No model directory found; set FDT_TPU_MODEL_DIR or pass model_dir")
+
+
+class FaceDetector:
+    """MediaPipe-style face pipeline, compiled for TPU.
+
+    Equivalent of the reference's `FaceDetector.create()+initialize()`
+    (`face_detector.dart:84,297`): loads and converts all models eagerly,
+    validates gates/tracking config, and is ready to detect.  Thread-safe
+    for detection (compiled programs are pure); tracking state is guarded
+    by a lock, mirroring the reference's FIFO sequencing of tracked calls
+    (`face_tracker.dart:222-245`).
+    """
+
+    MODEL_VERSION = 1  # cache-invalidation analog of `modelVersion`
+
+    def __init__(self,
+                 model: FaceDetectionModel = FaceDetectionModel.BACK_CAMERA,
+                 *,
+                 min_score: float = MIN_SCORE,
+                 min_face_size: float = 0.0,
+                 min_face_presence_confidence: float =
+                 DEFAULT_MIN_FACE_PRESENCE_CONFIDENCE,
+                 enable_tracking: bool = False,
+                 max_missed_frames: int = DEFAULT_MAX_MISSED_FRAMES,
+                 max_faces: int = 16,
+                 with_segmentation: bool = False,
+                 segmentation_model: SegmentationModel =
+                 SegmentationModel.GENERAL,
+                 model_dir: Optional[str] = None,
+                 precision: str = "highest"):
+        validate_face_gates(min_score, min_face_size,
+                            min_face_presence_confidence)
+        validate_tracking_config(max_missed_frames)
+        self.model_variant = model
+        self.mode_default = FaceDetectionMode.FULL
+        self.min_score = min_score
+        self.min_face_size = min_face_size
+        self.min_face_presence_confidence = min_face_presence_confidence
+        self.max_faces = max_faces
+        self._model_dir = resolve_model_dir(model_dir)
+        self._precision = precision
+
+        def load(key: str) -> ConvertedModel:
+            return convert_file(os.path.join(self._model_dir,
+                                             MODEL_FILES[key]),
+                                precision=precision)
+
+        self.models = PipelineModels(
+            detector=load(model.value), variant=model.value,
+            mesh=load("face_landmark"), iris=load("iris_landmark"),
+            blendshapes=load("face_blendshapes"))
+
+        self._segmentation: Optional[SelfieSegmentation] = None
+        if with_segmentation:
+            self._load_segmentation(segmentation_model)
+
+        self._embedding: Optional[FaceEmbedding] = None
+
+        self._tracking_enabled = enable_tracking
+        self._tracker = TemporalFaceTracker(
+            max_missed_frames=max_missed_frames)
+        self._tracker_lock = threading.Lock()
+        self._tracking_generation = 0
+
+        self._programs: dict[tuple, object] = {}
+        self._disposed = False
+
+    # -- lazy submodels --------------------------------------------------------
+
+    def _load_segmentation(self, seg_model: SegmentationModel):
+        key = {"general": "segmenter_general",
+               "landscape": "segmenter_landscape",
+               "multiclass": "segmenter_multiclass"}[seg_model.value]
+        path = os.path.join(self._model_dir, MODEL_FILES[key])
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"segmentation model not found: {path} (the multiclass "
+                "model ships out-of-repo in the reference too, "
+                "pubspec.yaml:46)")
+        self._segmentation = SelfieSegmentation(
+            convert_file(path, precision=self._precision),
+            multiclass=seg_model == SegmentationModel.MULTICLASS)
+
+    @property
+    def embedding_model(self) -> FaceEmbedding:
+        if self._embedding is None:
+            path = os.path.join(self._model_dir, MODEL_FILES["embedding"])
+            self._embedding = FaceEmbedding.load(
+                path if os.path.exists(path) else None)
+        return self._embedding
+
+    # -- detection -------------------------------------------------------------
+
+    def _program(self, img_h: int, img_w: int, mode: FaceDetectionMode):
+        self._check_disposed()
+        key = (img_h, img_w, mode)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(build_pipeline_program(
+                self.models, img_h, img_w, mode, max_faces=self.max_faces,
+                min_score=self.min_score, min_face_size=self.min_face_size))
+        return self._programs[key]
+
+    def detect_faces(self, image: np.ndarray,
+                     mode: FaceDetectionMode = FaceDetectionMode.FULL
+                     ) -> list[Face]:
+        """Detects faces in one RGB image ([H, W, 3], uint8 or 0..255 float).
+
+        Equivalent of `detectFacesFromBytes` minus the decode
+        (`face_detector.dart:477`); use `detect_faces_from_bytes` /
+        `detect_faces_from_filepath` for encoded inputs.
+        """
+        faces_batch = self.detect_faces_batch(np.asarray(image)[None], mode)
+        faces = faces_batch[0]
+        if self._tracking_enabled:
+            with self._tracker_lock:
+                gen = self._tracking_generation
+                ids = self._tracker.update(
+                    [[f.bounding_box.xmin, f.bounding_box.ymin,
+                      f.bounding_box.xmax, f.bounding_box.ymax]
+                     for f in faces])
+                if gen == self._tracking_generation:
+                    faces = [f.with_tracking_id(i)
+                             for f, i in zip(faces, ids)]
+        return faces
+
+    def detect_faces_batch(self, images: np.ndarray,
+                           mode: FaceDetectionMode = FaceDetectionMode.FULL
+                           ) -> list[list[Face]]:
+        """Batched detection: [B, H, W, 3] -> list of per-image Face lists.
+
+        The TPU-native throughput path (no reference analog — the reference
+        is strictly one image per call).  Tracking is not applied (it is a
+        per-stream, sequential concept).
+        """
+        self._check_disposed()
+        images = np.asarray(images)
+        b, h, w, _ = images.shape
+        prog = self._program(h, w, mode)
+        out = prog(self.models.params, jnp.asarray(images))
+        out = jax.tree.map(np.asarray, out)
+        return [self._materialize(out, i, (w, h), mode) for i in range(b)]
+
+    def _materialize(self, out, i: int, size_wh, mode) -> list[Face]:
+        """Slab -> Face objects, applying the presence gate
+        (face_detector_core.dart:331-353) and preserving slab order."""
+        faces: list[Face] = []
+        valid = out["valid"][i]
+        full = mode == FaceDetectionMode.FULL
+        has_mesh = mode != FaceDetectionMode.FAST
+        for d in range(valid.shape[0]):
+            if not valid[d]:
+                continue
+            mesh_score = (float(out["mesh_scores"][i, d])
+                          if has_mesh else None)
+            if (has_mesh and self.min_face_presence_confidence > 0.0
+                    and mesh_score < self.min_face_presence_confidence):
+                continue
+            det = Detection(
+                bounding_box=RectF(*map(float, out["boxes"][i, d])),
+                score=float(out["scores"][i, d]),
+                keypoints_xy=out["keypoints"][i, d],
+            )
+            mesh = (FaceMesh(out["mesh"][i, d], score=mesh_score)
+                    if has_mesh else None)
+            bs = None
+            if full and bool(out["blendshapes_valid"][i, d]):
+                bs = out["blendshapes"][i, d]
+            faces.append(Face(
+                detection=det, mesh=mesh,
+                irises=out["iris"][i, d] if full else np.zeros((0, 3)),
+                original_size=size_wh, blendshape_scores=bs))
+        return faces
+
+    # -- encoded / file inputs -------------------------------------------------
+
+    def detect_faces_from_bytes(self, data: bytes,
+                                mode: FaceDetectionMode =
+                                FaceDetectionMode.FULL) -> list[Face]:
+        from ..utils.image import decode_image
+        return self.detect_faces(decode_image(data), mode)
+
+    def detect_faces_from_filepath(self, path: str,
+                                   mode: FaceDetectionMode =
+                                   FaceDetectionMode.FULL) -> list[Face]:
+        from ..utils.image import load_image
+        return self.detect_faces(load_image(path), mode)
+
+    # -- embeddings -------------------------------------------------------------
+
+    def get_face_embedding(self, face: Face, image: np.ndarray) -> np.ndarray:
+        """192-dim L2-normalized embedding for a detected face
+        (`face_detector.dart:685`: alignment needs only the two eye points,
+        iris-refined when available)."""
+        lm = face.landmarks
+        left, right = lm.left_eye, lm.right_eye
+        if left is None or right is None:
+            raise ValueError("Face must have left and right eye landmarks")
+        return self.embedding_model.embed(image, left[:2], right[:2])
+
+    def get_face_embeddings(self, faces: Sequence[Face],
+                            image: np.ndarray) -> list[np.ndarray]:
+        return [self.get_face_embedding(f, image) for f in faces]
+
+    @staticmethod
+    def compare_faces(emb1, emb2) -> float:
+        from ..models.embedding import cosine_similarity
+        return cosine_similarity(emb1, emb2)
+
+    @staticmethod
+    def face_distance(emb1, emb2) -> float:
+        from ..models.embedding import euclidean_distance
+        return euclidean_distance(emb1, emb2)
+
+    # -- segmentation ------------------------------------------------------------
+
+    def get_segmentation_mask(self, image: np.ndarray) -> SegmentationMask:
+        self._check_disposed()
+        if self._segmentation is None:
+            self._load_segmentation(SegmentationModel.GENERAL)
+        return self._segmentation(np.asarray(image)[None])[0]
+
+    def detect_faces_with_segmentation(
+            self, image: np.ndarray,
+            mode: FaceDetectionMode = FaceDetectionMode.FULL
+    ) -> tuple[list[Face], SegmentationMask]:
+        """Combined detect + segment.  The reference runs these in two
+        isolates so the cost is max(detect, segment)
+        (`face_detector.dart:1297-1324`); here both programs are dispatched
+        back-to-back and XLA overlaps them on device streams."""
+        self._check_disposed()
+        if self._segmentation is None:
+            self._load_segmentation(SegmentationModel.GENERAL)
+        image = np.asarray(image)
+        # Dispatch both before blocking on either.
+        h, w, _ = image.shape
+        prog = self._program(h, w, mode)
+        det_out = prog(self.models.params, jnp.asarray(image[None]))
+        masks = self._segmentation(image[None])
+        det_out = jax.tree.map(np.asarray, det_out)
+        faces = self._materialize(det_out, 0, (w, h), mode)
+        return faces, masks[0]
+
+    # -- tracking / lifecycle -----------------------------------------------------
+
+    def reset_tracking(self) -> None:
+        """Drops temporal state; in-flight results lose their IDs
+        (generation counter, `face_tracker.dart:211-214`)."""
+        with self._tracker_lock:
+            self._tracker.reset()
+            self._tracking_generation += 1
+
+    @property
+    def is_ready(self) -> bool:
+        return not self._disposed
+
+    def dispose(self) -> None:
+        self._disposed = True
+        self._programs.clear()
+
+    def _check_disposed(self):
+        if self._disposed:
+            raise RuntimeError("FaceDetector used after dispose()")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.dispose()

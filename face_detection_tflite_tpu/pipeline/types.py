@@ -1,0 +1,407 @@
+"""Public result types: Face, Detection, Eye, contours, head pose.
+
+Python port of the data surface of `lib/src/shared/face_types.dart` — the
+objects a user of the reference package works with, preserved so switching
+to this framework is a drop-in for result handling.  Points are numpy
+arrays ([..., 3] = x, y, z in absolute pixels unless noted).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .blendshape_input import BLENDSHAPE_NAMES
+from .gates import box_visible_width_fraction
+from .geometry import head_euler_angles_from_mesh, roll_from_eyes
+
+__all__ = [
+    "FaceLandmarkType", "FaceContourType", "Blendshape", "RectF",
+    "Detection", "FaceMesh", "Eye", "EyePair", "FaceLandmarks",
+    "HeadEulerAngles", "FaceBlendshapes", "Face",
+    "FACE_CONTOUR_MESH_INDICES", "EYE_LANDMARK_CONNECTIONS",
+    "MESH_POINTS", "MAX_EYE_LANDMARK",
+]
+
+MESH_POINTS = 468
+MAX_EYE_LANDMARK = 15
+
+
+class FaceLandmarkType(enum.IntEnum):
+    """Detector keypoint order (`face_types.dart:19`)."""
+
+    LEFT_EYE = 0
+    RIGHT_EYE = 1
+    NOSE_TIP = 2
+    MOUTH = 3
+    LEFT_EYE_TRAGION = 4
+    RIGHT_EYE_TRAGION = 5
+
+
+class FaceContourType(enum.Enum):
+    FACE = "face"
+    LEFT_EYEBROW_TOP = "leftEyebrowTop"
+    LEFT_EYEBROW_BOTTOM = "leftEyebrowBottom"
+    RIGHT_EYEBROW_TOP = "rightEyebrowTop"
+    RIGHT_EYEBROW_BOTTOM = "rightEyebrowBottom"
+    LEFT_EYE = "leftEye"
+    RIGHT_EYE = "rightEye"
+    UPPER_LIP_TOP = "upperLipTop"
+    UPPER_LIP_BOTTOM = "upperLipBottom"
+    LOWER_LIP_TOP = "lowerLipTop"
+    LOWER_LIP_BOTTOM = "lowerLipBottom"
+    NOSE_BRIDGE = "noseBridge"
+    NOSE_BOTTOM = "noseBottom"
+    LEFT_CHEEK = "leftCheek"
+    RIGHT_CHEEK = "rightCheek"
+
+
+Blendshape = enum.Enum(  # type: ignore[misc]
+    "Blendshape",
+    {("NEUTRAL" if n == "_neutral" else n): i
+     for i, n in enumerate(BLENDSHAPE_NAMES)},
+)
+
+# MediaPipe canonical FACEMESH_* sets chained into ordered polylines
+# (`face_types.dart:661-743`).
+FACE_CONTOUR_MESH_INDICES: dict[FaceContourType, list[int]] = {
+    FaceContourType.FACE: [
+        10, 338, 297, 332, 284, 251, 389, 356, 454, 323, 361, 288,
+        397, 365, 379, 378, 400, 377, 152, 148, 176, 149, 150, 136,
+        172, 58, 132, 93, 234, 127, 162, 21, 54, 103, 67, 109],
+    FaceContourType.LEFT_EYEBROW_TOP: [300, 293, 334, 296, 336],
+    FaceContourType.LEFT_EYEBROW_BOTTOM: [276, 283, 282, 295, 285],
+    FaceContourType.RIGHT_EYEBROW_TOP: [70, 63, 105, 66, 107],
+    FaceContourType.RIGHT_EYEBROW_BOTTOM: [46, 53, 52, 65, 55],
+    FaceContourType.LEFT_EYE: [
+        263, 466, 388, 387, 386, 385, 384, 398,
+        362, 382, 381, 380, 374, 373, 390, 249],
+    FaceContourType.RIGHT_EYE: [
+        33, 246, 161, 160, 159, 158, 157, 173,
+        133, 155, 154, 153, 145, 144, 163, 7],
+    FaceContourType.UPPER_LIP_TOP: [
+        61, 185, 40, 39, 37, 0, 267, 269, 270, 409, 291],
+    FaceContourType.UPPER_LIP_BOTTOM: [
+        78, 191, 80, 81, 82, 13, 312, 311, 310, 415, 308],
+    FaceContourType.LOWER_LIP_TOP: [
+        78, 95, 88, 178, 87, 14, 317, 402, 318, 324, 308],
+    FaceContourType.LOWER_LIP_BOTTOM: [
+        61, 146, 91, 181, 84, 17, 314, 405, 321, 375, 291],
+    FaceContourType.NOSE_BRIDGE: [168, 6, 197, 195, 5, 4],
+    FaceContourType.NOSE_BOTTOM: [98, 97, 2, 326, 327],
+    FaceContourType.LEFT_CHEEK: [280],
+    FaceContourType.RIGHT_CHEEK: [50],
+}
+
+# Eyeball outline connections (`face_types.dart:635-651`).
+EYE_LANDMARK_CONNECTIONS = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+    (9, 10), (10, 11), (11, 12), (12, 13), (13, 14), (0, 9), (8, 14),
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class RectF:
+    """Normalized rectangle (`face_types.dart:1439`)."""
+
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+
+    @property
+    def w(self) -> float:
+        return self.xmax - self.xmin
+
+    @property
+    def h(self) -> float:
+        return self.ymax - self.ymin
+
+    def expand(self, fraction: float) -> "RectF":
+        dw = self.w * fraction * 0.5
+        dh = self.h * fraction * 0.5
+        return RectF(self.xmin - dw, self.ymin - dh,
+                     self.xmax + dw, self.ymax + dh)
+
+    def scaled(self, w: float, h: float) -> tuple[float, float, float, float]:
+        return (self.xmin * w, self.ymin * h, self.xmax * w, self.ymax * h)
+
+
+@dataclasses.dataclass(frozen=True)
+class Detection:
+    """One detector result: normalized box + 6 keypoints + score."""
+
+    bounding_box: RectF
+    score: float
+    keypoints_xy: np.ndarray  # [6, 2] normalized
+
+    def keypoint(self, t: FaceLandmarkType) -> tuple[float, float]:
+        return (float(self.keypoints_xy[t, 0]), float(self.keypoints_xy[t, 1]))
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadEulerAngles:
+    """Pitch/yaw/roll degrees, ML Kit sign convention
+    (`face_types.dart:1009`)."""
+
+    x: float  # pitch (positive = face up)
+    y: float  # yaw   (positive = toward image right)
+    z: float  # roll  (positive = counter-clockwise)
+
+
+class FaceMesh:
+    """468-point mesh in absolute pixels with optional presence score."""
+
+    def __init__(self, points: np.ndarray, score: Optional[float] = None):
+        self.points = np.asarray(points)  # [468, 3]
+        self.score = score
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+    def contour(self, contour_type: FaceContourType) -> np.ndarray:
+        """Ordered polyline for one contour group ([K, 3] pixels)."""
+        idx = FACE_CONTOUR_MESH_INDICES[contour_type]
+        return self.points[idx]
+
+    @property
+    def contours(self) -> dict[FaceContourType, np.ndarray]:
+        return {t: self.contour(t) for t in FACE_CONTOUR_MESH_INDICES}
+
+
+class Eye:
+    """Iris center + iris contour + 71-point eye mesh
+    (`face_types.dart:834`)."""
+
+    def __init__(self, iris_center: np.ndarray, iris_contour: np.ndarray,
+                 mesh: Optional[np.ndarray] = None):
+        self.iris_center = iris_center
+        self.iris_contour = iris_contour
+        self.mesh = mesh if mesh is not None else np.zeros((0, 3))
+
+    @property
+    def contour(self) -> np.ndarray:
+        """Visible eyelid ring: first 15 mesh points."""
+        return self.mesh[:MAX_EYE_LANDMARK]
+
+    @classmethod
+    def from_points(cls, points: np.ndarray) -> Optional["Eye"]:
+        """Splits a 76-point per-eye stream (71 contour + 5 iris);
+        iris center = point nearest the 5-point centroid
+        (`face_types.dart:1148-1171`)."""
+        points = np.asarray(points)
+        if len(points) < 5:
+            return None
+        if len(points) > 5:
+            iris_start = len(points) - 5
+            eye_mesh = points[:iris_start]
+            iris = points[iris_start:]
+        else:
+            eye_mesh = np.zeros((0, 3))
+            iris = points
+        centroid = iris[:, :2].mean(axis=0)
+        d = ((iris[:, :2] - centroid) ** 2).sum(axis=1)
+        best = int(np.argmin(d))
+        contour = np.delete(iris, best, axis=0)
+        return cls(iris_center=iris[best], iris_contour=contour,
+                   mesh=eye_mesh)
+
+
+@dataclasses.dataclass(frozen=True)
+class EyePair:
+    left_eye: Optional[Eye]
+    right_eye: Optional[Eye]
+
+
+class FaceLandmarks:
+    """Named access to the 6 detector keypoints in absolute pixels."""
+
+    def __init__(self, points: dict[FaceLandmarkType, np.ndarray]):
+        self._points = points
+
+    def __getitem__(self, t: FaceLandmarkType) -> Optional[np.ndarray]:
+        return self._points.get(t)
+
+    @property
+    def left_eye(self):
+        return self._points.get(FaceLandmarkType.LEFT_EYE)
+
+    @property
+    def right_eye(self):
+        return self._points.get(FaceLandmarkType.RIGHT_EYE)
+
+    @property
+    def nose_tip(self):
+        return self._points.get(FaceLandmarkType.NOSE_TIP)
+
+    @property
+    def mouth(self):
+        return self._points.get(FaceLandmarkType.MOUTH)
+
+    @property
+    def left_eye_tragion(self):
+        return self._points.get(FaceLandmarkType.LEFT_EYE_TRAGION)
+
+    @property
+    def right_eye_tragion(self):
+        return self._points.get(FaceLandmarkType.RIGHT_EYE_TRAGION)
+
+
+class FaceBlendshapes:
+    """The 52 Blendshape V2 coefficients with named access."""
+
+    def __init__(self, scores: Sequence[float]):
+        self.scores = np.asarray(scores, np.float32)
+        assert self.scores.shape == (52,)
+
+    def __getitem__(self, b) -> float:
+        if isinstance(b, Blendshape):
+            return float(self.scores[b.value])
+        return float(self.scores[b])
+
+    def by_name(self, name: str) -> float:
+        return float(self.scores[BLENDSHAPE_NAMES.index(name)])
+
+    def as_dict(self) -> dict[str, float]:
+        return {n: float(s) for n, s in zip(BLENDSHAPE_NAMES, self.scores)}
+
+
+class Face:
+    """One detected face — the reference's `Face` (`face_types.dart:1070`).
+
+    Lazily derives eyes, head angles, and blendshape getters exactly like
+    the reference (cached on first access).
+    """
+
+    def __init__(self, detection: Detection, mesh: Optional[FaceMesh],
+                 irises: np.ndarray, original_size: tuple[float, float],
+                 blendshape_scores: Optional[np.ndarray] = None,
+                 tracking_id: Optional[int] = None):
+        self.detection_data = detection
+        self.mesh = mesh
+        self.iris_points = np.asarray(irises).reshape(-1, 3) \
+            if irises is not None and len(irises) else np.zeros((0, 3))
+        self.original_size = original_size  # (width, height)
+        self._blendshape_scores = blendshape_scores
+        self.tracking_id = tracking_id
+        self._eyes: Optional[EyePair] = None
+        self._angles: Optional[HeadEulerAngles] = None
+        self._bs: Optional[FaceBlendshapes] = None
+
+    def with_tracking_id(self, tracking_id: int) -> "Face":
+        f = Face(self.detection_data, self.mesh, self.iris_points,
+                 self.original_size, self._blendshape_scores, tracking_id)
+        return f
+
+    # -- detection-level -----------------------------------------------------
+
+    @property
+    def bounding_box(self) -> RectF:
+        return self.detection_data.bounding_box
+
+    @property
+    def bounding_box_pixels(self) -> tuple[float, float, float, float]:
+        w, h = self.original_size
+        return self.detection_data.bounding_box.scaled(w, h)
+
+    @property
+    def score(self) -> float:
+        return self.detection_data.score
+
+    @property
+    def mesh_score(self) -> Optional[float]:
+        return self.mesh.score if self.mesh is not None else None
+
+    @property
+    def width_fraction(self) -> float:
+        """Visible face width / image width (`face_types.dart:1196`)."""
+        b = self.detection_data.bounding_box
+        return float(box_visible_width_fraction(
+            np.asarray([b.xmin, b.ymin, b.xmax, b.ymax]),
+            self.original_size[0]))
+
+    @property
+    def landmarks(self) -> FaceLandmarks:
+        """The 6 detector keypoints in absolute pixels (iris-refined eye
+        centers in full mode)."""
+        w, h = self.original_size
+        pts = {}
+        for t in FaceLandmarkType:
+            if t < len(self.detection_data.keypoints_xy):
+                kp = self.detection_data.keypoints_xy[t]
+                pts[t] = np.asarray([kp[0] * w, kp[1] * h, 0.0])
+        return FaceLandmarks(pts)
+
+    # -- derived (lazy, as in the reference) ----------------------------------
+
+    @property
+    def eyes(self) -> Optional[EyePair]:
+        if self._eyes is None and len(self.iris_points):
+            n = len(self.iris_points)
+            if n == 152:
+                self._eyes = EyePair(Eye.from_points(self.iris_points[:76]),
+                                     Eye.from_points(self.iris_points[76:]))
+            elif n == 76:
+                self._eyes = EyePair(Eye.from_points(self.iris_points), None)
+            elif n == 10:
+                self._eyes = EyePair(Eye.from_points(self.iris_points[:5]),
+                                     Eye.from_points(self.iris_points[5:]))
+        return self._eyes
+
+    @property
+    def head_euler_angles(self) -> Optional[HeadEulerAngles]:
+        if self._angles is None:
+            if self.mesh is not None and len(self.mesh) >= MESH_POINTS:
+                a = np.asarray(head_euler_angles_from_mesh(self.mesh.points))
+                if np.all(np.isfinite(a)):
+                    self._angles = HeadEulerAngles(*map(float, a))
+            if self._angles is None:
+                # Fast-mode fallback: roll only (`face_types.dart:1271-1287`).
+                kp = self.detection_data.keypoints_xy
+                if len(kp) >= 2:
+                    w, h = self.original_size
+                    roll = float(roll_from_eyes(
+                        np.asarray(kp[0]) * [w, h],
+                        np.asarray(kp[1]) * [w, h]))
+                    self._angles = HeadEulerAngles(0.0, 0.0, roll)
+        return self._angles
+
+    @property
+    def blendshapes(self) -> Optional[FaceBlendshapes]:
+        if self._bs is None and self._blendshape_scores is not None:
+            s = np.asarray(self._blendshape_scores)
+            if s.shape == (52,):
+                self._bs = FaceBlendshapes(s)
+        return self._bs
+
+    @property
+    def smiling_probability(self) -> Optional[float]:
+        b = self.blendshapes
+        if b is None:
+            return None
+        v = (b[Blendshape.mouthSmileLeft] + b[Blendshape.mouthSmileRight]) / 2
+        return min(max(v, 0.0), 1.0)
+
+    @property
+    def left_eye_open_probability(self) -> Optional[float]:
+        """Subject-relative left eye; 1 - eyeBlinkLeft (ML Kit semantics)."""
+        b = self.blendshapes
+        if b is None:
+            return None
+        return min(max(1.0 - b[Blendshape.eyeBlinkLeft], 0.0), 1.0)
+
+    @property
+    def right_eye_open_probability(self) -> Optional[float]:
+        b = self.blendshapes
+        if b is None:
+            return None
+        return min(max(1.0 - b[Blendshape.eyeBlinkRight], 0.0), 1.0)
+
+    def __repr__(self) -> str:
+        return (f"Face(score={self.score:.3f}, box={self.bounding_box}, "
+                f"mesh={'yes' if self.mesh is not None else 'no'}, "
+                f"tracking_id={self.tracking_id})")

@@ -1,0 +1,145 @@
+"""FaceDetector public-API behavior: gates, tracking, lifecycle, combined
+detect+segment.  Mirrors `test/face_detector_test.dart` /
+`face_tracking_test.dart` surfaces that don't need isolates.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
+                                       FaceDetector)
+
+MODELS_DIR = "/root/reference/assets/models"
+SAMPLES = "/root/reference/assets/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MODELS_DIR), reason="reference assets not present")
+
+
+def _img(name):
+    return np.asarray(Image.open(os.path.join(SAMPLES, name)).convert("RGB"))
+
+
+@pytest.fixture(scope="module")
+def group_img():
+    return _img("group-shot-bounding-box-ex1.jpeg")
+
+
+class TestGatesIntegration:
+    def test_min_score_gate_drops_faces(self, group_img):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         min_score=0.9, model_dir=MODELS_DIR)
+        faces = d.detect_faces(group_img, FaceDetectionMode.FAST)
+        # only the 0.918/0.908 faces survive a 0.9 floor
+        assert len(faces) == 2
+        assert all(f.score >= 0.9 for f in faces)
+
+    def test_min_face_size_gate(self, group_img):
+        # group shot faces are ~7-8% of width; a 20% floor drops all
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         min_face_size=0.2, model_dir=MODELS_DIR)
+        assert d.detect_faces(group_img, FaceDetectionMode.FAST) == []
+
+    def test_invalid_gates_fail_fast(self):
+        with pytest.raises(ValueError):
+            FaceDetector(min_score=1.5, model_dir=MODELS_DIR)
+        with pytest.raises(ValueError):
+            FaceDetector(max_missed_frames=-1, model_dir=MODELS_DIR)
+
+    def test_presence_gate_disable(self):
+        img = _img("landmark-ex1.jpg")
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         min_face_presence_confidence=0.0,
+                         model_dir=MODELS_DIR)
+        faces = d.detect_faces(img, FaceDetectionMode.STANDARD)
+        assert len(faces) == 1
+
+
+class TestTrackingIntegration:
+    def test_ids_stable_across_frames(self, group_img):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         enable_tracking=True, model_dir=MODELS_DIR)
+        f1 = d.detect_faces(group_img, FaceDetectionMode.FAST)
+        f2 = d.detect_faces(group_img, FaceDetectionMode.FAST)
+        assert [f.tracking_id for f in f1] == [f.tracking_id for f in f2]
+        assert all(f.tracking_id is not None for f in f1)
+
+    def test_reset_tracking_restarts_ids(self, group_img):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         enable_tracking=True, model_dir=MODELS_DIR)
+        d.detect_faces(group_img, FaceDetectionMode.FAST)
+        d.reset_tracking()
+        f = d.detect_faces(group_img, FaceDetectionMode.FAST)
+        assert sorted(x.tracking_id for x in f) == [1, 2, 3, 4]
+
+    def test_tracking_disabled_means_no_ids(self, group_img):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        faces = d.detect_faces(group_img, FaceDetectionMode.FAST)
+        assert all(f.tracking_id is None for f in faces)
+
+
+class TestLifecycle:
+    def test_dispose_blocks_use(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        d.dispose()
+        with pytest.raises(RuntimeError, match="dispose"):
+            d.detect_faces(np.zeros((64, 64, 3), np.uint8))
+
+    def test_context_manager(self):
+        with FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                          model_dir=MODELS_DIR) as d:
+            assert d.is_ready
+        assert not d.is_ready
+
+    def test_from_filepath_and_bytes(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        path = os.path.join(SAMPLES, "landmark-ex1.jpg")
+        f1 = d.detect_faces_from_filepath(path, FaceDetectionMode.FAST)
+        with open(path, "rb") as fh:
+            f2 = d.detect_faces_from_bytes(fh.read(), FaceDetectionMode.FAST)
+        assert len(f1) == len(f2) == 1
+        assert f1[0].bounding_box == f2[0].bounding_box
+
+
+class TestVariants:
+    @pytest.mark.parametrize("variant", [FaceDetectionModel.SHORT_RANGE,
+                                         FaceDetectionModel.FRONT_CAMERA,
+                                         FaceDetectionModel.FULL,
+                                         FaceDetectionModel.FULL_SPARSE])
+    def test_all_variants_detect_portrait(self, variant):
+        d = FaceDetector(model=variant, model_dir=MODELS_DIR)
+        faces = d.detect_faces(_img("landmark-ex1.jpg"),
+                               FaceDetectionMode.FAST)
+        assert len(faces) == 1
+
+
+class TestCombined:
+    def test_detect_with_segmentation(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         with_segmentation=True, model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        faces, mask = d.detect_faces_with_segmentation(img)
+        assert len(faces) == 1
+        assert mask.data.shape == (256, 256)
+        # Face center must be person
+        bb = faces[0].bounding_box
+        assert mask.confidence_at((bb.xmin + bb.xmax) / 2,
+                                  (bb.ymin + bb.ymax) / 2) > 0.9
+
+    def test_embedding_through_detector(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        (face,) = d.detect_faces(img)
+        emb = d.get_face_embedding(face, img)
+        assert emb.shape == (192,)
+        assert np.linalg.norm(emb) == pytest.approx(1.0, abs=1e-5)
+        assert d.compare_faces(emb, emb) == pytest.approx(1.0)
+        assert d.face_distance(emb, emb) == pytest.approx(0.0)

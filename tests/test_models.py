@@ -1,0 +1,128 @@
+"""Tests for the segmentation and embedding model wrappers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from face_detection_tflite_tpu.convert.executor import convert_file
+from face_detection_tflite_tpu.models.embedding import (
+    FaceEmbedding, build_mobilefacenet, compute_embedding_alignment,
+    cosine_similarity, euclidean_distance)
+from face_detection_tflite_tpu.models.segmentation import (
+    SegmentationMask, SelfieSegmentation)
+
+MODELS_DIR = "/root/reference/assets/models"
+SAMPLES = "/root/reference/assets/samples"
+
+
+def _img(name):
+    return np.asarray(Image.open(os.path.join(SAMPLES, name)).convert("RGB"))
+
+
+@pytest.mark.skipif(not os.path.isdir(MODELS_DIR),
+                    reason="reference assets not present")
+class TestSegmentation:
+    @pytest.fixture(scope="class")
+    def seg(self):
+        return SelfieSegmentation(convert_file(
+            os.path.join(MODELS_DIR, "selfie_segmenter.tflite")))
+
+    def test_portrait_mask_is_sensible(self, seg):
+        """Person probability high on the face, low at image corners."""
+        img = _img("landmark-ex1.jpg")
+        (mask,) = seg(img[None])
+        assert mask.data.shape == (256, 256)
+        assert (mask.data >= 0).all() and (mask.data <= 1).all()
+        # Face box center (from the detection test): ~(0.48, 0.52).
+        assert mask.confidence_at(0.48, 0.52) > 0.9
+        assert mask.confidence_at(0.02, 0.05) < 0.3
+
+    def test_upsample_crops_padding(self, seg):
+        img = _img("landmark-ex1.jpg")
+        (mask,) = seg(img[None])
+        up = mask.upsample()
+        assert up.shape == (img.shape[0], img.shape[1]) if hasattr(up, "shape") \
+            else up.data.shape == (img.shape[0], img.shape[1])
+        assert up.padding == (0.0, 0.0, 0.0, 0.0)
+
+    def test_upsample_max_size_cap(self, seg):
+        img = _img("landmark-ex1.jpg")
+        (mask,) = seg(img[None])
+        up = mask.upsample(max_size=512)
+        assert max(up.data.shape) == 512
+
+    def test_landscape_model(self):
+        seg = SelfieSegmentation(convert_file(
+            os.path.join(MODELS_DIR, "selfie_segmenter_landscape.tflite")))
+        img = _img("landmark-ex1.jpg")
+        (mask,) = seg(img[None])
+        assert mask.data.shape == (144, 256)
+
+    def test_too_small_image_rejected(self, seg):
+        with pytest.raises(ValueError, match="smaller than minimum"):
+            seg(np.zeros((16, 16, 3), np.uint8)[None])
+
+    def test_batch(self, seg):
+        img = _img("landmark-ex1.jpg")
+        masks = seg(np.stack([img, img]))
+        assert len(masks) == 2
+        assert np.allclose(masks[0].data, masks[1].data)
+
+
+class TestEmbedding:
+    @pytest.fixture(scope="class")
+    def emb(self):
+        return FaceEmbedding.load(
+            os.path.join(MODELS_DIR, "mobilefacenet.tflite"))
+
+    def test_alignment_math(self):
+        # eyes horizontal, 40 px apart at (80,100)/(120,100)
+        cx, cy, size, theta = compute_embedding_alignment((80, 100),
+                                                          (120, 100))
+        assert size == pytest.approx(100.0)  # 2.5 * 40
+        assert theta == pytest.approx(0.0)
+        assert cx == pytest.approx(100.0)
+        assert cy == pytest.approx(100.0 + 15.0)  # 0.15 * size below
+
+    def test_alignment_rotated(self):
+        cx, cy, size, theta = compute_embedding_alignment((0, 0), (0, 40))
+        assert theta == pytest.approx(np.pi / 2)
+        # offset is perpendicular to the eye axis
+        assert cx == pytest.approx(0.0 - 100 * 0.15)
+        assert cy == pytest.approx(20.0)
+
+    def test_embedding_shape_and_norm(self, emb):
+        img = _img("landmark-ex1.jpg")
+        v = emb.embed(img, (504, 352), (698, 326))
+        assert v.shape == (192,)
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+    def test_embedding_deterministic(self, emb):
+        img = _img("landmark-ex1.jpg")
+        v1 = emb.embed(img, (504, 352), (698, 326))
+        v2 = emb.embed(img, (504, 352), (698, 326))
+        assert np.allclose(v1, v2)
+
+    def test_similarity_helpers(self):
+        a = np.asarray([1.0, 0.0, 0.0])
+        b = np.asarray([0.0, 1.0, 0.0])
+        assert cosine_similarity(a, a) == pytest.approx(1.0)
+        assert cosine_similarity(a, b) == pytest.approx(0.0)
+        assert euclidean_distance(a, b) == pytest.approx(np.sqrt(2))
+        with pytest.raises(ValueError, match="dimensions must match"):
+            cosine_similarity(a, np.zeros(5))
+
+    def test_random_init_fallback_flagged(self):
+        emb = FaceEmbedding.load("/nonexistent/mobilefacenet.tflite")
+        assert not emb.is_pretrained
+
+    def test_mobilefacenet_architecture(self):
+        import jax.numpy as jnp
+        m = build_mobilefacenet()
+        (out,) = m(jnp.zeros((1, 112, 112, 3)))
+        assert out.shape == (1, 192)
+        # ~1M params like the real MobileFaceNet
+        assert 0.5e6 < m.num_params < 3e6

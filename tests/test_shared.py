@@ -1,0 +1,353 @@
+"""Unit tests for the shared pure-math layer: geometry, gates, tracker,
+blendshape packing, types.  Ports the reference's host unit-test tier
+(`test/face_geometry_test.dart`, `face_gates_test.dart`,
+`face_tracking_test.dart`, `blendshapes_input_test.dart`, ...).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from face_detection_tflite_tpu.pipeline import geometry
+from face_detection_tflite_tpu.pipeline.blendshape_input import (
+    BLENDSHAPE_LANDMARK_SUBSET, BLENDSHAPE_NAMES, EYE_REFINE_OFFSETS,
+    pack_blendshape_input, pack_indices)
+from face_detection_tflite_tpu.pipeline.gates import (
+    apply_detection_gates_mask, box_visible_width_fraction,
+    validate_face_gates)
+from face_detection_tflite_tpu.pipeline.tracker import (
+    TemporalFaceTracker, validate_tracking_config)
+from face_detection_tflite_tpu.pipeline.types import (
+    FACE_CONTOUR_MESH_INDICES, Blendshape, Detection, Eye, Face,
+    FaceContourType, FaceLandmarkType, FaceMesh, RectF)
+
+
+class TestGeometry:
+    def _kp(self, le, re, mouth):
+        kp = np.zeros((6, 2), np.float32)
+        kp[0], kp[1], kp[3] = le, re, mouth
+        return jnp.asarray(kp)[None]
+
+    def test_alignment_level_eyes(self):
+        """Eyes level, mouth below center: theta 0, size from max rule."""
+        kp = self._kp((0.4, 0.4), (0.6, 0.4), (0.5, 0.6))
+        theta, cx, cy, size = geometry.compute_face_alignment(kp, 100, 100)
+        assert float(theta[0]) == pytest.approx(0.0)
+        eye_dist, mouth_dist = 20.0, 20.0
+        assert float(size[0]) == pytest.approx(
+            max(mouth_dist * 3.6, eye_dist * 4.0))
+        assert float(cx[0]) == pytest.approx(50.0)
+        assert float(cy[0]) == pytest.approx(40.0 + 20.0 * 0.1)
+
+    def test_alignment_rotated(self):
+        kp = self._kp((0.4, 0.5), (0.4 + 0.1, 0.5 + 0.1), (0.5, 0.7))
+        theta, *_ = geometry.compute_face_alignment(kp, 100, 100)
+        assert float(theta[0]) == pytest.approx(math.pi / 4)
+
+    def test_mesh_transform_roundtrip(self):
+        """transform(0.5, 0.5) == center; corners map via R(theta)."""
+        lm = jnp.asarray([[[0.5, 0.5, 0.0], [1.0, 0.5, 0.1]]])
+        out = np.asarray(geometry.transform_mesh_to_absolute(
+            lm, jnp.asarray([10.0]), jnp.asarray([20.0]),
+            jnp.asarray([100.0]), jnp.asarray([0.0])))[0]
+        assert np.allclose(out[0], [10, 20, 0])
+        assert np.allclose(out[1], [60, 20, 10])  # +0.5*size in x; z*size
+
+    def test_head_pose_frontal(self):
+        """A synthetic frontal face: all angles ~0."""
+        mesh = np.zeros((468, 3), np.float32)
+        mesh[geometry.MESH_FOREHEAD_TOP] = [50, 20, 0]
+        mesh[geometry.MESH_CHIN_BOTTOM] = [50, 80, 0]
+        mesh[geometry.MESH_LEFT_CHEEK] = [20, 50, 0]
+        mesh[geometry.MESH_RIGHT_CHEEK] = [80, 50, 0]
+        a = np.asarray(geometry.head_euler_angles_from_mesh(
+            jnp.asarray(mesh)[None]))[0]
+        assert np.allclose(a, 0.0, atol=1e-5)
+
+    def test_head_pose_yaw(self):
+        """Image-right cheek closer to camera (smaller z) = face turned
+        toward image left -> negative yaw (ML Kit sign: positive is toward
+        the image right)."""
+        mesh = np.zeros((468, 3), np.float32)
+        mesh[geometry.MESH_FOREHEAD_TOP] = [50, 20, 0]
+        mesh[geometry.MESH_CHIN_BOTTOM] = [50, 80, 0]
+        mesh[geometry.MESH_LEFT_CHEEK] = [20, 50, 10]
+        mesh[geometry.MESH_RIGHT_CHEEK] = [80, 50, -10]
+        a = np.asarray(geometry.head_euler_angles_from_mesh(
+            jnp.asarray(mesh)[None]))[0]
+        assert a[1] < -5.0
+        assert abs(a[0]) < 1e-4 and abs(a[2]) < 1e-4
+
+    @pytest.mark.parametrize("axis,angle,expected", [
+        # head_pose_test.dart:75-113: rotX(-a)=looking up -> pitch +a;
+        # rotY(-a)=toward image-right -> yaw +a; rotZ(-a)=CCW -> roll +a.
+        ("x", -25, (25, 0, 0)), ("x", 25, (-25, 0, 0)),
+        ("y", -25, (0, 25, 0)), ("y", 25, (0, -25, 0)),
+        ("z", -25, (0, 0, 25)), ("z", 25, (0, 0, -25)),
+        ("z", 0, (0, 0, 0)),
+    ])
+    def test_head_pose_rotations_match_reference(self, axis, angle, expected):
+        """Port of the reference's rotation-matrix head-pose tests."""
+        a = math.radians(angle)
+        c, s = math.cos(a), math.sin(a)
+        rot = {
+            "x": np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]]),
+            "y": np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]]),
+            "z": np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]]),
+        }[axis]
+        mesh = np.zeros((468, 3))
+        mesh[10] = [0, -100, 0]
+        mesh[152] = [0, 100, 0]
+        mesh[234] = [-100, 0, 0]
+        mesh[454] = [100, 0, 0]
+        mesh = mesh @ rot.T + [320, 240, 0]
+        out = np.asarray(geometry.head_euler_angles_from_mesh(
+            jnp.asarray(mesh, jnp.float32)[None]))[0]
+        assert np.allclose(out, expected, atol=0.5), (out, expected)
+
+    def test_roll_from_eyes(self):
+        r = float(geometry.roll_from_eyes(jnp.asarray([0.0, 10.0]),
+                                          jnp.asarray([10.0, 0.0])))
+        assert r == pytest.approx(45.0)  # CCW tilt positive
+
+    def test_eye_rois_from_mesh(self):
+        mesh = np.zeros((468, 3), np.float32)
+        mesh[33] = [10, 50, 0]
+        mesh[133] = [30, 50, 0]
+        mesh[362] = [60, 50, 0]
+        mesh[263] = [80, 50, 0]
+        cx, cy, size, theta = geometry.eye_rois_from_mesh(
+            jnp.asarray(mesh)[None])
+        assert float(cx[0, 0]) == pytest.approx(20.0)
+        assert float(size[0, 0]) == pytest.approx(20.0 * 2.3)
+        assert float(theta[0, 0]) == pytest.approx(0.0)
+        assert float(cx[0, 1]) == pytest.approx(70.0)
+
+    def test_face_detection_to_roi(self):
+        roi = np.asarray(geometry.face_detection_to_roi(
+            jnp.asarray([0.4, 0.4, 0.6, 0.6])))
+        # expand 0.6: w = 0.2*1.6 = 0.32 square
+        assert roi[2] - roi[0] == pytest.approx(0.32, abs=1e-6)
+        assert roi[3] - roi[1] == pytest.approx(0.32, abs=1e-6)
+
+    def test_iris_center_from_points(self):
+        pts = jnp.asarray([[[0, 0, 0], [10, 0, 0], [5, 4.9, 0],
+                            [0, 10, 0], [10, 10, 0]]], jnp.float32)
+        c = np.asarray(geometry.iris_center_from_points(pts))[0]
+        assert np.allclose(c, [5, 4.9, 0])  # nearest to centroid (5,4.98)
+
+    def test_iris_transform_right_eye_flip(self):
+        lm = jnp.asarray([[[0.2, 0.5, 1.0]]])
+        out_l = np.asarray(geometry.transform_iris_norm_to_absolute(
+            lm, jnp.asarray([50.0]), jnp.asarray([50.0]),
+            jnp.asarray([20.0]), jnp.asarray([0.0]), False))[0, 0]
+        out_r = np.asarray(geometry.transform_iris_norm_to_absolute(
+            lm, jnp.asarray([50.0]), jnp.asarray([50.0]),
+            jnp.asarray([20.0]), jnp.asarray([0.0]), True))[0, 0]
+        assert out_l[0] == pytest.approx(50 + (0.2 - 0.5) * 20)
+        assert out_r[0] == pytest.approx(50 + (0.8 - 0.5) * 20)
+        assert out_l[2] == 1.0  # z untouched
+
+
+class TestGates:
+    def test_validate_rejects_out_of_range(self):
+        with pytest.raises(ValueError):
+            validate_face_gates(-0.1, 0.0)
+        with pytest.raises(ValueError):
+            validate_face_gates(0.0, 1.5)
+        with pytest.raises(ValueError):
+            validate_face_gates(float("nan"), 0.0)
+        validate_face_gates(0.0, 0.0, 1.0)  # boundaries ok
+
+    def test_width_fraction_clipping(self):
+        # box half outside: visible width clipped to image
+        box = jnp.asarray([-0.25, 0.0, 0.25, 1.0])
+        assert float(box_visible_width_fraction(box, 100.0)) == \
+            pytest.approx(0.25)
+        # fully outside
+        box = jnp.asarray([1.2, 0.0, 1.5, 1.0])
+        assert float(box_visible_width_fraction(box, 100.0)) == 0.0
+
+    def test_detection_gates_mask(self):
+        valid = jnp.asarray([True, True, True])
+        scores = jnp.asarray([0.9, 0.4, 0.6])
+        boxes = jnp.asarray([[0.1, 0.1, 0.5, 0.5],
+                             [0.1, 0.1, 0.9, 0.9],
+                             [0.1, 0.1, 0.12, 0.5]])
+        out = np.asarray(apply_detection_gates_mask(
+            valid, scores, boxes, min_score=0.5, min_face_size=0.1,
+            image_width=100.0))
+        assert list(out) == [True, False, False]
+
+    def test_noop_gates_return_unchanged(self):
+        valid = jnp.asarray([True, False])
+        out = apply_detection_gates_mask(
+            valid, jnp.asarray([0.1, 0.9]), jnp.zeros((2, 4)),
+            min_score=0.0, min_face_size=0.0, image_width=100.0)
+        assert out is valid
+
+
+class TestTracker:
+    def _box(self, x, y, s=0.2):
+        return [x, y, x + s, y + s]
+
+    def test_stable_ids_across_frames(self):
+        t = TemporalFaceTracker()
+        ids1 = t.update([self._box(0.1, 0.1), self._box(0.6, 0.6)])
+        ids2 = t.update([self._box(0.11, 0.11), self._box(0.61, 0.61)])
+        assert ids1 == ids2 == [1, 2]
+
+    def test_retirement_after_missed_frames(self):
+        t = TemporalFaceTracker(max_missed_frames=1)
+        assert t.update([self._box(0.1, 0.1)]) == [1]
+        t.update([])
+        t.update([])  # missed twice > 1 -> retired
+        assert t.update([self._box(0.1, 0.1)]) == [2]
+
+    def test_reappearance_within_budget_keeps_id(self):
+        t = TemporalFaceTracker(max_missed_frames=3)
+        assert t.update([self._box(0.1, 0.1)]) == [1]
+        t.update([])
+        assert t.update([self._box(0.1, 0.1)]) == [1]
+
+    def test_velocity_prediction(self):
+        t = TemporalFaceTracker()
+        t.update([self._box(0.1, 0.1)])
+        t.update([self._box(0.15, 0.1)])
+        t.update([self._box(0.2, 0.1)])
+        # moving right; next frame at 0.25 should match the same track
+        assert t.update([self._box(0.25, 0.1)]) == [1]
+
+    def test_scale_dissimilarity_rejected(self):
+        t = TemporalFaceTracker()
+        t.update([[0.1, 0.1, 0.2, 0.2]])       # small box
+        ids = t.update([[0.0, 0.0, 0.9, 0.9]])  # 81x the area
+        assert ids == [2]
+
+    def test_global_score_ordering(self):
+        """Better IoU wins the track regardless of detection order."""
+        t = TemporalFaceTracker()
+        t.update([self._box(0.5, 0.5)])
+        ids = t.update([self._box(0.8, 0.8), self._box(0.5, 0.5)])
+        assert ids[1] == 1 and ids[0] == 2
+
+    def test_reset(self):
+        t = TemporalFaceTracker()
+        t.update([self._box(0.1, 0.1)])
+        t.reset()
+        assert t.update([self._box(0.1, 0.1)]) == [1]
+        assert t.active_track_count == 1
+
+    def test_validate(self):
+        with pytest.raises(ValueError):
+            validate_tracking_config(-1)
+
+
+class TestBlendshapePacking:
+    def test_subset_is_strictly_increasing_unique(self):
+        s = BLENDSHAPE_LANDMARK_SUBSET
+        assert len(s) == 146
+        assert (np.diff(s) > 0).all()
+        assert list(s[-10:]) == list(range(468, 478))
+
+    def test_names(self):
+        assert BLENDSHAPE_NAMES[0] == "_neutral"
+        assert len(BLENDSHAPE_NAMES) == 52
+        assert "tongueOut" not in BLENDSHAPE_NAMES
+        assert Blendshape.eyeBlinkLeft.value == 9
+
+    def test_routing(self):
+        src, idx = pack_indices()
+        # iris slots route to iris stream offsets 71..75 / 147..151
+        assert list(idx[-10:]) == [71, 72, 73, 74, 75, 147, 148, 149, 150, 151]
+        assert src[-10:].all()
+        # eyelid refinement: mesh index 33 (subset position 12) -> iris[0]
+        pos33 = list(BLENDSHAPE_LANDMARK_SUBSET).index(33)
+        assert src[pos33] == 1 and idx[pos33] == 0
+        # mesh index 263 -> iris[76]
+        pos263 = list(BLENDSHAPE_LANDMARK_SUBSET).index(263)
+        assert src[pos263] == 1 and idx[pos263] == 76
+        # a non-eye mesh point stays mesh-sourced
+        pos0 = list(BLENDSHAPE_LANDMARK_SUBSET).index(0)
+        assert src[pos0] == 0 and idx[pos0] == 0
+        # exactly 30 eyelid reroutes + 10 iris slots come from iris
+        assert src.sum() == 40
+        assert len(EYE_REFINE_OFFSETS) == 30
+
+    def test_pack_values(self):
+        mesh = np.arange(468 * 3, dtype=np.float32).reshape(468, 3)
+        iris = -np.arange(152 * 3, dtype=np.float32).reshape(152, 3)
+        out = np.asarray(pack_blendshape_input(jnp.asarray(mesh)[None],
+                                               jnp.asarray(iris)[None]))[0]
+        assert out.shape == (146, 2)
+        # slot for mesh point 1 (subset position 1)
+        assert np.allclose(out[1], mesh[1, :2])
+        # last slot = iris[151]
+        assert np.allclose(out[145], iris[151, :2])
+        # refined eyelid point 33 = iris[0]
+        pos33 = list(BLENDSHAPE_LANDMARK_SUBSET).index(33)
+        assert np.allclose(out[pos33], iris[0, :2])
+
+
+class TestTypes:
+    def test_contour_tables(self):
+        assert len(FACE_CONTOUR_MESH_INDICES[FaceContourType.FACE]) == 36
+        assert len(FACE_CONTOUR_MESH_INDICES[FaceContourType.LEFT_EYE]) == 16
+        for idxs in FACE_CONTOUR_MESH_INDICES.values():
+            assert all(0 <= i < 468 for i in idxs)
+
+    def test_rectf(self):
+        r = RectF(0.2, 0.3, 0.6, 0.5)
+        assert r.w == pytest.approx(0.4)
+        e = r.expand(0.5)
+        assert e.w == pytest.approx(0.6)
+        assert (e.xmin + e.xmax) / 2 == pytest.approx(0.4)
+
+    def test_eye_from_points(self):
+        pts = np.zeros((76, 3))
+        pts[71:76, 0] = [0, 10, 5, 0, 10]
+        pts[71:76, 1] = [0, 0, 5, 10, 10]
+        eye = Eye.from_points(pts)
+        assert eye.mesh.shape == (71, 3)
+        assert np.allclose(eye.iris_center, [5, 5, 0])
+        assert eye.iris_contour.shape == (4, 3)
+        assert eye.contour.shape == (15, 3)
+
+    def test_face_fast_mode_fallback_roll(self):
+        kp = np.zeros((6, 2))
+        kp[0] = [0.4, 0.5]
+        kp[1] = [0.6, 0.4]  # right eye higher -> CCW tilt -> positive roll
+        det = Detection(RectF(0.3, 0.3, 0.7, 0.7), 0.9, kp)
+        face = Face(det, mesh=None, irises=np.zeros((0, 3)),
+                    original_size=(100, 100))
+        a = face.head_euler_angles
+        assert a.x == 0.0 and a.y == 0.0 and a.z > 0
+        assert face.eyes is None
+        assert face.blendshapes is None
+        assert face.smiling_probability is None
+
+    def test_face_width_fraction(self):
+        det = Detection(RectF(-0.25, 0.0, 0.25, 1.0), 0.9, np.zeros((6, 2)))
+        face = Face(det, None, np.zeros((0, 3)), (100, 100))
+        assert face.width_fraction == pytest.approx(0.25)
+
+    def test_probability_getters(self):
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        scores = np.zeros(52, np.float32)
+        scores[Blendshape.mouthSmileLeft.value] = 0.8
+        scores[Blendshape.mouthSmileRight.value] = 0.6
+        scores[Blendshape.eyeBlinkLeft.value] = 0.3
+        face = Face(det, None, np.zeros((0, 3)), (100, 100),
+                    blendshape_scores=scores)
+        assert face.smiling_probability == pytest.approx(0.7)
+        assert face.left_eye_open_probability == pytest.approx(0.7)
+        assert face.right_eye_open_probability == pytest.approx(1.0)
+
+    def test_tracking_id_attach(self):
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        face = Face(det, None, np.zeros((0, 3)), (100, 100))
+        f2 = face.with_tracking_id(7)
+        assert f2.tracking_id == 7 and face.tracking_id is None
