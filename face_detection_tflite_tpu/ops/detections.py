@@ -105,55 +105,46 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
     top_valid = top_scores > 0.0
 
     iou = _iou_matrix(top_boxes)  # [k, k]
-    overlap = iou > iou_threshold  # strict >, helpers.dart:178-180
+    overlap = (iou > iou_threshold) & top_valid[None, :]  # strict >
 
-    d = max_detections
+    # Pass 1 (the only sequential part): which candidates lead a cluster.
+    # A candidate leads iff no earlier (higher-score) LEADER overlaps it.
+    # Each step is one row-select + two [k] vector ops — cheap on the VPU;
+    # all cluster math below is dense [k, k] work.
+    idx = jnp.arange(k)
 
     def body(i, state):
-        suppressed, out_boxes, out_kp, out_scores, out_valid, n_out = state
-        is_leader = (~suppressed[i]) & top_valid[i] & (n_out < d)
-        # Cluster: unsuppressed remaining candidates overlapping the leader
-        # (the leader overlaps itself with IoU 1.0 > threshold).
-        cluster = overlap[i] & (~suppressed) & top_valid
-        w = jnp.where(cluster, top_scores, 0.0)
-        wsum = jnp.maximum(jnp.sum(w), 1e-12)
-        blended = jnp.sum(top_boxes * w[:, None], axis=0) / wsum
+        suppressed, leader = state
+        is_leader = (~suppressed[i]) & top_valid[i]
+        row = jax.lax.dynamic_slice_in_dim(overlap, i, 1, axis=0)[0]
+        suppressed = suppressed | jnp.where(is_leader, row, False)
+        leader = leader | (is_leader & (idx == i))
+        return suppressed, leader
 
-        slot = jnp.minimum(n_out, d - 1)
-        out_boxes = jax.lax.cond(
-            is_leader,
-            lambda ob: jax.lax.dynamic_update_slice(
-                ob, blended[None], (slot, 0)),
-            lambda ob: ob, out_boxes)
-        out_kp = jax.lax.cond(
-            is_leader,
-            lambda ok: jax.lax.dynamic_update_slice(
-                ok, top_kp[i][None], (slot, 0, 0)),
-            lambda ok: ok, out_kp)
-        out_scores = jax.lax.cond(
-            is_leader,
-            lambda os_: jax.lax.dynamic_update_slice(
-                os_, top_scores[i][None], (slot,)),
-            lambda os_: os_, out_scores)
-        out_valid = jax.lax.cond(
-            is_leader,
-            lambda ov: jax.lax.dynamic_update_slice(
-                ov, jnp.ones((1,), jnp.bool_), (slot,)),
-            lambda ov: ov, out_valid)
-        suppressed = jnp.where(is_leader, suppressed | cluster, suppressed)
-        n_out = n_out + is_leader.astype(jnp.int32)
-        return suppressed, out_boxes, out_kp, out_scores, out_valid, n_out
+    _, leader = jax.lax.fori_loop(
+        0, k, body,
+        (jnp.zeros((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_)))
 
-    init = (
-        jnp.zeros((k,), jnp.bool_),
-        jnp.zeros((d, 4), boxes.dtype),
-        jnp.zeros((d,) + keypoints.shape[1:], keypoints.dtype),
-        jnp.zeros((d,), scores.dtype),
-        jnp.zeros((d,), jnp.bool_),
-        jnp.int32(0),
-    )
-    _, ob, ok, osc, ov, _ = jax.lax.fori_loop(0, k, body, init)
-    return ob, ok, osc, ov
+    # Ownership: candidate j belongs to the FIRST (lowest-index) leader
+    # whose row overlaps it — exactly the greedy cluster assignment,
+    # because greedy removes j at the first overlapping leader.
+    owner_key = jnp.where(leader[:, None] & overlap, idx[:, None], k)
+    owner = jnp.min(owner_key, axis=0)  # [k] first owning leader (k = none)
+
+    # Blended boxes per leader: score-weighted average over owned members.
+    member_w = jnp.where((owner[None, :] == idx[:, None]),
+                         top_scores[None, :], 0.0)  # [leader, member]
+    wsum = jnp.maximum(member_w.sum(axis=1, keepdims=True), 1e-12)
+    blended = (member_w @ top_boxes) / wsum  # [k, 4]
+
+    # Emit the first max_detections leaders in score (=index) order.
+    d = max_detections
+    order = jnp.argsort(jnp.where(leader, idx, k + idx))[:d]
+    out_valid = leader[order]
+    out_boxes = jnp.where(out_valid[:, None], blended[order], 0.0)
+    out_kp = jnp.where(out_valid[:, None, None], top_kp[order], 0.0)
+    out_scores = jnp.where(out_valid, top_scores[order], 0.0)
+    return out_boxes, out_kp, out_scores, out_valid
 
 
 def remove_letterbox(boxes, keypoints, padding):

@@ -80,7 +80,8 @@ class FaceDetector:
                  segmentation_model: SegmentationModel =
                  SegmentationModel.GENERAL,
                  model_dir: Optional[str] = None,
-                 precision: str = "highest"):
+                 precision: str = "highest",
+                 adaptive: bool = True):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -90,6 +91,7 @@ class FaceDetector:
         self.min_face_size = min_face_size
         self.min_face_presence_confidence = min_face_presence_confidence
         self.max_faces = max_faces
+        self.adaptive = adaptive
         self._model_dir = resolve_model_dir(model_dir)
         self._precision = precision
 
@@ -153,6 +155,71 @@ class FaceDetector:
                 min_score=self.min_score, min_face_size=self.min_face_size))
         return self._programs[key]
 
+    def _fetch(self, out: dict) -> dict:
+        """Materializes a device slab dict with ONE device->host transfer.
+
+        Per-array pulls pay a full round-trip latency each (painful over
+        remote-attached TPUs); packing every output into one fp32 buffer on
+        device makes result readback a single transfer.
+        """
+        names = sorted(out)
+        leaves = [out[k] for k in names]
+        key = tuple((k, v.shape, str(v.dtype)) for k, v in zip(names, leaves))
+        packer = self._programs.get(("pack", key))
+        if packer is None:
+            packer = jax.jit(lambda ls: jnp.concatenate(
+                [l.reshape(l.shape[0], -1).astype(jnp.float32) for l in ls],
+                axis=1))
+            self._programs[("pack", key)] = packer
+        buf = np.asarray(packer(leaves))
+        result = {}
+        off = 0
+        for k, v in zip(names, leaves):
+            n = int(np.prod(v.shape[1:]))
+            arr = buf[:, off:off + n].reshape(v.shape)
+            if v.dtype == jnp.bool_:
+                arr = arr > 0.5
+            result[k] = arr
+            off += n
+        return result
+
+    def _face_stage_program(self, img_h: int, img_w: int,
+                            mode: FaceDetectionMode):
+        key = (img_h, img_w, mode, "stage")
+        if key not in self._programs:
+            self._programs[key] = jax.jit(build_pipeline_program(
+                self.models, img_h, img_w, mode, from_detections=True))
+        return self._programs[key]
+
+    def _detect_adaptive(self, images, mode: FaceDetectionMode):
+        """Two-phase dispatch with face-count bucketing.
+
+        Detect first, then run the per-face stages only on the top-K slab
+        prefix where K is the smallest power of two covering the densest
+        image — the TPU analog of the reference's early gating
+        (CHANGELOG 6.6.x: gating a 4-face slab to 1 face cut full mode
+        18 -> 7 ms).  The detect slab is score-ordered, so a prefix keeps
+        the highest-confidence faces.
+        """
+        b, h, w, _ = images.shape
+        det = self._program(h, w, FaceDetectionMode.FAST)(
+            self.models.params, images)
+        det_host = self._fetch(det)
+        if mode == FaceDetectionMode.FAST:
+            return det_host
+        n = int(det_host["valid"].sum(axis=1).max())
+        if n == 0:
+            return det_host
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, self.max_faces)
+        sliced = {k: v[:, :bucket] for k, v in det.items()}
+        out = self._face_stage_program(h, w, mode)(
+            self.models.params, images, sliced["boxes"],
+            sliced["raw_keypoints"], sliced["scores"], sliced["valid"])
+        return self._fetch(out)
+
     def detect_faces(self, image: np.ndarray,
                      mode: FaceDetectionMode = FaceDetectionMode.FULL
                      ) -> list[Face]:
@@ -186,11 +253,14 @@ class FaceDetector:
         per-stream, sequential concept).
         """
         self._check_disposed()
-        images = np.asarray(images)
+        if not isinstance(images, jax.Array):
+            images = jnp.asarray(np.asarray(images))
         b, h, w, _ = images.shape
-        prog = self._program(h, w, mode)
-        out = prog(self.models.params, jnp.asarray(images))
-        out = jax.tree.map(np.asarray, out)
+        if self.adaptive:
+            out = self._detect_adaptive(images, mode)
+        else:
+            prog = self._program(h, w, mode)
+            out = self._fetch(prog(self.models.params, images))
         return [self._materialize(out, i, (w, h), mode) for i in range(b)]
 
     def _materialize(self, out, i: int, size_wh, mode) -> list[Face]:
@@ -289,7 +359,7 @@ class FaceDetector:
         prog = self._program(h, w, mode)
         det_out = prog(self.models.params, jnp.asarray(image[None]))
         masks = self._segmentation(image[None])
-        det_out = jax.tree.map(np.asarray, det_out)
+        det_out = self._fetch(det_out)
         faces = self._materialize(det_out, 0, (w, h), mode)
         return faces, masks[0]
 

@@ -112,7 +112,7 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
                            mode: FaceDetectionMode = FaceDetectionMode.FULL,
                            *, max_faces: int = 16, num_candidates: int = 128,
                            min_score: float = 0.0, min_face_size: float = 0.0,
-                           batched: bool = True):
+                           batched: bool = True, from_detections: bool = False):
     """Builds the single-program pipeline for one image bucket.
 
     Returns a traceable fn(params, images) -> dict of slab arrays.  With
@@ -231,9 +231,7 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         kp = kp.at[:, 1, 1].set(right[:, 1] / img_h)
         return kp
 
-    def one_image(params, img):
-        img = img.astype(jnp.float32)
-        boxes, kp, scores, valid = detect_stage(params, img)
+    def face_stages(params, img, boxes, kp, scores, valid):
         out = {"boxes": boxes, "raw_keypoints": kp, "keypoints": kp,
                "scores": scores, "valid": valid}
         if not compute_mesh:
@@ -252,6 +250,25 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
             keypoints=refine_keypoints(kp, iris_abs),
         )
         return out
+
+    if from_detections:
+        # Two-phase path: detections come from a prior detect-only program
+        # (possibly sliced to a smaller face bucket — see
+        # FaceDetector._detect_adaptive).  This is the TPU analog of the
+        # reference's early-gating win (CHANGELOG 6.6.x: 4-face slab gated
+        # to 1 face cut full mode 18 -> 7 ms).
+        def one_image_dets(params, img, boxes, kp, scores, valid):
+            return face_stages(params, img.astype(jnp.float32),
+                               boxes, kp, scores, valid)
+
+        if not batched:
+            return one_image_dets
+        return jax.vmap(one_image_dets, in_axes=(None, 0, 0, 0, 0, 0))
+
+    def one_image(params, img):
+        img = img.astype(jnp.float32)
+        boxes, kp, scores, valid = detect_stage(params, img)
+        return face_stages(params, img, boxes, kp, scores, valid)
 
     if not batched:
         return one_image
