@@ -30,6 +30,7 @@ from .config import (DEFAULT_MAX_MISSED_FRAMES,
                      SegmentationModel)
 from .gates import validate_face_gates
 from .programs import PipelineModels, build_pipeline_program
+from .timings import DetectTimings
 from .tracker import TemporalFaceTracker, validate_tracking_config
 from .types import Detection, Face, FaceMesh, RectF
 
@@ -119,6 +120,9 @@ class FaceDetector:
 
         self._programs: dict[tuple, object] = {}
         self._disposed = False
+        #: Per-stage wall-clock timing accumulator (WebDetectTimings analog);
+        #: always on — the overhead is two perf_counter() calls per stage.
+        self.timings = DetectTimings()
 
     # -- lazy submodels --------------------------------------------------------
 
@@ -202,9 +206,11 @@ class FaceDetector:
         the highest-confidence faces.
         """
         b, h, w, _ = images.shape
-        det = self._program(h, w, FaceDetectionMode.FAST)(
-            self.models.params, images)
-        det_host = self._fetch(det)
+        with self.timings.stage("detect"):
+            det = self._program(h, w, FaceDetectionMode.FAST)(
+                self.models.params, images)
+        with self.timings.stage("detect_readback"):
+            det_host = self._fetch(det)
         if mode == FaceDetectionMode.FAST:
             return det_host
         n = int(det_host["valid"].sum(axis=1).max())
@@ -215,10 +221,12 @@ class FaceDetector:
             bucket *= 2
         bucket = min(bucket, self.max_faces)
         sliced = {k: v[:, :bucket] for k, v in det.items()}
-        out = self._face_stage_program(h, w, mode)(
-            self.models.params, images, sliced["boxes"],
-            sliced["raw_keypoints"], sliced["scores"], sliced["valid"])
-        return self._fetch(out)
+        with self.timings.stage(f"face_stages[{bucket}]"):
+            out = self._face_stage_program(h, w, mode)(
+                self.models.params, images, sliced["boxes"],
+                sliced["raw_keypoints"], sliced["scores"], sliced["valid"])
+        with self.timings.stage("face_readback"):
+            return self._fetch(out)
 
     def detect_faces(self, image: np.ndarray,
                      mode: FaceDetectionMode = FaceDetectionMode.FULL
@@ -307,6 +315,40 @@ class FaceDetector:
                                    FaceDetectionMode.FULL) -> list[Face]:
         from ..utils.image import load_image
         return self.detect_faces(load_image(path), mode)
+
+    def detect_faces_from_bytes_batch(
+            self, datas: Sequence[bytes],
+            mode: FaceDetectionMode = FaceDetectionMode.FULL
+    ) -> list[list[Face]]:
+        """Decodes (native threaded pool for JPEG) + detects a batch.
+
+        Same-size images batch into one device call; mixed sizes fall back
+        to per-size sub-batches (one compiled program per size bucket).
+        """
+        from ..utils.image import decode_images
+        imgs = decode_images(list(datas))
+        by_size: dict[tuple, list[int]] = {}
+        for i, im in enumerate(imgs):
+            by_size.setdefault(im.shape, []).append(i)
+        results: list[list[Face]] = [None] * len(imgs)  # type: ignore
+        for shape, idxs in by_size.items():
+            batch = np.stack([imgs[i] for i in idxs])
+            for i, faces in zip(idxs, self.detect_faces_batch(batch, mode)):
+                results[i] = faces
+        return results
+
+    def detect_faces_from_video(self, path: str,
+                                mode: FaceDetectionMode =
+                                FaceDetectionMode.FULL,
+                                *, frame_stride: int = 1,
+                                batch_size: int = 8,
+                                max_frames: Optional[int] = None):
+        """Iterates VideoFrameResult over a video file (frames batched on
+        device, tracking applied in stream order).  Analog of the
+        reference's `detectFacesFromVideo`."""
+        from .video import process_video
+        return process_video(self, path, mode, frame_stride=frame_stride,
+                             batch_size=batch_size, max_frames=max_frames)
 
     # -- embeddings -------------------------------------------------------------
 

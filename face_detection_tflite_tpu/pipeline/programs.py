@@ -112,7 +112,8 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
                            mode: FaceDetectionMode = FaceDetectionMode.FULL,
                            *, max_faces: int = 16, num_candidates: int = 128,
                            min_score: float = 0.0, min_face_size: float = 0.0,
-                           batched: bool = True, from_detections: bool = False):
+                           batched: bool = True, from_detections: bool = False,
+                           use_pallas_nms: bool = False):
     """Builds the single-program pipeline for one image bucket.
 
     Returns a traceable fn(params, images) -> dict of slab arrays.  With
@@ -147,9 +148,15 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
             models.detector.fn(params["detector"], x[None]))
         boxes, kp, scores, valid = decode_detections(
             raw_boxes, raw_scores, anchors_c, float(size))
-        boxes, kp, scores, valid = weighted_nms(
-            boxes, kp, scores, valid, max_detections=max_faces,
-            num_candidates=num_candidates)
+        if use_pallas_nms:
+            from ..ops.nms_pallas import weighted_nms_pallas
+            boxes, kp, scores, valid = weighted_nms_pallas(
+                boxes, kp, scores, valid, max_detections=max_faces,
+                num_candidates=num_candidates)
+        else:
+            boxes, kp, scores, valid = weighted_nms(
+                boxes, kp, scores, valid, max_detections=max_faces,
+                num_candidates=num_candidates)
         boxes, kp = remove_letterbox(boxes, kp, lbp.padding)
         # Early gate (face_detector_core.dart:234-244): invalidate before any
         # per-face stage.

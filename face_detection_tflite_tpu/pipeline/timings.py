@@ -1,0 +1,65 @@
+"""Per-stage timing instrumentation.
+
+Analog of the reference's stopwatch instrumentation: `WebDetectTimings`
+(`face_detector_web.dart:33-57`, per-stage µs gated on `debugTimings`) and
+the detect/segment stage stopwatches (`face_detector.dart:1303-1316`).
+Stage boundaries here are the host-visible ones of the two-phase dispatch
+(decode, H2D, detect program, face-stage program, readback, materialize);
+intra-program attribution is XLA's job — use :func:`trace` to capture a
+`jax.profiler` trace and read the op breakdown in TensorBoard/xprof.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Iterator
+
+__all__ = ["DetectTimings", "trace"]
+
+
+class DetectTimings:
+    """Accumulates per-stage wall-clock milliseconds across calls."""
+
+    def __init__(self):
+        self.total_ms: dict[str, float] = defaultdict(float)
+        self.calls: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = (time.perf_counter() - t0) * 1e3
+            self.total_ms[name] += dt
+            self.calls[name] += 1
+
+    def mean_ms(self, name: str) -> float:
+        n = self.calls.get(name, 0)
+        return self.total_ms[name] / n if n else 0.0
+
+    def report(self) -> dict[str, float]:
+        """{stage: mean ms} over everything recorded so far."""
+        return {k: round(self.mean_ms(k), 3) for k in self.total_ms}
+
+    def reset(self) -> None:
+        self.total_ms.clear()
+        self.calls.clear()
+
+    def __repr__(self) -> str:
+        parts = [f"{k}={self.mean_ms(k):.2f}ms" for k in self.total_ms]
+        return "DetectTimings(" + ", ".join(parts) + ")"
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Captures a jax.profiler trace (XLA op-level stage attribution)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

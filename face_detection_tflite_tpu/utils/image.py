@@ -10,18 +10,49 @@ device.
 from __future__ import annotations
 
 import io
+import threading
 
 import numpy as np
 
-__all__ = ["decode_image", "load_image", "rgb_from_yuv420"]
+__all__ = ["decode_image", "decode_images", "load_image", "rgb_from_yuv420"]
+
+_pool = None
+_pool_lock = threading.Lock()
+
+
+def _native_pool():
+    """Shared native JPEG decode pool, or None when unavailable."""
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            try:
+                from .native import JpegDecoderPool
+                _pool = JpegDecoderPool()
+            except Exception:
+                _pool = False
+        return _pool or None
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decodes JPEG/PNG/... bytes to an RGB uint8 [H, W, 3] array."""
+    """Decodes JPEG/PNG/... bytes to an RGB uint8 [H, W, 3] array.
+
+    JPEGs go through the native libjpeg pool when built; everything else
+    (or when the native runtime is absent) falls back to PIL, then cv2.
+    Raises ValueError on undecodable bytes (the reference raises
+    FormatException, `face_detector.dart:497-499`).
+    """
+    pool = _native_pool()
+    if pool is not None and data[:2] == b"\xff\xd8":
+        try:
+            return pool.decode(data)
+        except ValueError:
+            pass  # e.g. progressive edge cases — fall back below
     try:
         from PIL import Image
-        img = Image.open(io.BytesIO(data)).convert("RGB")
-        return np.asarray(img)
+        try:
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        except Exception as e:
+            raise ValueError(f"Failed to decode image bytes: {e}") from e
     except ImportError:
         pass
     try:
@@ -32,6 +63,17 @@ def decode_image(data: bytes) -> np.ndarray:
         return arr[..., ::-1].copy()
     except ImportError as e:
         raise RuntimeError("Neither PIL nor cv2 available for decode") from e
+
+
+def decode_images(datas: list[bytes]) -> list[np.ndarray]:
+    """Batch decode; JPEG batches hit the threaded native pool."""
+    pool = _native_pool()
+    if pool is not None and all(d[:2] == b"\xff\xd8" for d in datas):
+        try:
+            return pool.decode_batch(datas)
+        except ValueError:
+            pass
+    return [decode_image(d) for d in datas]
 
 
 def load_image(path: str) -> np.ndarray:

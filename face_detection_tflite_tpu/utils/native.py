@@ -1,0 +1,147 @@
+"""ctypes bindings for the C++ host runtime (runtime/libfdt_runtime.so).
+
+Builds the shared library on first use when a toolchain is present (the
+library has no Python build-time dependency — plain Makefile + libjpeg);
+falls back cleanly when unavailable, in which case `utils.image` uses
+PIL/cv2.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["load_runtime", "JpegDecoderPool", "native_available"]
+
+_RUNTIME_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "build", "libfdt_runtime.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _RUNTIME_DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_runtime() -> Optional[ctypes.CDLL]:
+    """Loads (building if needed) the native runtime, or None."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.fdt_jpeg_probe.restype = ctypes.c_int
+        lib.fdt_jpeg_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.fdt_jpeg_decode.restype = ctypes.c_int
+        lib.fdt_jpeg_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int]
+        lib.fdt_pool_create.restype = ctypes.c_void_p
+        lib.fdt_pool_create.argtypes = [ctypes.c_int]
+        lib.fdt_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.fdt_pool_decode_batch.restype = ctypes.c_int
+        lib.fdt_pool_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_runtime() is not None
+
+
+class JpegDecoderPool:
+    """Threaded native JPEG decoder.
+
+    The host-side analog of the reference's OpenCV `imdecode` inside a
+    background isolate: decodes batches concurrently so the host keeps the
+    device fed at serving rates.
+    """
+
+    def __init__(self, threads: int = 0):
+        lib = load_runtime()
+        if lib is None:
+            raise RuntimeError(
+                "native runtime unavailable (no toolchain/libjpeg); "
+                "use utils.image.decode_image instead")
+        self._lib = lib
+        if threads <= 0:
+            threads = min(16, os.cpu_count() or 4)
+        self._pool = lib.fdt_pool_create(threads)
+        self.threads = threads
+
+    def probe(self, data: bytes) -> tuple[int, int]:
+        """(width, height) of an encoded JPEG without decoding it."""
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = self._lib.fdt_jpeg_probe(data, len(data),
+                                      ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            raise ValueError(f"not a decodable JPEG (status {rc})")
+        return w.value, h.value
+
+    def decode(self, data: bytes) -> np.ndarray:
+        """One JPEG -> RGB uint8 [H, W, 3]."""
+        w, h = self.probe(data)
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.fdt_jpeg_decode(
+            data, len(data), out.ctypes.data_as(ctypes.c_void_p), w, h)
+        if rc != 0:
+            raise ValueError(f"JPEG decode failed (status {rc})")
+        return out
+
+    def decode_batch(self, datas: Sequence[bytes]) -> list[np.ndarray]:
+        """Decodes many JPEGs concurrently on the pool."""
+        n = len(datas)
+        if n == 0:
+            return []
+        sizes = [self.probe(d) for d in datas]
+        outs = [np.empty((h, w, 3), np.uint8) for (w, h) in sizes]
+
+        c_datas = (ctypes.c_char_p * n)(*datas)
+        c_lens = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+        c_outs = (ctypes.c_void_p * n)(
+            *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs])
+        c_ws = (ctypes.c_int * n)(*[s[0] for s in sizes])
+        c_hs = (ctypes.c_int * n)(*[s[1] for s in sizes])
+        rc = self._lib.fdt_pool_decode_batch(
+            self._pool, n, c_datas, c_lens, c_outs, c_ws, c_hs)
+        if rc != 0:
+            raise ValueError(f"batch JPEG decode failed (status {rc})")
+        return outs
+
+    def close(self):
+        if self._pool:
+            self._lib.fdt_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

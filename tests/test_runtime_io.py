@@ -1,0 +1,175 @@
+"""Tests for the native runtime (JPEG pool), image IO, video and throttle."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from face_detection_tflite_tpu.pipeline.video import FrameThrottle
+from face_detection_tflite_tpu.utils.image import (decode_image,
+                                                   decode_images,
+                                                   rgb_from_yuv420)
+
+SAMPLES = "/root/reference/assets/samples"
+SAMPLE = os.path.join(SAMPLES, "landmark-ex1.jpg")
+
+
+@pytest.mark.skipif(not os.path.exists(SAMPLE), reason="no sample assets")
+class TestNativeDecode:
+    def test_native_matches_pil(self):
+        pytest.importorskip("ctypes")
+        from face_detection_tflite_tpu.utils.native import (
+            JpegDecoderPool, native_available)
+        if not native_available():
+            pytest.skip("native runtime not built (no toolchain)")
+        pool = JpegDecoderPool(threads=2)
+        data = open(SAMPLE, "rb").read()
+        img = pool.decode(data)
+        ref = np.asarray(Image.open(SAMPLE).convert("RGB"))
+        assert np.array_equal(img, ref)
+        pool.close()
+
+    def test_batch_decode(self):
+        from face_detection_tflite_tpu.utils.native import (
+            JpegDecoderPool, native_available)
+        if not native_available():
+            pytest.skip("native runtime not built")
+        pool = JpegDecoderPool(threads=4)
+        data = open(SAMPLE, "rb").read()
+        outs = pool.decode_batch([data] * 8)
+        assert len(outs) == 8
+        assert all(np.array_equal(o, outs[0]) for o in outs)
+        pool.close()
+
+    def test_probe(self):
+        from face_detection_tflite_tpu.utils.native import (
+            JpegDecoderPool, native_available)
+        if not native_available():
+            pytest.skip("native runtime not built")
+        pool = JpegDecoderPool()
+        w, h = pool.probe(open(SAMPLE, "rb").read())
+        assert (w, h) == (1280, 853)
+        with pytest.raises(ValueError):
+            pool.probe(b"garbage")
+        pool.close()
+
+    def test_decode_image_dispatch(self):
+        data = open(SAMPLE, "rb").read()
+        img = decode_image(data)
+        assert img.shape == (853, 1280, 3)
+        with pytest.raises(ValueError):
+            decode_image(b"definitely not an image")
+
+    def test_decode_images_batch(self):
+        data = open(SAMPLE, "rb").read()
+        outs = decode_images([data, data])
+        assert len(outs) == 2 and outs[0].shape == (853, 1280, 3)
+
+    def test_png_falls_back_to_pil(self):
+        buf = io.BytesIO()
+        Image.fromarray(np.full((10, 12, 3), 99, np.uint8)).save(buf, "PNG")
+        img = decode_image(buf.getvalue())
+        assert img.shape == (10, 12, 3) and (img == 99).all()
+
+
+class TestYuv:
+    def test_yuv420_roundtrip_gray(self):
+        """A flat gray plane converts to (approximately) the same gray."""
+        y = np.full((64, 64), 128, np.uint8)
+        u = np.full((32, 32), 128, np.uint8)
+        v = np.full((32, 32), 128, np.uint8)
+        rgb = rgb_from_yuv420(y, u, v)
+        assert rgb.shape == (64, 64, 3)
+        assert np.all(np.abs(rgb.astype(int) - 130) < 4)  # 1.164*(128-16)
+
+    def test_yuv420_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(0)
+        h, w = 64, 64
+        y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+        u = rng.integers(16, 240, (h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(16, 240, (h // 2, w // 2), dtype=np.uint8)
+        ours = rgb_from_yuv420(y, u, v)
+        i420 = np.concatenate([y.reshape(-1), u.reshape(-1),
+                               v.reshape(-1)]).reshape(h * 3 // 2, w)
+        ref = cv2.cvtColor(i420, cv2.COLOR_YUV2RGB_I420)
+        # cv2 uses the same BT.601 video-range coefficients.
+        assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 3.0
+
+
+class TestFrameThrottle:
+    def test_drop_oldest(self):
+        t = FrameThrottle(maxlen=1)
+        t.submit("a")
+        t.submit("b")
+        t.submit("c")
+        assert t.take() == "c"
+        assert t.dropped == 2
+        assert t.submitted == 3
+
+    def test_take_blocks_until_submit(self):
+        import threading
+        t = FrameThrottle()
+        got = []
+
+        def consumer():
+            got.append(t.take(timeout=5))
+
+        th = threading.Thread(target=consumer)
+        th.start()
+        t.submit("x")
+        th.join(timeout=5)
+        assert got == ["x"]
+
+    def test_close_unblocks(self):
+        t = FrameThrottle()
+        t.close()
+        assert t.take(timeout=0.1) is None
+        with pytest.raises(RuntimeError):
+            t.submit("y")
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no sample assets")
+class TestVideo:
+    @pytest.fixture(scope="class")
+    def video_path(self, tmp_path_factory):
+        """Synthesizes a tiny video by panning a sample photo."""
+        cv2 = pytest.importorskip("cv2")
+        img = np.asarray(Image.open(SAMPLE).convert("RGB"))[..., ::-1]
+        img = cv2.resize(img, (320, 213))
+        path = str(tmp_path_factory.mktemp("video") / "test.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (320, 213))
+        assert vw.isOpened()
+        for i in range(6):
+            vw.write(np.roll(img, i * 2, axis=1))
+        vw.release()
+        return path
+
+    def test_process_video_tracks_across_frames(self, video_path):
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           enable_tracking=True,
+                           model_dir="/root/reference/assets/models")
+        results = list(det.detect_faces_from_video(
+            video_path, FaceDetectionMode.FAST, batch_size=4))
+        assert len(results) == 6
+        assert [r.frame_index for r in results] == list(range(6))
+        ids = [f.tracking_id for r in results for f in r.faces]
+        assert ids and all(i == ids[0] for i in ids)  # one face, stable ID
+
+    def test_frame_stride_and_max_frames(self, video_path):
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir="/root/reference/assets/models")
+        results = list(det.detect_faces_from_video(
+            video_path, FaceDetectionMode.FAST, frame_stride=2,
+            max_frames=2))
+        assert [r.frame_index for r in results] == [0, 2]
