@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Demo: full face pipeline + segmentation on a photo, rendered to a file.
+
+The TPU-side analog of the reference's example app still-image screen
+(`example/lib/main.dart`): detect -> mesh -> iris -> blendshapes -> pose,
+plus the person mask, drawn over the input.
+
+    python examples/demo.py [input.jpg [output.png]]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+
+    from face_detection_tflite_tpu import (FaceDetectionModel, FaceDetector)
+    from face_detection_tflite_tpu.utils.image import load_image
+    from face_detection_tflite_tpu.utils.render import annotate
+
+    src = (sys.argv[1] if len(sys.argv) > 1 else
+           "/root/reference/assets/samples/group-shot-bounding-box-ex1.jpeg")
+    dst = sys.argv[2] if len(sys.argv) > 2 else "demo_out.png"
+
+    det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                       with_segmentation=True)
+    img = load_image(src)
+    faces, mask = det.detect_faces_with_segmentation(img)
+
+    print(f"{len(faces)} face(s) in {src} "
+          f"[{det.accelerator_report['detector']}]")
+    for i, f in enumerate(faces):
+        a = f.head_euler_angles
+        print(f"  face {i}: score={f.score:.3f} mesh={f.mesh_score:.3f} "
+              f"smile={f.smiling_probability:.2f} "
+              f"eyes L{f.left_eye_open_probability:.2f}"
+              f"/R{f.right_eye_open_probability:.2f} "
+              f"pose=({a.x:.1f},{a.y:.1f},{a.z:.1f})deg")
+    print("stage timings:", det.timings.report())
+
+    out = annotate(img, faces, mask)
+    from PIL import Image
+    Image.fromarray(out).save(dst)
+    print(f"annotated image -> {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,70 @@ class SegmentationMask:
         y = min(max(int(y_norm * self.height), 0), self.height - 1)
         return float(self.data[y, x])
 
+    # -- serialization formats (face_types.dart:416-431, the reference's
+    # -- isolate-RPC payloads; here they serve storage/IPC) -------------------
+
+    def to_uint8(self) -> np.ndarray:
+        """8-bit grayscale mask (clamp to [0,1], x255, round)."""
+        return np.round(np.clip(self.data, 0.0, 1.0) * 255).astype(np.uint8)
+
+    def to_binary(self, threshold: float = 0.5) -> np.ndarray:
+        """Binary mask: 255 where data >= threshold else 0."""
+        return np.where(self.data >= threshold, 255, 0).astype(np.uint8)
+
+    def to_rgba(self, foreground=(255, 255, 255, 255),
+                background=(0, 0, 0, 0), threshold: float = 0.5
+                ) -> np.ndarray:
+        """[H, W, 4] RGBA visualization (face_types.dart:434)."""
+        m = (self.data >= threshold)[..., None]
+        return np.where(m, np.asarray(foreground, np.uint8),
+                        np.asarray(background, np.uint8))
+
+    def serialize(self, fmt: str = "float32",
+                  binary_threshold: float = 0.5) -> dict:
+        """Serializable dict; formats float32 | uint8 | binary
+        (`face_detector.dart:1735-1771`)."""
+        base = {"width": self.width, "height": self.height,
+                "original_width": self.original_width,
+                "original_height": self.original_height,
+                "padding": tuple(self.padding), "data_format": fmt}
+        if fmt == "float32":
+            base["data"] = self.data.astype(np.float32).tobytes()
+        elif fmt == "uint8":
+            base["data"] = self.to_uint8().tobytes()
+        elif fmt == "binary":
+            base["data"] = self.to_binary(binary_threshold).tobytes()
+            base["binary_threshold"] = binary_threshold
+        else:
+            raise ValueError(f"Unknown data format: {fmt}")
+        if isinstance(self, MulticlassSegmentationMask):
+            base["class_data"] = self.class_data.astype(np.float32).tobytes()
+        return base
+
+    @staticmethod
+    def deserialize(d: dict) -> "SegmentationMask":
+        """Inverse of :meth:`serialize` (`face_detector.dart:1773-1827`)."""
+        w, h = d["width"], d["height"]
+        fmt = d.get("data_format", "float32")
+        if fmt == "float32":
+            data = np.frombuffer(d["data"], np.float32).reshape(h, w).copy()
+        elif fmt == "uint8":
+            data = (np.frombuffer(d["data"], np.uint8)
+                    .reshape(h, w).astype(np.float32) / 255.0)
+        elif fmt == "binary":
+            data = (np.frombuffer(d["data"], np.uint8).reshape(h, w) == 255
+                    ).astype(np.float32)
+        else:
+            raise ValueError(f"Unknown data format: {fmt}")
+        if "class_data" in d:
+            class_data = np.frombuffer(
+                d["class_data"], np.float32).reshape(h, w, 6).copy()
+            return MulticlassSegmentationMask(
+                data, d["original_width"], d["original_height"],
+                tuple(d["padding"]), class_data=class_data)
+        return SegmentationMask(data, d["original_width"],
+                                d["original_height"], tuple(d["padding"]))
+
 
 class MulticlassSegmentationMask(SegmentationMask):
     """Adds per-class probabilities ([H, W, 6], softmaxed)."""
@@ -165,9 +229,11 @@ class SelfieSegmentation:
                 jax.jit(jax.vmap(one, in_axes=(None, 0))), lbp)
         return self._programs[key]
 
-    def __call__(self, images: np.ndarray) -> list[SegmentationMask]:
-        """Segments a [B, H, W, 3] RGB batch (uint8/float 0..255)."""
-        images = np.asarray(images)
+    def __call__(self, images) -> list[SegmentationMask]:
+        """Segments a [B, H, W, 3] RGB batch (uint8/float 0..255; numpy or
+        device-resident jax arrays)."""
+        if not isinstance(images, jax.Array):
+            images = jnp.asarray(np.asarray(images))
         if images.ndim == 3:
             images = images[None]
         b, h, w, _ = images.shape
@@ -176,7 +242,7 @@ class SelfieSegmentation:
                 f"image {w}x{h} is smaller than minimum "
                 f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
         prog, lbp = self._program(h, w)
-        person, probs = prog(self.model.params, jnp.asarray(images))
+        person, probs = prog(self.model.params, images)
         person = np.asarray(person)
         masks: list[SegmentationMask] = []
         for i in range(b):

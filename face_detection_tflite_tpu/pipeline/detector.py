@@ -396,14 +396,38 @@ class FaceDetector:
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
         image = np.asarray(image)
-        # Dispatch both before blocking on either.
         h, w, _ = image.shape
-        prog = self._program(h, w, mode)
-        det_out = prog(self.models.params, jnp.asarray(image[None]))
-        masks = self._segmentation(image[None])
-        det_out = self._fetch(det_out)
-        faces = self._materialize(det_out, 0, (w, h), mode)
+        dev_img = jnp.asarray(image[None])
+        if self.adaptive:
+            # Dispatch segmentation first so it overlaps the detect phase.
+            masks = self._segmentation(dev_img)
+            out = self._detect_adaptive(dev_img, mode)
+        else:
+            det_out = self._program(h, w, mode)(self.models.params, dev_img)
+            masks = self._segmentation(dev_img)
+            out = self._fetch(det_out)
+        faces = self._materialize(out, 0, (w, h), mode)
         return faces, masks[0]
+
+    # -- observability -----------------------------------------------------------
+
+    @property
+    def accelerator_report(self) -> dict[str, str]:
+        """Backend placement per model (analog of the web pipeline's
+        per-runner accelerator report, `face_detector_web.dart:248-254`).
+        All networks compile into shared XLA programs on the default
+        backend, so the report is uniform — but the shape of the API is
+        preserved for consumers that log it."""
+        dev = jax.devices()[0]
+        backend = f"{dev.platform}:{dev.device_kind}"
+        report = {"detector": backend, "mesh": backend, "iris": backend,
+                  "blendshapes": backend}
+        if self._segmentation is not None:
+            report["segmentation"] = backend
+        if self._embedding is not None:
+            report["embedding"] = backend
+        report["precision"] = self._precision
+        return report
 
     # -- tracking / lifecycle -----------------------------------------------------
 
