@@ -28,9 +28,6 @@ scores [D], valid [D]) with D = ``max_detections``.
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,29 @@ _DEFAULT_MODEL_DIRS = (
                  "assets", "models"),
     "/root/reference/assets/models",
 )
+
+
+_cache_enabled = False
+
+
+def _enable_compilation_cache() -> None:
+    """Turns on JAX's persistent compilation cache (opt out with
+    FDT_NO_COMPILE_CACHE=1).  The pipeline compiles one program per
+    (image-bucket, mode); caching them on disk makes process restarts and
+    benchmark runs skip the 20-40 s TPU compiles."""
+    global _cache_enabled
+    if _cache_enabled or os.environ.get("FDT_NO_COMPILE_CACHE"):
+        return
+    try:
+        cache_dir = os.environ.get(
+            "FDT_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "fdt_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _cache_enabled = True
 
 
 def resolve_model_dir(model_dir: Optional[str] = None) -> str:
@@ -86,6 +109,7 @@ class FaceDetector:
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
+        _enable_compilation_cache()
         self.model_variant = model
         self.mode_default = FaceDetectionMode.FULL
         self.min_score = min_score
@@ -336,6 +360,14 @@ class FaceDetector:
             for i, faces in zip(idxs, self.detect_faces_batch(batch, mode)):
                 results[i] = faces
         return results
+
+    def detect_faces_from_camera_frame(
+            self, frame, mode: FaceDetectionMode = FaceDetectionMode.FULL
+    ) -> list[Face]:
+        """Decodes a packed camera frame (NV12/NV21/I420/BGRA/RGBA with
+        rotation) and detects — `detectFacesFromCameraFrame` analog."""
+        from ..utils.camera import decode_camera_frame
+        return self.detect_faces(decode_camera_frame(frame), mode)
 
     def detect_faces_from_video(self, path: str,
                                 mode: FaceDetectionMode =

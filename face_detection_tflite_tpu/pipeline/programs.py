@@ -21,7 +21,6 @@ file:line citations.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

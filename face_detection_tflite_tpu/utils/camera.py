@@ -1,0 +1,92 @@
+"""Camera-frame decoding: packed YUV/RGBA planes -> RGB arrays.
+
+Analog of the reference's `CameraFrame` decode plans
+(`helpers.dart:479-560` mapping flutter_litert's backend-neutral plan onto
+OpenCV): NV12/NV21/I420 color conversion (BT.601 video range), BGRA/RGBA
+alpha drop, stride-padding crop, and 90-degree rotations, vectorized in
+numpy on the host.  The resulting RGB array feeds
+`FaceDetector.detect_faces` directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+from .image import rgb_from_yuv420
+
+__all__ = ["CameraFormat", "CameraRotation", "CameraFrame",
+           "decode_camera_frame"]
+
+
+class CameraFormat(enum.Enum):
+    NV12 = "nv12"    # Y plane + interleaved UV
+    NV21 = "nv21"    # Y plane + interleaved VU
+    I420 = "i420"    # planar Y, U, V
+    BGRA = "bgra"
+    RGBA = "rgba"
+
+
+class CameraRotation(enum.IntEnum):
+    """Clockwise rotation to apply after decode (cw90/cw180/cw270)."""
+
+    NONE = 0
+    CW90 = 90
+    CW180 = 180
+    CW270 = 270
+
+
+@dataclasses.dataclass
+class CameraFrame:
+    """One packed camera frame, as delivered by a camera HAL."""
+
+    data: bytes
+    width: int
+    height: int
+    format: CameraFormat
+    rotation: CameraRotation = CameraRotation.NONE
+    row_stride: Optional[int] = None  # Y/RGBA plane stride, if padded
+
+
+def _strip_stride(plane: np.ndarray, width: int, stride: Optional[int],
+                  bpp: int = 1) -> np.ndarray:
+    if stride is None or stride == width * bpp:
+        return plane.reshape(-1, width * bpp)
+    return plane.reshape(-1, stride)[:, :width * bpp]
+
+
+def decode_camera_frame(frame: CameraFrame) -> np.ndarray:
+    """CameraFrame -> RGB uint8 [H, W, 3] (rotation applied)."""
+    w, h = frame.width, frame.height
+    raw = np.frombuffer(frame.data, np.uint8)
+
+    if frame.format in (CameraFormat.BGRA, CameraFormat.RGBA):
+        stride = frame.row_stride or w * 4
+        px = _strip_stride(raw[:stride * h], w, stride, 4).reshape(h, w, 4)
+        rgb = px[..., [2, 1, 0]] if frame.format == CameraFormat.BGRA \
+            else px[..., :3]
+    else:
+        y_stride = frame.row_stride or w
+        y_size = y_stride * h
+        y = _strip_stride(raw[:y_size], w, y_stride).reshape(h, w)
+        chroma = raw[y_size:]
+        cw, ch = w // 2, h // 2
+        if frame.format == CameraFormat.I420:
+            u = chroma[:cw * ch].reshape(ch, cw)
+            v = chroma[cw * ch:2 * cw * ch].reshape(ch, cw)
+        else:
+            inter = chroma[:2 * cw * ch].reshape(ch, cw, 2)
+            if frame.format == CameraFormat.NV12:
+                u, v = inter[..., 0], inter[..., 1]
+            else:  # NV21
+                v, u = inter[..., 0], inter[..., 1]
+        rgb = rgb_from_yuv420(y, u, v)
+
+    k = {CameraRotation.NONE: 0, CameraRotation.CW90: 3,
+         CameraRotation.CW180: 2, CameraRotation.CW270: 1}[frame.rotation]
+    if k:
+        rgb = np.rot90(rgb, k)
+    return np.ascontiguousarray(rgb)

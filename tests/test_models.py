@@ -126,3 +126,37 @@ class TestEmbedding:
         assert out.shape == (1, 192)
         # ~1M params like the real MobileFaceNet
         assert 0.5e6 < m.num_params < 3e6
+
+
+class TestMulticlassPath:
+    def test_multiclass_program_with_synthetic_model(self):
+        """The multiclass softmax/person-mask path, exercised with a
+        synthetic 6-channel 'model' (real weights ship out-of-repo,
+        pubspec.yaml:46)."""
+        import jax.numpy as jnp
+        from face_detection_tflite_tpu.convert.executor import ConvertedModel
+        from face_detection_tflite_tpu.models.segmentation import (
+            MulticlassSegmentationMask, SegmentationClass)
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(1, 64, 64, 6)), jnp.float32)
+
+        def fn(params, x):
+            return (logits,)
+
+        fake = ConvertedModel({}, fn, [(1, 64, 64, 3)], [(1, 64, 64, 6)],
+                              name="synthetic-multiclass")
+        seg = SelfieSegmentation(fake, multiclass=True)
+        img = np.zeros((64, 64, 3), np.uint8)
+        (mask,) = seg(img[None])
+        assert isinstance(mask, MulticlassSegmentationMask)
+        assert mask.class_data.shape == (64, 64, 6)
+        # softmax sums to 1 per pixel
+        assert np.allclose(mask.class_data.sum(-1), 1.0, atol=1e-5)
+        # person = 1 - background
+        assert np.allclose(
+            mask.data,
+            1.0 - mask.class_mask(SegmentationClass.BACKGROUND), atol=1e-6)
+        # all six class masks accessible
+        for cls in SegmentationClass:
+            assert mask.class_mask(cls).shape == (64, 64)
