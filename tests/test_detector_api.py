@@ -143,3 +143,38 @@ class TestCombined:
         assert np.linalg.norm(emb) == pytest.approx(1.0, abs=1e-5)
         assert d.compare_faces(emb, emb) == pytest.approx(1.0)
         assert d.face_distance(emb, emb) == pytest.approx(0.0)
+
+
+class TestServingPipeline:
+    def test_pipelined_batches_match_direct(self):
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        direct = d.detect_faces_batch(img[None], FaceDetectionMode.FAST)
+        with ServingPipeline(d, FaceDetectionMode.FAST, depth=2) as pipe:
+            futs = [pipe.submit(img[None]) for _ in range(4)]
+            results = [f.result(timeout=300) for f in futs]
+        for r in results:
+            assert len(r[0]) == len(direct[0]) == 1
+            assert r[0][0].bounding_box == direct[0][0].bounding_box
+
+    def test_submit_encoded_bytes(self):
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        data = open(os.path.join(SAMPLES, "landmark-ex1.jpg"), "rb").read()
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        with ServingPipeline(d, FaceDetectionMode.FAST) as pipe:
+            faces = pipe.submit([data, data]).result(timeout=300)
+        assert len(faces) == 2 and all(len(f) == 1 for f in faces)
+
+    def test_closed_pipeline_rejects(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        pipe = ServingPipeline(d)
+        pipe.close()
+        with pytest.raises(RuntimeError):
+            pipe.submit(np.zeros((1, 64, 64, 3), np.uint8))

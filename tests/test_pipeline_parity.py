@@ -274,3 +274,28 @@ class TestBatchedDetection:
             assert len(faces) == len(single) == 1
             assert np.allclose(faces[0].mesh.points, single[0].mesh.points,
                                atol=1e-3)
+
+
+class TestMultiFaceDrift:
+    """Full mode on the 4-face group shot vs the oracle, face by face."""
+
+    def test_group_shot_full_mode(self, detector):
+        img = _img("group-shot-bounding-box-ex1.jpeg")
+        h, w = img.shape[:2]
+        ours = detector.detect_faces(img, FaceDetectionMode.FULL)
+        ref = oracle.full_pipeline(img, MODELS_DIR, "back")
+        assert len(ours) == len(ref) == 4
+        for i, (f, r) in enumerate(zip(ours, ref)):
+            assert abs(f.score - r["score"]) < 1e-3, f"face {i}"
+            box_err = np.abs(np.asarray(
+                [f.bounding_box.xmin, f.bounding_box.ymin,
+                 f.bounding_box.xmax, f.bounding_box.ymax]) - r["box"]) \
+                * [w, h, w, h]
+            assert box_err.max() < 1.5, f"face {i} box {box_err}"
+            err = np.linalg.norm(
+                f.mesh.points[:, :2] - r["mesh_abs"][:, :2], axis=1)
+            # chained drift; noise floor scales with face size (~290 px
+            # faces here vs the model's 1.4 px/0.05 px sensitivity)
+            assert err.mean() < 3.0, f"face {i} mesh drift {err.mean():.2f}"
+            bs_err = np.abs(f.blendshapes.scores - r["blendshapes"]).max()
+            assert bs_err < 0.2, f"face {i} blendshape drift {bs_err:.3f}"
