@@ -55,9 +55,11 @@ def _enable_compilation_cache() -> None:
     if _cache_enabled or os.environ.get("FDT_NO_COMPILE_CACHE"):
         return
     try:
+        backend = jax.default_backend()
         cache_dir = os.environ.get(
             "FDT_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "fdt_tpu_xla"))
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         f"fdt_tpu_xla_{backend}"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -105,7 +107,8 @@ class FaceDetector:
                  SegmentationModel.GENERAL,
                  model_dir: Optional[str] = None,
                  precision: str = "highest",
-                 adaptive: bool = True):
+                 adaptive: bool = True,
+                 bucket_images: bool = False):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -117,6 +120,13 @@ class FaceDetector:
         self.min_face_presence_confidence = min_face_presence_confidence
         self.max_faces = max_faces
         self.adaptive = adaptive
+        #: Pad inputs up to a 256-px size ladder so arbitrary image sizes
+        #: share a bounded set of compiled programs.  Off by default: the
+        #: padded frame letterboxes slightly differently, so results can
+        #: differ from exact-size processing at the sub-pixel level, and
+        #: the early min_face_size gate is deferred to the host (the padded
+        #: width would over-reject).  Recommended for serving mixed sizes.
+        self.bucket_images = bucket_images
         self._model_dir = resolve_model_dir(model_dir)
         self._precision = precision
 
@@ -178,9 +188,13 @@ class FaceDetector:
         self._check_disposed()
         key = (img_h, img_w, mode)
         if key not in self._programs:
+            # In bucketed mode the device-side width gate would measure
+            # against the padded width and over-reject; defer it to the
+            # host safety-net gate in _materialize.
+            mfs = 0.0 if self.bucket_images else self.min_face_size
             self._programs[key] = jax.jit(build_pipeline_program(
                 self.models, img_h, img_w, mode, max_faces=self.max_faces,
-                min_score=self.min_score, min_face_size=self.min_face_size))
+                min_score=self.min_score, min_face_size=mfs))
         return self._programs[key]
 
     def _fetch(self, out: dict) -> dict:
@@ -288,12 +302,35 @@ class FaceDetector:
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))
         b, h, w, _ = images.shape
+        orig_wh = (w, h)
+        if self.bucket_images:
+            hb, wb = self._bucket(h), self._bucket(w)
+            if (hb, wb) != (h, w):
+                # Pad bottom/right: pixel coordinates of the content are
+                # unchanged, so mesh/iris (pixel-space) outputs need no
+                # fixup; normalized boxes/keypoints are rescaled below.
+                images = jnp.pad(
+                    images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+                h, w = hb, wb
         if self.adaptive:
             out = self._detect_adaptive(images, mode)
         else:
             prog = self._program(h, w, mode)
             out = self._fetch(prog(self.models.params, images))
-        return [self._materialize(out, i, (w, h), mode) for i in range(b)]
+        if (w, h) != orig_wh:
+            sx, sy = w / orig_wh[0], h / orig_wh[1]
+            for key in ("boxes", "keypoints", "raw_keypoints"):
+                if key in out:
+                    scale = ([sx, sy, sx, sy] if key == "boxes"
+                             else [sx, sy])
+                    out[key] = out[key] * np.asarray(scale, np.float32)
+        return [self._materialize(out, i, orig_wh, mode) for i in range(b)]
+
+    @staticmethod
+    def _bucket(v: int, step: int = 256) -> int:
+        """Rounds an image dimension up to the bucket ladder so arbitrary
+        input sizes map to a bounded set of compiled programs."""
+        return max(step, int(-(-v // step) * step))
 
     def _materialize(self, out, i: int, size_wh, mode) -> list[Face]:
         """Slab -> Face objects, applying the presence gate
@@ -315,6 +352,15 @@ class FaceDetector:
                 score=float(out["scores"][i, d]),
                 keypoints_xy=out["keypoints"][i, d],
             )
+            # Late safety-net gate (applyFaceGates, face_gates.dart:84):
+            # identical arithmetic to the early device gate; load-bearing
+            # in bucketed mode where the early width gate is deferred.
+            if self.min_face_size > 0.0:
+                from .gates import box_visible_width_fraction
+                frac = float(box_visible_width_fraction(
+                    np.asarray(out["boxes"][i, d]), size_wh[0]))
+                if frac < self.min_face_size:
+                    continue
             mesh = (FaceMesh(out["mesh"][i, d], score=mesh_score)
                     if has_mesh else None)
             bs = None

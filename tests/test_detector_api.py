@@ -178,3 +178,48 @@ class TestServingPipeline:
         pipe.close()
         with pytest.raises(RuntimeError):
             pipe.submit(np.zeros((1, 64, 64, 3), np.uint8))
+
+
+class TestImageBucketing:
+    def test_bucketed_matches_exact_counts_and_boxes(self):
+        """bucket_images pads to the 256 ladder; results must agree with
+        exact-size processing to sub-pixel box accuracy."""
+        img = _img("landmark-ex1.jpg")  # 853x1280 -> pads to 1024x1280
+        h, w = img.shape[:2]
+        exact = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                             model_dir=MODELS_DIR)
+        bucketed = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                                model_dir=MODELS_DIR, bucket_images=True)
+        fe = exact.detect_faces(img, FaceDetectionMode.STANDARD)
+        fb = bucketed.detect_faces(img, FaceDetectionMode.STANDARD)
+        assert len(fe) == len(fb) == 1
+        be, bb = fe[0].bounding_box, fb[0].bounding_box
+        err = np.abs(np.asarray([be.xmin, be.ymin, be.xmax, be.ymax])
+                     - [bb.xmin, bb.ymin, bb.xmax, bb.ymax]) * [w, h, w, h]
+        # The padded frame shifts the detector's letterbox by a different
+        # vertical padding; ~1 detector-pixel of translation variance is
+        # inherent (1 detector px ~= 5 image px here).
+        assert err.max() < 8.0, err
+        # pixel-space mesh agrees closely
+        mesh_err = np.linalg.norm(
+            fe[0].mesh.points[:, :2] - fb[0].mesh.points[:, :2], axis=1)
+        assert mesh_err.mean() < 8.0
+
+    def test_bucketed_sizes_share_programs(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR, bucket_images=True)
+        rng = np.random.default_rng(0)
+        for h, w in [(200, 300), (250, 290), (256, 256), (130, 280)]:
+            d.detect_faces(rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+                           FaceDetectionMode.FAST)
+        # all four sizes map onto the single (256, 512-) bucket programs
+        prog_keys = [k for k in d._programs
+                     if isinstance(k, tuple) and len(k) == 3]
+        assert len(set(prog_keys)) <= 2  # (256,512) and (256,256) buckets
+
+    def test_width_gate_applies_on_original_size(self):
+        img = _img("group-shot-bounding-box-ex1.jpeg")
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, bucket_images=True,
+                         min_face_size=0.2)
+        assert d.detect_faces(img, FaceDetectionMode.FAST) == []
