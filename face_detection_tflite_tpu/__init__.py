@@ -15,6 +15,8 @@ Quick start::
     faces[0].bounding_box, faces[0].mesh.points, faces[0].blendshapes
 """
 
+from .convert.checkpoint import (load_params_npz, save_params_npz,
+                                 swap_params)
 from .convert.executor import ConvertedModel, convert_file, convert_model
 from .convert.tflite import parse_tflite
 from .models.embedding import (FaceEmbedding, compute_embedding_alignment,
@@ -26,7 +28,12 @@ from .pipeline.config import (FaceDetectionMode, FaceDetectionModel,
                               SegmentationModel)
 from .pipeline.detector import FaceDetector, resolve_model_dir
 from .pipeline.programs import PipelineModels, build_pipeline_program
+from .pipeline.serving import ServingPipeline
+from .pipeline.timings import DetectTimings, FpsCounter
 from .pipeline.tracker import TemporalFaceTracker
+from .pipeline.video import FrameThrottle, VideoFrameResult, process_video
+from .utils.camera import (CameraFormat, CameraFrame, CameraRotation,
+                           decode_camera_frame)
 from .pipeline.types import (Blendshape, Detection, Eye, EyePair, Face,
                              FaceBlendshapes, FaceContourType, FaceLandmarks,
                              FaceLandmarkType, FaceMesh, HeadEulerAngles,
@@ -45,4 +52,8 @@ __all__ = [
     "compute_embedding_alignment", "TemporalFaceTracker", "PipelineModels",
     "build_pipeline_program", "convert_file", "convert_model",
     "parse_tflite", "ConvertedModel", "resolve_model_dir",
+    "ServingPipeline", "DetectTimings", "FpsCounter", "FrameThrottle",
+    "VideoFrameResult", "process_video", "CameraFormat", "CameraFrame",
+    "CameraRotation", "decode_camera_frame", "load_params_npz",
+    "save_params_npz", "swap_params",
 ]

@@ -1,0 +1,51 @@
+"""Checkpoint IO: load converted params from .npz (no .tflite needed).
+
+The graph *structure* still comes from the .tflite file at build time (the
+executor traces the op list), so a checkpoint pairs with its source model.
+`load_params_npz` restores just the params pytree — useful for serving
+images where weights were audited/pinned separately — and
+`swap_params` validates tree/shape compatibility against a converted
+model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .executor import ConvertedModel
+
+__all__ = ["save_params_npz", "load_params_npz", "swap_params"]
+
+_META_PREFIX = "__meta"
+
+
+def save_params_npz(model: ConvertedModel, path: str) -> None:
+    np.savez_compressed(
+        path, **{k: np.asarray(v) for k, v in model.params.items()})
+
+
+def load_params_npz(path: str) -> dict:
+    """Loads a params dict saved by :func:`save_params_npz` or
+    ``tools/export_weights.py`` (meta keys ignored)."""
+    with np.load(path, allow_pickle=True) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files
+                if not k.startswith(_META_PREFIX)}
+
+
+def swap_params(model: ConvertedModel, params: dict) -> ConvertedModel:
+    """Returns the model with ``params`` substituted, after validating that
+    every key/shape matches the converted graph."""
+    missing = set(model.params) - set(params)
+    extra = set(params) - set(model.params)
+    if missing or extra:
+        raise ValueError(
+            f"param tree mismatch: missing={sorted(missing)[:5]} "
+            f"extra={sorted(extra)[:5]}")
+    for k, v in model.params.items():
+        if tuple(params[k].shape) != tuple(v.shape):
+            raise ValueError(
+                f"shape mismatch for {k}: checkpoint "
+                f"{tuple(params[k].shape)} vs graph {tuple(v.shape)}")
+    return ConvertedModel(dict(params), model.fn, model.input_shapes,
+                          model.output_shapes, name=model.name)

@@ -53,6 +53,30 @@ class DetectTimings:
         return "DetectTimings(" + ", ".join(parts) + ")"
 
 
+class FpsCounter:
+    """Sliding-window frames-per-second counter (flutter_litert FpsCounter
+    analog, README.md:732) for camera/video loops."""
+
+    def __init__(self, window: int = 30):
+        self._times: list[float] = []
+        self._window = window
+
+    def tick(self) -> float:
+        """Records a frame; returns the current FPS estimate."""
+        now = time.perf_counter()
+        self._times.append(now)
+        if len(self._times) > self._window:
+            self._times.pop(0)
+        return self.fps
+
+    @property
+    def fps(self) -> float:
+        if len(self._times) < 2:
+            return 0.0
+        dt = self._times[-1] - self._times[0]
+        return (len(self._times) - 1) / dt if dt > 0 else 0.0
+
+
 @contextlib.contextmanager
 def trace(log_dir: str) -> Iterator[None]:
     """Captures a jax.profiler trace (XLA op-level stage attribution)."""

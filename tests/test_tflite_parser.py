@@ -88,3 +88,26 @@ def test_constant_data_matches():
         assert np.array_equal(t.data, ref)
         checked += 1
     assert checked > 50
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save -> load -> swap reproduces identical outputs."""
+    import jax
+    import jax.numpy as jnp
+    from face_detection_tflite_tpu.convert.checkpoint import (
+        load_params_npz, save_params_npz, swap_params)
+    from face_detection_tflite_tpu.convert.executor import convert_file
+
+    path = os.path.join(MODELS_DIR, "face_blendshapes.tflite")
+    cm = convert_file(path)
+    ckpt = str(tmp_path / "bs.npz")
+    save_params_npz(cm, ckpt)
+    restored = swap_params(cm, load_params_npz(ckpt))
+    x = np.random.default_rng(0).normal(
+        size=(1, 146, 2)).astype(np.float32) * 100
+    a = jax.jit(cm.fn)(cm.params, jnp.asarray(x))
+    b = jax.jit(restored.fn)(restored.params, jnp.asarray(x))
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    with pytest.raises(ValueError, match="param tree mismatch"):
+        swap_params(cm, {"bogus": np.zeros(3)})
