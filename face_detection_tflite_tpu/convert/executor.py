@@ -168,18 +168,12 @@ def convert_model(
         ops.append(op)
 
     # ---- pass 2: decide which constants are params vs static ---------------
-    static_idx: set[int] = set()
     traced_const_idx: set[int] = set()
     for op in ops:
         statics = _STATIC_INPUTS.get(op.name, set())
         for pos, tix in enumerate(op.inputs):
-            if tix < 0:
-                continue
-            if tix in const:
-                if pos in statics:
-                    static_idx.add(tix)
-                else:
-                    traced_const_idx.add(tix)
+            if tix >= 0 and tix in const and pos not in statics:
+                traced_const_idx.add(tix)
 
     params: dict[str, jnp.ndarray] = {}
     param_key: dict[int, str] = {}
@@ -478,7 +472,7 @@ def convert_model(
                     x, begin, [b + s for b, s in zip(begin, size)])
             elif nm == "RESIZE_BILINEAR":
                 x = get(op.inputs[0])
-                kh, kw = resize_mats[ir_op_index[oi]]
+                kh, kw = resize_mats[oi]
                 mh, mw = p[kh], p[kw]
                 # out[b,oh,ow,c] = mh[oh,h] x[b,h,w,c] mw[ow,w]
                 y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
@@ -512,9 +506,6 @@ def convert_model(
                 raise NotImplementedError(f"op {nm} not implemented")
 
         return tuple(env[t] for t in ir.outputs)
-
-    # Map live-op position -> original enumerate index used for resize keys.
-    ir_op_index = {i: i for i in range(len(ops))}
 
     input_shapes = [tensor_shape[t] for t in ir.inputs]
     output_shapes = [tensor_shape[t] for t in ir.outputs]

@@ -114,7 +114,6 @@ class FaceDetector:
         validate_tracking_config(max_missed_frames)
         _enable_compilation_cache()
         self.model_variant = model
-        self.mode_default = FaceDetectionMode.FULL
         self.min_score = min_score
         self.min_face_size = min_face_size
         self.min_face_presence_confidence = min_face_presence_confidence
@@ -130,15 +129,23 @@ class FaceDetector:
         self._model_dir = resolve_model_dir(model_dir)
         self._precision = precision
 
-        def load(key: str) -> ConvertedModel:
+        def load(file_key: str, prec_key: str) -> ConvertedModel:
+            if isinstance(precision, dict):
+                # Per-model precision (e.g. {"detector": "default",
+                # "mesh": "high"}) — a serving knob for trading detector
+                # box exactness for speed while keeping landmark parity.
+                prec = precision.get(prec_key, "high")
+            else:
+                prec = precision
             return convert_file(os.path.join(self._model_dir,
-                                             MODEL_FILES[key]),
-                                precision=precision)
+                                             MODEL_FILES[file_key]),
+                                precision=prec)
 
         self.models = PipelineModels(
-            detector=load(model.value), variant=model.value,
-            mesh=load("face_landmark"), iris=load("iris_landmark"),
-            blendshapes=load("face_blendshapes"))
+            detector=load(model.value, "detector"), variant=model.value,
+            mesh=load("face_landmark", "mesh"),
+            iris=load("iris_landmark", "iris"),
+            blendshapes=load("face_blendshapes", "blendshapes"))
 
         self._segmentation: Optional[SelfieSegmentation] = None
         if with_segmentation:
