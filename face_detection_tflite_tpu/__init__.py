@@ -24,6 +24,8 @@ from .models.embedding import (FaceEmbedding, compute_embedding_alignment,
 from .models.segmentation import (MulticlassSegmentationMask,
                                   SegmentationClass, SegmentationMask,
                                   SelfieSegmentation)
+from .models.standalone import (FaceBlendshapesModel, FaceDetection,
+                                FaceLandmark, IrisLandmark)
 from .pipeline.config import (FaceDetectionMode, FaceDetectionModel,
                               SegmentationModel)
 from .pipeline.detector import FaceDetector, resolve_model_dir
@@ -55,5 +57,6 @@ __all__ = [
     "ServingPipeline", "DetectTimings", "FpsCounter", "FrameThrottle",
     "VideoFrameResult", "process_video", "CameraFormat", "CameraFrame",
     "CameraRotation", "decode_camera_frame", "load_params_npz",
-    "save_params_npz", "swap_params",
+    "save_params_npz", "swap_params", "FaceDetection", "FaceLandmark",
+    "IrisLandmark", "FaceBlendshapesModel",
 ]

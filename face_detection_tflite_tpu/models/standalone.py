@@ -1,0 +1,186 @@
+"""Standalone model classes — the reference's per-model public API.
+
+The reference exposes each network as an independently usable class
+(`FaceDetection`, `FaceLandmark`, `IrisLandmark`, `FaceBlendshapesModel`,
+`FaceEmbedding` — `lib/src/models/*`), besides the orchestrating
+`FaceDetector`.  These wrappers provide the same standalone surface on the
+compiled JAX graphs: each owns one converted model plus its pre/post
+processing, jitted per input-geometry bucket.
+
+`FaceEmbedding` lives in `models/embedding.py`; `SelfieSegmentation` in
+`models/segmentation.py`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.executor import ConvertedModel, convert_file
+from ..ops.anchors import anchor_options_for, generate_anchors
+from ..ops.detections import (decode_detections, remove_letterbox,
+                              weighted_nms)
+from ..ops.letterbox import letterbox_image, letterbox_params
+from ..pipeline.config import (IRIS_INPUT_SIZE, MESH_INPUT_SIZE, MODEL_FILES,
+                               FaceDetectionModel as Variant)
+from ..pipeline.programs import (_identify_detector_outputs,
+                                 _identify_landmark_outputs,
+                                 _sigmoid_clipped, _unpack_landmarks)
+from ..pipeline.types import Detection, RectF
+
+__all__ = ["FaceDetection", "FaceLandmark", "IrisLandmark",
+           "FaceBlendshapesModel"]
+
+
+def _resolve(path_or_variantfile: str, model_dir: Optional[str]) -> str:
+    if os.path.isabs(path_or_variantfile):
+        return path_or_variantfile
+    from ..pipeline.detector import resolve_model_dir
+    return os.path.join(resolve_model_dir(model_dir), path_or_variantfile)
+
+
+class FaceDetection:
+    """Standalone BlazeFace: image -> list[Detection].
+
+    Equivalent of `lib/src/models/face_detection_model.dart`: letterbox,
+    backbone, decode, weighted NMS and letterbox removal in one jitted
+    program per image size.
+    """
+
+    def __init__(self, variant: Variant = Variant.BACK_CAMERA,
+                 model_dir: Optional[str] = None, max_detections: int = 16,
+                 precision: str = "highest"):
+        self.variant = variant
+        self.model = convert_file(
+            _resolve(MODEL_FILES[variant.value], model_dir),
+            precision=precision)
+        self.input_size = self.model.input_shapes[0][1]
+        self.anchors = jnp.asarray(
+            generate_anchors(anchor_options_for(variant.value)))
+        self.max_detections = max_detections
+        self._programs: dict[tuple, object] = {}
+
+    def _program(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._programs:
+            lbp = letterbox_params(h, w, self.input_size, self.input_size)
+
+            def run(params, img):
+                x = letterbox_image(img.astype(jnp.float32), lbp)
+                rb, rs = _identify_detector_outputs(
+                    self.model.fn(params, x[None]))
+                boxes, kp, scores, valid = decode_detections(
+                    rb, rs, self.anchors, float(self.input_size))
+                boxes, kp, scores, valid = weighted_nms(
+                    boxes, kp, scores, valid,
+                    max_detections=self.max_detections)
+                boxes, kp = remove_letterbox(boxes, kp, lbp.padding)
+                return boxes, kp, scores, valid
+
+            self._programs[key] = jax.jit(run)
+        return self._programs[key]
+
+    def __call__(self, image: np.ndarray) -> list[Detection]:
+        image = np.asarray(image)
+        h, w, _ = image.shape
+        boxes, kp, scores, valid = map(np.asarray, self._program(h, w)(
+            self.model.params, jnp.asarray(image)))
+        return [Detection(RectF(*map(float, boxes[i])), float(scores[i]),
+                          kp[i])
+                for i in range(len(valid)) if valid[i]]
+
+
+class FaceLandmark:
+    """Standalone FaceMesh: 192x192 face crop -> (landmarks, score).
+
+    Equivalent of `lib/src/models/face_landmark.dart`: landmarks come back
+    normalized to the crop ([468, 3], x/y in [0,1], z normalized like the
+    reference), score is the sigmoid presence confidence.
+    """
+
+    def __init__(self, model_dir: Optional[str] = None,
+                 precision: str = "highest"):
+        self.model = convert_file(
+            _resolve(MODEL_FILES["face_landmark"], model_dir),
+            precision=precision)
+        self.input_size = MESH_INPUT_SIZE
+
+        def run(params, crop):
+            x = crop.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            lm, score = _identify_landmark_outputs(
+                self.model.fn(params, x[None]))
+            lm_norm = _unpack_landmarks(lm.reshape(1, -1), self.input_size,
+                                        clamp=True, normalize_z=True)[0]
+            return lm_norm, _sigmoid_clipped(score.reshape(()))
+
+        self._run = jax.jit(run)
+
+    def call_with_score(self, face_crop: np.ndarray
+                        ) -> tuple[np.ndarray, float]:
+        assert face_crop.shape[:2] == (self.input_size, self.input_size), \
+            f"expects a {self.input_size}x{self.input_size} crop"
+        lm, score = self._run(self.model.params, jnp.asarray(face_crop))
+        return np.asarray(lm), float(score)
+
+    def __call__(self, face_crop: np.ndarray) -> np.ndarray:
+        return self.call_with_score(face_crop)[0]
+
+
+class IrisLandmark:
+    """Standalone iris model: 64x64 eye crop -> [76, 3] points.
+
+    Equivalent of `lib/src/models/iris_landmark.dart`: 71 eye-contour
+    points followed by 5 iris points, x/y normalized to the crop, z raw.
+    """
+
+    def __init__(self, model_dir: Optional[str] = None,
+                 precision: str = "highest"):
+        self.model = convert_file(
+            _resolve(MODEL_FILES["iris_landmark"], model_dir),
+            precision=precision)
+        self.input_size = IRIS_INPUT_SIZE
+
+        def run(params, crop):
+            x = crop.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            outs = self.model.fn(params, x[None])
+            flat = jnp.concatenate([o.reshape(-1) for o in outs])
+            return _unpack_landmarks(flat.reshape(1, -1), self.input_size,
+                                     clamp=False, normalize_z=False)[0]
+
+        self._run = jax.jit(run)
+
+    def __call__(self, eye_crop: np.ndarray) -> np.ndarray:
+        assert eye_crop.shape[:2] == (self.input_size, self.input_size), \
+            f"expects a {self.input_size}x{self.input_size} crop"
+        return np.asarray(self._run(self.model.params, jnp.asarray(eye_crop)))
+
+
+class FaceBlendshapesModel:
+    """Standalone Blendshape V2: [146, 2] landmarks (pixels) -> 52 coeffs.
+
+    Equivalent of `lib/src/models/face_blendshapes.dart` including the
+    NaN-sanitize + clamp (`:191-200`) and input-shape validation.
+    """
+
+    def __init__(self, model_dir: Optional[str] = None,
+                 precision: str = "highest"):
+        self.model = convert_file(
+            _resolve(MODEL_FILES["face_blendshapes"], model_dir),
+            precision=precision)
+
+        def run(params, pts):
+            (coeffs,) = self.model.fn(params, pts[None])
+            return jnp.clip(jnp.nan_to_num(coeffs.reshape(52)), 0.0, 1.0)
+
+        self._run = jax.jit(run)
+
+    def __call__(self, landmarks_146: np.ndarray) -> np.ndarray:
+        pts = np.asarray(landmarks_146, np.float32)
+        if pts.shape != (146, 2):
+            raise ValueError(
+                f"blendshape input must be [146, 2] pixels, got {pts.shape}")
+        return np.asarray(self._run(self.model.params, jnp.asarray(pts)))

@@ -1,0 +1,77 @@
+"""Standalone model classes (the reference's per-model public API)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from face_detection_tflite_tpu.models.standalone import (
+    FaceBlendshapesModel, FaceDetection, FaceLandmark, IrisLandmark)
+from face_detection_tflite_tpu.pipeline.config import (
+    FaceDetectionModel as Variant)
+
+MODELS_DIR = "/root/reference/assets/models"
+SAMPLES = "/root/reference/assets/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MODELS_DIR), reason="reference assets not present")
+
+
+def _img(name):
+    return np.asarray(Image.open(os.path.join(SAMPLES, name)).convert("RGB"))
+
+
+class TestStandalone:
+    def test_face_detection(self):
+        det = FaceDetection(Variant.BACK_CAMERA, model_dir=MODELS_DIR)
+        dets = det(_img("group-shot-bounding-box-ex1.jpeg"))
+        assert len(dets) == 4
+        assert all(d.score >= 0.5 for d in dets)
+        assert dets[0].keypoints_xy.shape == (6, 2)
+
+    def test_face_landmark_on_crop(self):
+        """Chain: standalone detector -> manual crop -> standalone mesh."""
+        import cv2
+        img = _img("landmark-ex1.jpg")
+        h, w = img.shape[:2]
+        det = FaceDetection(Variant.BACK_CAMERA, model_dir=MODELS_DIR)
+        (d,) = det(img)
+        kp = d.keypoints_xy
+        lx, ly = kp[0] * [w, h]
+        rx, ry = kp[1] * [w, h]
+        mx, my = kp[3] * [w, h]
+        ecx, ecy = (lx + rx) / 2, (ly + ry) / 2
+        theta = math.atan2(ry - ly, rx - lx)
+        size = max(math.hypot(mx - ecx, my - ecy) * 3.6,
+                   math.hypot(rx - lx, ry - ly) * 4.0)
+        cx, cy = ecx + (mx - ecx) * 0.1, ecy + (my - ecy) * 0.1
+        scale = 192 / round(size)
+        rot = cv2.getRotationMatrix2D((cx, cy), math.degrees(theta), scale)
+        oc = 96 + 0.5 * (scale - 1)
+        rot[0, 2] += oc - cx
+        rot[1, 2] += oc - cy
+        crop = cv2.warpAffine(img, rot, (192, 192))
+
+        mesh_model = FaceLandmark(model_dir=MODELS_DIR)
+        lm, score = mesh_model.call_with_score(crop)
+        assert lm.shape == (468, 3)
+        assert score > 0.9
+        assert (lm[:, :2] >= 0).all() and (lm[:, :2] <= 1).all()
+
+    def test_iris_landmark_shape(self):
+        iris = IrisLandmark(model_dir=MODELS_DIR)
+        out = iris(np.zeros((64, 64, 3), np.uint8))
+        assert out.shape == (76, 3)
+        with pytest.raises(AssertionError, match="64x64"):
+            iris(np.zeros((32, 32, 3), np.uint8))
+
+    def test_blendshapes_shape_and_sanitize(self):
+        bs = FaceBlendshapesModel(model_dir=MODELS_DIR)
+        out = bs(np.random.default_rng(0).uniform(0, 500, (146, 2)))
+        assert out.shape == (52,)
+        assert (out >= 0).all() and (out <= 1).all()
+        with pytest.raises(ValueError, match="146, 2"):
+            bs(np.zeros((100, 2)))
