@@ -127,6 +127,13 @@ class FaceDetector:
         #: width would over-reject).  Recommended for serving mixed sizes.
         self.bucket_images = bucket_images
         self._model_dir = resolve_model_dir(model_dir)
+
+        if precision == "serving":
+            # Measured preset: detector at bf16 (boxes drift ~2-3 px on a
+            # 1280px frame, fine for ROI seeding), landmark-bearing models
+            # at bf16x3 (0.006 px mesh error).  ~40% faster fast mode.
+            precision = {"detector": "default", "mesh": "high",
+                         "iris": "high", "blendshapes": "high"}
         self._precision = precision
 
         def load(file_key: str, prec_key: str) -> ConvertedModel:
@@ -177,8 +184,10 @@ class FaceDetector:
                 f"segmentation model not found: {path} (the multiclass "
                 "model ships out-of-repo in the reference too, "
                 "pubspec.yaml:46)")
+        prec = (self._precision.get("segmentation", "high")
+                if isinstance(self._precision, dict) else self._precision)
         self._segmentation = SelfieSegmentation(
-            convert_file(path, precision=self._precision),
+            convert_file(path, precision=prec),
             multiclass=seg_model == SegmentationModel.MULTICLASS)
 
     @property
@@ -511,7 +520,7 @@ class FaceDetector:
             report["segmentation"] = backend
         if self._embedding is not None:
             report["embedding"] = backend
-        report["precision"] = self._precision
+        report["precision"] = str(self._precision)
         return report
 
     # -- tracking / lifecycle -----------------------------------------------------

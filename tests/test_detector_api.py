@@ -223,3 +223,20 @@ class TestImageBucketing:
                          model_dir=MODELS_DIR, bucket_images=True,
                          min_face_size=0.2)
         assert d.detect_faces(img, FaceDetectionMode.FAST) == []
+
+
+class TestPrecisionPresets:
+    def test_serving_preset_detects(self):
+        img = _img("landmark-ex1.jpg")
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, precision="serving")
+        faces = d.detect_faces(img, FaceDetectionMode.STANDARD)
+        assert len(faces) == 1
+        assert "default" in d.accelerator_report["precision"]
+
+    def test_per_model_dict(self):
+        img = _img("landmark-ex1.jpg")
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR,
+                         precision={"detector": "highest"})
+        assert len(d.detect_faces(img, FaceDetectionMode.FAST)) == 1
