@@ -1,0 +1,168 @@
+"""Per-op executor tests with synthetic single-op graphs.
+
+The model-level parity tests cover the op compositions the 10 stock
+models use; these pin each op's semantics in isolation (including ops the
+stock models don't hit, like FULLY_CONNECTED/SOFTMAX needed by
+out-of-repo models such as mobilefacenet) against numpy/TF references.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from face_detection_tflite_tpu.convert.executor import convert_model
+from face_detection_tflite_tpu.convert.tflite import ModelIR, OpIR, TensorIR
+
+
+def _graph(op_name, inputs, outputs, options, tensors):
+    """Builds a one-op ModelIR.  tensors: list of (shape, data_or_None)."""
+    t = [TensorIR(i, f"t{i}", tuple(shape),
+                  data.dtype.type if data is not None else np.float32,
+                  data)
+         for i, (shape, data) in enumerate(tensors)]
+    return ModelIR(tensors=t, ops=[OpIR(op_name, inputs, outputs, options)],
+                   inputs=[i for i in inputs
+                           if i >= 0 and t[i].data is None][:1] or [0],
+                   outputs=outputs, description="")
+
+
+def _run(ir, *xs):
+    cm = convert_model(ir)
+    return np.asarray(cm(*[jnp.asarray(x) for x in xs])[0])
+
+
+RNG = np.random.default_rng(0)
+
+
+class TestExecutorOps:
+    def test_fully_connected(self):
+        x = RNG.normal(size=(1, 8)).astype(np.float32)
+        w = RNG.normal(size=(4, 8)).astype(np.float32)
+        b = RNG.normal(size=(4,)).astype(np.float32)
+        ir = _graph("FULLY_CONNECTED", [0, 1, 2], [3],
+                    {"activation": "RELU", "keep_num_dims": False},
+                    [((1, 8), None), ((4, 8), w), ((4,), b), ((1, 4), None)])
+        out = _run(ir, x)
+        ref = np.maximum(x @ w.T + b, 0)
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    def test_softmax_with_beta(self):
+        x = RNG.normal(size=(1, 10)).astype(np.float32)
+        ir = _graph("SOFTMAX", [0], [1], {"beta": 2.0},
+                    [((1, 10), None), ((1, 10), None)])
+        out = _run(ir, x)
+        e = np.exp(2.0 * x - (2.0 * x).max())
+        np.testing.assert_allclose(out, e / e.sum(), rtol=1e-5)
+
+    def test_strided_slice_with_masks(self):
+        x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        ir = _graph("STRIDED_SLICE", [0, 1, 2, 3], [4],
+                    {"begin_mask": 0b001, "end_mask": 0b100,
+                     "ellipsis_mask": 0, "new_axis_mask": 0,
+                     "shrink_axis_mask": 0b010},
+                    [((2, 3, 4), None),
+                     ((3,), np.asarray([1, 1, 1], np.int32)),
+                     ((3,), np.asarray([2, 2, 3], np.int32)),
+                     ((3,), np.asarray([1, 1, 1], np.int32)),
+                     ((2, 3), None)])
+        out = _run(ir, x)
+        # begin_mask bit0: dim0 begin ignored; shrink dim1 at 1;
+        # end_mask bit2: dim2 end ignored.
+        np.testing.assert_array_equal(out, x[:2, 1, 1:])
+
+    def test_avg_pool_same_counts_valid_only(self):
+        """TFLite SAME avg-pool divides by the number of valid (unpadded)
+        elements; cross-check against TF."""
+        tf = pytest.importorskip("tensorflow")
+        x = RNG.normal(size=(1, 5, 5, 2)).astype(np.float32)
+        ir = _graph("AVERAGE_POOL_2D", [0], [1],
+                    {"padding": 0, "stride_w": 2, "stride_h": 2,
+                     "filter_w": 3, "filter_h": 3, "activation": None},
+                    [((1, 5, 5, 2), None), ((1, 3, 3, 2), None)])
+        out = _run(ir, x)
+        ref = tf.nn.avg_pool2d(x, 3, 2, "SAME").numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+    def test_max_pool_valid(self):
+        tf = pytest.importorskip("tensorflow")
+        x = RNG.normal(size=(1, 6, 6, 3)).astype(np.float32)
+        ir = _graph("MAX_POOL_2D", [0], [1],
+                    {"padding": 1, "stride_w": 2, "stride_h": 2,
+                     "filter_w": 2, "filter_h": 2, "activation": None},
+                    [((1, 6, 6, 3), None), ((1, 3, 3, 3), None)])
+        np.testing.assert_allclose(
+            _run(ir, x), tf.nn.max_pool2d(x, 2, 2, "VALID").numpy(),
+            rtol=1e-6)
+
+    def test_conv2d_dilated(self):
+        tf = pytest.importorskip("tensorflow")
+        x = RNG.normal(size=(1, 12, 12, 3)).astype(np.float32)
+        w = RNG.normal(size=(5, 3, 3, 3)).astype(np.float32)  # OHWI
+        ir = _graph("CONV_2D", [0, 1, -1], [2],
+                    {"padding": 0, "stride_w": 1, "stride_h": 1,
+                     "activation": None, "dilation_w": 2, "dilation_h": 2},
+                    [((1, 12, 12, 3), None), ((5, 3, 3, 3), w),
+                     ((1, 12, 12, 5), None)])
+        out = _run(ir, x)
+        ref = tf.nn.conv2d(x, np.transpose(w, (1, 2, 3, 0)), 1, "SAME",
+                           dilations=2).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_depthwise_multiplier_2(self):
+        tf = pytest.importorskip("tensorflow")
+        x = RNG.normal(size=(1, 8, 8, 3)).astype(np.float32)
+        w = RNG.normal(size=(1, 3, 3, 6)).astype(np.float32)  # mult=2
+        ir = _graph("DEPTHWISE_CONV_2D", [0, 1, -1], [2],
+                    {"padding": 0, "stride_w": 1, "stride_h": 1,
+                     "depth_multiplier": 2, "activation": None,
+                     "dilation_w": 1, "dilation_h": 1},
+                    [((1, 8, 8, 3), None), ((1, 3, 3, 6), w),
+                     ((1, 8, 8, 6), None)])
+        out = _run(ir, x)
+        ref = tf.nn.depthwise_conv2d(
+            x, np.transpose(w, (1, 2, 0, 3)).reshape(3, 3, 3, 2),
+            [1, 1, 1, 1], "SAME").numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_l2_normalization(self):
+        x = RNG.normal(size=(1, 16)).astype(np.float32)
+        ir = _graph("L2_NORMALIZATION", [0], [1], {},
+                    [((1, 16), None), ((1, 16), None)])
+        out = _run(ir, x)
+        np.testing.assert_allclose(out, x / np.linalg.norm(x), rtol=1e-5)
+
+    def test_depth_to_space(self):
+        tf = pytest.importorskip("tensorflow")
+        x = RNG.normal(size=(1, 2, 2, 8)).astype(np.float32)
+        ir = _graph("DEPTH_TO_SPACE", [0], [1], {"block_size": 2},
+                    [((1, 2, 2, 8), None), ((1, 4, 4, 2), None)])
+        np.testing.assert_allclose(
+            _run(ir, x), tf.nn.depth_to_space(x, 2).numpy(), rtol=1e-6)
+
+    def test_prelu_broadcast(self):
+        x = np.asarray([[-2.0, 3.0]], np.float32)
+        alpha = np.asarray([0.1, 0.5], np.float32)
+        ir = _graph("PRELU", [0, 1], [2], {},
+                    [((1, 2), None), ((2,), alpha), ((1, 2), None)])
+        np.testing.assert_allclose(_run(ir, x), [[-0.2, 3.0]], rtol=1e-6)
+
+    def test_unsupported_op_raises(self):
+        ir = _graph("EXP", [0], [1], {}, [((2, 2), None), ((2, 2), None)])
+        # EXP is implemented; use a name we don't support to check the error
+        ir.ops[0].name = "SVDF"
+        with pytest.raises(NotImplementedError, match="SVDF"):
+            convert_model(ir)(jnp.zeros((2, 2)))
+
+    def test_resize_bilinear_half_pixel_vs_tf(self):
+        tf = pytest.importorskip("tensorflow")
+        x = RNG.normal(size=(1, 8, 8, 3)).astype(np.float32)
+        ir = _graph("RESIZE_BILINEAR", [0, 1], [2],
+                    {"align_corners": False, "half_pixel_centers": True},
+                    [((1, 8, 8, 3), None),
+                     ((2,), np.asarray([16, 16], np.int32)),
+                     ((1, 16, 16, 3), None)])
+        out = _run(ir, x)
+        ref = tf.image.resize(x, (16, 16), method="bilinear").numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
