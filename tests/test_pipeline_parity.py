@@ -299,3 +299,30 @@ class TestMultiFaceDrift:
             assert err.mean() < 3.0, f"face {i} mesh drift {err.mean():.2f}"
             bs_err = np.abs(f.blendshapes.scores - r["blendshapes"]).max()
             assert bs_err < 0.2, f"face {i} blendshape drift {bs_err:.3f}"
+
+
+class TestSecondSampleDrift:
+    """Drift bound on a second portrait (different scale/pose) to catch
+    image-specific regressions."""
+
+    def test_iris_detection_ex1(self, detector):
+        img = _img("iris-detection-ex1.jpg")
+        h, w = img.shape[:2]
+        ours = detector.detect_faces(img, FaceDetectionMode.FULL)
+        ref = oracle.full_pipeline(img, MODELS_DIR, "back")
+        assert len(ours) == len(ref) == 1
+        f, r = ours[0], ref[0]
+        assert abs(f.score - r["score"]) < 1e-3
+        err = np.linalg.norm(f.mesh.points[:, :2] - r["mesh_abs"][:, :2],
+                             axis=1)
+        assert err.mean() < 3.0, f"mesh drift {err.mean():.2f}"
+        ierr = np.linalg.norm(f.iris_points[:, :2] - r["iris"][:, :2],
+                              axis=1)
+        assert ierr.mean() < 3.0, f"iris drift {ierr.mean():.2f}"
+        # iris centers land inside the eye contours (sanity on refinement)
+        eyes = f.eyes
+        for eye in (eyes.left_eye, eyes.right_eye):
+            ring = eye.contour[:, :2]
+            c = eye.iris_center[:2]
+            assert ring[:, 0].min() - 3 <= c[0] <= ring[:, 0].max() + 3
+            assert ring[:, 1].min() - 3 <= c[1] <= ring[:, 1].max() + 3
