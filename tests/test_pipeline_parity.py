@@ -307,7 +307,6 @@ class TestSecondSampleDrift:
 
     def test_iris_detection_ex1(self, detector):
         img = _img("iris-detection-ex1.jpg")
-        h, w = img.shape[:2]
         ours = detector.detect_faces(img, FaceDetectionMode.FULL)
         ref = oracle.full_pipeline(img, MODELS_DIR, "back")
         assert len(ours) == len(ref) == 1
