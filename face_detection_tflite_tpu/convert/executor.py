@@ -280,10 +280,11 @@ def convert_model(
                 # transposed conv == conv with lhs dilation and flipped kernel.
                 sh, sw = o["stride_h"], o["stride_w"]
                 kh, kw = w.shape[1], w.shape[2]
-                # Forward conv SAME pads (of the conv this op is the
-                # transpose of): output spatial = in*stride.
-                out_h = x.shape[1] * sh
-                out_w = x.shape[2] * sw
+                # Output spatial size comes from the graph's declared output
+                # tensor: SAME -> in*stride, VALID -> (in-1)*stride + k.
+                out_shape = ir.tensors[op.outputs[0]].shape
+                out_h = int(out_shape[1])
+                out_w = int(out_shape[2])
                 if o["padding"] == PADDING_SAME:
                     fwd_ph = _same_pads(out_h, sh, kh)
                     fwd_pw = _same_pads(out_w, sw, kw)
@@ -443,6 +444,10 @@ def convert_model(
                 env[op.outputs[0]] = red(
                     x, axis=axes, keepdims=bool(o["keep_dims"]))
             elif nm == "STRIDED_SLICE":
+                if o["ellipsis_mask"] or o["new_axis_mask"]:
+                    raise NotImplementedError(
+                        "STRIDED_SLICE ellipsis_mask/new_axis_mask not "
+                        "supported")
                 x = get(op.inputs[0])
                 begin = get_static(op.inputs[1]).astype(np.int64)
                 end = get_static(op.inputs[2]).astype(np.int64)

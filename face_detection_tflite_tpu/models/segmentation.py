@@ -210,13 +210,9 @@ class SelfieSegmentation:
         key = (img_h, img_w)
         if key not in self._programs:
             lbp = letterbox_params(img_h, img_w, self.in_h, self.in_w)
-            mh = (jnp.asarray(resize_matrix(img_h, lbp.new_h))
-                  if lbp.new_h != img_h else None)
-            mw = (jnp.asarray(resize_matrix(img_w, lbp.new_w))
-                  if lbp.new_w != img_w else None)
 
             def one(params, img):
-                x = letterbox_image(img.astype(jnp.float32), lbp, mh, mw)
+                x = letterbox_image(img.astype(jnp.float32), lbp)
                 (raw,) = self.model.fn(params, x[None])
                 raw = raw.reshape(self.in_h, self.in_w, -1)
                 if self.multiclass:

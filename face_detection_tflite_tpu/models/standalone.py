@@ -115,7 +115,11 @@ class FaceLandmark:
                 self.model.fn(params, x[None]))
             lm_norm = _unpack_landmarks(lm.reshape(1, -1), self.input_size,
                                         clamp=True, normalize_z=True)[0]
-            return lm_norm, _sigmoid_clipped(score.reshape(()))
+            # Some landmark variants omit the presence output; report -1
+            # as the "no score" sentinel (call_with_score maps it to None).
+            s = (_sigmoid_clipped(score.reshape(()))
+                 if score is not None else jnp.float32(-1.0))
+            return lm_norm, s
 
         self._run = jax.jit(run)
 
@@ -124,7 +128,8 @@ class FaceLandmark:
         assert face_crop.shape[:2] == (self.input_size, self.input_size), \
             f"expects a {self.input_size}x{self.input_size} crop"
         lm, score = self._run(self.model.params, jnp.asarray(face_crop))
-        return np.asarray(lm), float(score)
+        s = float(score)
+        return np.asarray(lm), (s if s >= 0.0 else None)
 
     def __call__(self, face_crop: np.ndarray) -> np.ndarray:
         return self.call_with_score(face_crop)[0]

@@ -131,15 +131,12 @@ def normalize_image(img):
     return img.astype(jnp.float32) * (1.0 / 127.5) - 1.0
 
 
-def letterbox_image(img, params: LetterboxParams, mh=None, mw=None,
-                    precision=jax.lax.Precision.HIGHEST):
+def letterbox_image(img, params: LetterboxParams):
     """Letterboxes one [H, W, 3] image to [dst_h, dst_w, 3] in [-1, 1].
 
-    Resize-then-normalize (both linear, so order is free); the resize is
-    the 2-tap gather form.  ``mh``/``mw`` are accepted for backward
-    compatibility but unused.
+    Resize-then-normalize (both linear, so the order is free); the resize
+    is the cv2-exact 2-tap gather form.
     """
-    del mh, mw, precision
     x = img.astype(jnp.float32)
     x = resize_bilinear_exact(x, params.new_h, params.new_w)
     x = x * (1.0 / 127.5) - 1.0

@@ -249,7 +249,8 @@ class FaceDetector:
                 self.models, img_h, img_w, mode, from_detections=True))
         return self._programs[key]
 
-    def _detect_adaptive(self, images, mode: FaceDetectionMode):
+    def _detect_adaptive(self, images, mode: FaceDetectionMode,
+                         _predispatched=None):
         """Two-phase dispatch with face-count bucketing.
 
         Detect first, then run the per-face stages only on the top-K slab
@@ -261,8 +262,9 @@ class FaceDetector:
         """
         b, h, w, _ = images.shape
         with self.timings.stage("detect"):
-            det = self._program(h, w, FaceDetectionMode.FAST)(
-                self.models.params, images)
+            det = (_predispatched if _predispatched is not None else
+                   self._program(h, w, FaceDetectionMode.FAST)(
+                       self.models.params, images))
         with self.timings.stage("detect_readback"):
             det_host = self._fetch(det)
         if mode == FaceDetectionMode.FAST:
@@ -493,9 +495,13 @@ class FaceDetector:
         h, w, _ = image.shape
         dev_img = jnp.asarray(image[None])
         if self.adaptive:
-            # Dispatch segmentation first so it overlaps the detect phase.
+            # Dispatch the detect program asynchronously FIRST, then let
+            # segmentation run while it is in flight (XLA dispatch does not
+            # block; the segmentation call blocks on its own mask fetch).
+            det = self._program(h, w, FaceDetectionMode.FAST)(
+                self.models.params, dev_img)
             masks = self._segmentation(dev_img)
-            out = self._detect_adaptive(dev_img, mode)
+            out = self._detect_adaptive(dev_img, mode, _predispatched=det)
         else:
             det_out = self._program(h, w, mode)(self.models.params, dev_img)
             masks = self._segmentation(dev_img)

@@ -32,7 +32,7 @@ from ..ops import warp
 from ..ops.anchors import anchor_options_for, generate_anchors
 from ..ops.detections import (decode_detections, remove_letterbox,
                               weighted_nms)
-from ..ops.letterbox import letterbox_image, letterbox_params, resize_matrix
+from ..ops.letterbox import letterbox_image, letterbox_params
 from . import geometry
 from .blendshape_input import pack_blendshape_input
 from .config import (IRIS_INPUT_SIZE, MESH_INPUT_SIZE, RAW_SCORE_LIMIT,
@@ -129,10 +129,6 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
     size = models.detector_input_size
     lbp = letterbox_params(img_h, img_w, size, size)
     anchors_c = jnp.asarray(models.anchors)
-    mh = (jnp.asarray(resize_matrix(img_h, lbp.new_h))
-          if lbp.new_h != img_h else None)
-    mw = (jnp.asarray(resize_matrix(img_w, lbp.new_w))
-          if lbp.new_w != img_w else None)
 
     compute_mesh = mode in (FaceDetectionMode.STANDARD, FaceDetectionMode.FULL)
     compute_iris = mode == FaceDetectionMode.FULL
@@ -142,7 +138,7 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         raise ValueError(f"mode {mode} requires iris and blendshape models")
 
     def detect_stage(params, img):
-        x = letterbox_image(img, lbp, mh, mw)
+        x = letterbox_image(img, lbp)
         raw_boxes, raw_scores = _identify_detector_outputs(
             models.detector.fn(params["detector"], x[None]))
         boxes, kp, scores, valid = decode_detections(
@@ -241,6 +237,12 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         out = {"boxes": boxes, "raw_keypoints": kp, "keypoints": kp,
                "scores": scores, "valid": valid}
         if not compute_mesh:
+            # Fast mode still applies the degenerate-alignment drop (the
+            # reference computes the alignment size and rejects round()==0
+            # without paying for the warp, face_detector_core.dart:258-266).
+            _, _, _, fsize = geometry.compute_face_alignment(
+                kp, float(img_w), float(img_h))
+            out["valid"] = valid & (jnp.round(fsize) > 0)
             return out
         mesh_abs, mesh_scores, valid = mesh_stage(params, img, kp, valid)
         out.update(mesh=mesh_abs, mesh_scores=mesh_scores, valid=valid)

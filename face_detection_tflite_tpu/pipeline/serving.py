@@ -45,6 +45,7 @@ class ServingPipeline:
         self._mode = mode
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -56,8 +57,6 @@ class ServingPipeline:
         Decode and the H2D transfer happen on the caller thread so they
         overlap the device compute of earlier batches.
         """
-        if self._closed:
-            raise RuntimeError("ServingPipeline is closed")
         if isinstance(images, (list, tuple)) and images and \
                 isinstance(images[0], (bytes, bytearray)):
             from ..utils.image import decode_images
@@ -65,7 +64,13 @@ class ServingPipeline:
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))  # H2D now, async
         fut: Future = Future()
-        self._q.put((images, fut))
+        # The closed check and enqueue are atomic w.r.t. close(), so a
+        # batch can never land behind the shutdown sentinel (which would
+        # leave its Future unresolved forever).
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("ServingPipeline is closed")
+            self._q.put((images, fut))
         return fut
 
     def _run(self):
@@ -81,8 +86,11 @@ class ServingPipeline:
                 fut.set_exception(e)
 
     def close(self, wait: bool = True) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         if wait:
             self._worker.join()
 

@@ -49,6 +49,10 @@ class CameraFrame:
     format: CameraFormat
     rotation: CameraRotation = CameraRotation.NONE
     row_stride: Optional[int] = None  # Y/RGBA plane stride, if padded
+    #: Chroma-plane row stride in bytes.  Defaults: interleaved NV12/NV21 UV
+    #: rows inherit the Y stride; planar I420 U/V rows use half of it
+    #: (standard HAL layouts).
+    chroma_row_stride: Optional[int] = None
 
 
 def _strip_stride(plane: np.ndarray, width: int, stride: Optional[int],
@@ -73,12 +77,20 @@ def decode_camera_frame(frame: CameraFrame) -> np.ndarray:
         y_size = y_stride * h
         y = _strip_stride(raw[:y_size], w, y_stride).reshape(h, w)
         chroma = raw[y_size:]
-        cw, ch = w // 2, h // 2
+        cw, ch = (w + 1) // 2, (h + 1) // 2
         if frame.format == CameraFormat.I420:
-            u = chroma[:cw * ch].reshape(ch, cw)
-            v = chroma[cw * ch:2 * cw * ch].reshape(ch, cw)
+            c_stride = frame.chroma_row_stride or \
+                (y_stride // 2 if frame.row_stride else cw)
+            plane = c_stride * ch
+            u = _strip_stride(chroma[:plane], cw, c_stride).reshape(ch, cw)
+            v = _strip_stride(chroma[plane:2 * plane], cw,
+                              c_stride).reshape(ch, cw)
         else:
-            inter = chroma[:2 * cw * ch].reshape(ch, cw, 2)
+            c_stride = frame.chroma_row_stride or \
+                (y_stride if frame.row_stride else 2 * cw)
+            plane = c_stride * ch
+            inter = _strip_stride(chroma[:plane], 2 * cw,
+                                  c_stride).reshape(ch, cw, 2)
             if frame.format == CameraFormat.NV12:
                 u, v = inter[..., 0], inter[..., 1]
             else:  # NV21

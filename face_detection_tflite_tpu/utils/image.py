@@ -89,8 +89,18 @@ def rgb_from_yuv420(y: np.ndarray, u: np.ndarray, v: np.ndarray
     (`helpers.dart:479-560`, I420 path), vectorized in numpy.
     """
     h, w = y.shape
-    u_full = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
-    v_full = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+
+    def upsample2(c):
+        full = np.repeat(np.repeat(c, 2, axis=0), 2, axis=1)
+        # Odd-dimension frames have ceil-half chroma coverage short by one
+        # row/col after 2x repeat; extend with the edge sample.
+        pad_h, pad_w = max(0, h - full.shape[0]), max(0, w - full.shape[1])
+        if pad_h or pad_w:
+            full = np.pad(full, ((0, pad_h), (0, pad_w)), mode="edge")
+        return full[:h, :w]
+
+    u_full = upsample2(u)
+    v_full = upsample2(v)
     yf = y.astype(np.float32) - 16.0
     uf = u_full.astype(np.float32) - 128.0
     vf = v_full.astype(np.float32) - 128.0

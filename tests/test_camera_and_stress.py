@@ -148,3 +148,28 @@ class TestStress:
         d1.dispose()
         # d2 keeps working after d1 is gone
         assert len(d2.detect_faces(img, FaceDetectionMode.FAST)) == 1
+
+
+class TestOddDimsAndStride:
+    def test_yuv_odd_dimensions(self):
+        from face_detection_tflite_tpu.utils.image import rgb_from_yuv420
+        h, w = 11, 9
+        y = np.full((h, w), 128, np.uint8)
+        u = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+        v = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+        rgb = rgb_from_yuv420(y, u, v)
+        assert rgb.shape == (h, w, 3)
+
+    def test_nv12_chroma_stride(self):
+        """Chroma rows padded to the Y stride must decode correctly."""
+        h, w, stride = 8, 6, 16
+        y = np.full((h, stride), 77, np.uint8)
+        ch, cw = h // 2, w // 2
+        uv_rows = np.zeros((ch, stride), np.uint8)
+        uv_rows[:, :2 * cw] = 128  # valid UV pairs; padding stays 0
+        data = y.tobytes() + uv_rows.tobytes()
+        frame = CameraFrame(data, w, h, CameraFormat.NV12, row_stride=stride)
+        rgb = decode_camera_frame(frame)
+        assert rgb.shape == (h, w, 3)
+        # neutral chroma -> gray everywhere (no color corruption from pad)
+        assert (np.abs(rgb.astype(int) - rgb[0, 0].astype(int)) < 3).all()

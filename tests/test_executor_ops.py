@@ -166,3 +166,38 @@ class TestExecutorOps:
         out = _run(ir, x)
         ref = tf.image.resize(x, (16, 16), method="bilinear").numpy()
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestTransposeConvValid:
+    def test_valid_padding_output_size(self):
+        """VALID transpose conv: out = (in-1)*stride + kernel, from the
+        graph's declared output shape."""
+        tf = pytest.importorskip("tensorflow")
+        cin, cout, k, s, hw = 4, 3, 3, 2, 5
+        x = RNG.normal(size=(1, hw, hw, cin)).astype(np.float32)
+        w = RNG.normal(size=(cout, k, k, cin)).astype(np.float32)  # OHWI
+        out_hw = (hw - 1) * s + k
+        ir = _graph("CUSTOM:Convolution2DTransposeBias", [0, 1, -1], [2],
+                    {"padding": 1, "stride_w": s, "stride_h": s},
+                    [((1, hw, hw, cin), None), ((cout, k, k, cin), w),
+                     ((1, out_hw, out_hw, cout), None)])
+        out = _run(ir, x)
+        ref = tf.nn.conv2d_transpose(
+            x, np.transpose(w, (1, 2, 0, 3)),
+            output_shape=(1, out_hw, out_hw, cout),
+            strides=[1, s, s, 1], padding="VALID").numpy()
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_strided_slice_new_axis_mask_rejected(self):
+        x = np.zeros((2, 3), np.float32)
+        ir = _graph("STRIDED_SLICE", [0, 1, 2, 3], [4],
+                    {"begin_mask": 0, "end_mask": 0, "ellipsis_mask": 0,
+                     "new_axis_mask": 1, "shrink_axis_mask": 0},
+                    [((2, 3), None),
+                     ((2,), np.zeros(2, np.int32)),
+                     ((2,), np.asarray([2, 3], np.int32)),
+                     ((2,), np.ones(2, np.int32)),
+                     ((1, 2, 3), None)])
+        with pytest.raises(NotImplementedError, match="new_axis_mask"):
+            convert_model(ir)(jnp.asarray(x))

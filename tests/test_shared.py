@@ -351,3 +351,32 @@ class TestTypes:
         face = Face(det, None, np.zeros((0, 3)), (100, 100))
         f2 = face.with_tracking_id(7)
         assert f2.tracking_id == 7 and face.tracking_id is None
+
+
+class TestFastModeDegenerateDrop:
+    def test_degenerate_alignment_dropped_in_fast_mode(self):
+        """Coincident eye/mouth keypoints -> alignment size rounds to 0 ->
+        detection dropped even in fast mode (face_detector_core.dart:258)."""
+        import os
+        if not os.path.isdir("/root/reference/assets/models"):
+            pytest.skip("no assets")
+        from face_detection_tflite_tpu.convert.executor import convert_file
+        from face_detection_tflite_tpu.pipeline.config import (
+            FaceDetectionMode)
+        from face_detection_tflite_tpu.pipeline.programs import (
+            PipelineModels, build_pipeline_program)
+
+        models = PipelineModels(
+            detector=convert_file("/root/reference/assets/models/"
+                                  "face_detection_short_range.tflite"),
+            variant="short")
+        prog = build_pipeline_program(
+            models, 64, 64, FaceDetectionMode.FAST, from_detections=True,
+            batched=False)
+        boxes = jnp.asarray([[0.4, 0.4, 0.6, 0.6]])
+        kp_degenerate = jnp.full((1, 6, 2), 0.5)  # all points coincide
+        scores = jnp.asarray([0.9])
+        valid = jnp.asarray([True])
+        out = prog(models.params, jnp.zeros((64, 64, 3)),
+                   boxes, kp_degenerate, scores, valid)
+        assert not bool(np.asarray(out["valid"])[0])
