@@ -108,7 +108,8 @@ class FaceDetector:
                  model_dir: Optional[str] = None,
                  precision: str = "highest",
                  adaptive: bool = True,
-                 bucket_images: bool = False):
+                 bucket_images: bool = False,
+                 data_parallel: bool = False):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -166,6 +167,19 @@ class FaceDetector:
         self._tracker_lock = threading.Lock()
         self._tracking_generation = 0
 
+        #: Data-parallel serving over all attached devices: weights
+        #: replicated, the image batch sharded over a 1-D mesh
+        #: (parallel/sharding.py).  Uses the fused single-program path
+        #: (no host sync mid-pipeline); batches are padded to a multiple
+        #: of the mesh size.  No-op with a single device.
+        self._mesh = None
+        if data_parallel:
+            import jax as _jax
+            if len(_jax.devices()) > 1:
+                from ..parallel.sharding import make_mesh
+                self._mesh = make_mesh()
+                self.adaptive = False
+
         self._programs: dict[tuple, object] = {}
         self._disposed = False
         #: Per-stage wall-clock timing accumulator (WebDetectTimings analog);
@@ -208,9 +222,14 @@ class FaceDetector:
             # against the padded width and over-reject; defer it to the
             # host safety-net gate in _materialize.
             mfs = 0.0 if self.bucket_images else self.min_face_size
-            self._programs[key] = jax.jit(build_pipeline_program(
+            program = build_pipeline_program(
                 self.models, img_h, img_w, mode, max_faces=self.max_faces,
-                min_score=self.min_score, min_face_size=mfs))
+                min_score=self.min_score, min_face_size=mfs)
+            if self._mesh is not None:
+                from ..parallel.sharding import data_parallel as _dp
+                self._programs[key] = _dp(program, self._mesh)
+            else:
+                self._programs[key] = jax.jit(program)
         return self._programs[key]
 
     def _fetch(self, out: dict) -> dict:
@@ -333,8 +352,20 @@ class FaceDetector:
         if self.adaptive:
             out = self._detect_adaptive(images, mode)
         else:
+            pad_b = 0
+            if self._mesh is not None:
+                n = int(self._mesh.devices.size)
+                pad_b = (-b) % n
+                if pad_b:
+                    images = jnp.concatenate(
+                        [images, jnp.zeros((pad_b,) + images.shape[1:],
+                                           images.dtype)])
+                from ..parallel.sharding import shard_batch
+                images = shard_batch(images, self._mesh)
             prog = self._program(h, w, mode)
             out = self._fetch(prog(self.models.params, images))
+            if pad_b:
+                out = {k: v[:b] for k, v in out.items()}
         if (w, h) != orig_wh:
             sx, sy = w / orig_wh[0], h / orig_wh[1]
             for key in ("boxes", "keypoints", "raw_keypoints"):

@@ -60,3 +60,28 @@ def test_data_parallel_matches_single_device(models):
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_detector_data_parallel_matches_single():
+    """FaceDetector(data_parallel=True) on the 8-device CPU mesh returns
+    the same faces as the single-device path, including a non-divisible
+    batch (padded internally)."""
+    from PIL import Image
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector)
+    img = np.asarray(Image.open(
+        "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+    img = img[::4, ::4]  # small for CPU speed
+    single = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                          model_dir=MODELS_DIR, adaptive=False)
+    dp = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                      model_dir=MODELS_DIR, data_parallel=True)
+    assert dp._mesh is not None and dp._mesh.devices.size == 8
+    batch = np.stack([img] * 3)  # not divisible by 8 -> padding path
+    fs = single.detect_faces_batch(batch, FaceDetectionMode.FAST)
+    fd = dp.detect_faces_batch(batch, FaceDetectionMode.FAST)
+    assert [len(x) for x in fs] == [len(x) for x in fd]
+    for a, b in zip(fs, fd):
+        for fa, fb in zip(a, b):
+            assert abs(fa.bounding_box.xmin - fb.bounding_box.xmin) < 1e-5
+            assert abs(fa.score - fb.score) < 1e-6

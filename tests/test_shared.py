@@ -380,3 +380,44 @@ class TestFastModeDegenerateDrop:
         out = prog(models.params, jnp.zeros((64, 64, 3)),
                    boxes, kp_degenerate, scores, valid)
         assert not bool(np.asarray(out["valid"])[0])
+
+
+class TestFaceSmoother:
+    def _face(self, x0, tid, with_mesh=True):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        det = Detection(RectF(x0, 0.1, x0 + 0.2, 0.3), 0.9,
+                        np.full((6, 2), x0))
+        mesh = FaceMesh(np.full((468, 3), x0 * 100), 0.99) if with_mesh \
+            else None
+        return Face(det, mesh, np.zeros((0, 3)), (100, 100),
+                    tracking_id=tid)
+
+    def test_ema_converges(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+        (f1,) = s.smooth([self._face(0.0, 1)])
+        assert f1.bounding_box.xmin == pytest.approx(0.0)
+        (f2,) = s.smooth([self._face(0.4, 1)])
+        assert f2.bounding_box.xmin == pytest.approx(0.2)  # halfway
+        assert f2.mesh.points[0, 0] == pytest.approx(20.0)
+        assert f2.tracking_id == 1
+
+    def test_untracked_passthrough(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+        f = self._face(0.3, None)
+        assert s.smooth([f])[0] is f
+
+    def test_track_forgotten_after_misses(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5, max_missed_frames=1)
+        s.smooth([self._face(0.0, 7)])
+        s.smooth([])
+        s.smooth([])
+        (f,) = s.smooth([self._face(0.4, 7)])
+        assert f.bounding_box.xmin == pytest.approx(0.4)  # fresh, no EMA
+
+    def test_alpha_validation(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        with pytest.raises(ValueError):
+            FaceSmoother(alpha=0.0)
