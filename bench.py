@@ -64,9 +64,16 @@ def main():
     sample = os.path.join(os.path.dirname(d), "samples", "landmark-ex1.jpg")
     if os.path.exists(sample):
         img = load_image(sample)
-    else:
+    elif os.environ.get("FDT_BENCH_ALLOW_SYNTHETIC"):
         img = (np.random.default_rng(0)
                .uniform(0, 255, (853, 1280, 3)).astype(np.uint8))
+        log("WARNING: sample image missing; benching on synthetic noise "
+            "(0 faces) because FDT_BENCH_ALLOW_SYNTHETIC is set")
+    else:
+        log(f"ERROR: benchmark sample not found: {sample} — refusing to "
+            "record a meaningless number (set FDT_BENCH_ALLOW_SYNTHETIC=1 "
+            "to override)")
+        sys.exit(1)
     h, w, _ = img.shape
     # Device-resident batch: in serving, H2D transfer is pipelined with
     # compute (double buffering); keep it out of the steady-state loop.
@@ -84,7 +91,7 @@ def main():
     dt_std, n_faces = bench_mode(FaceDetectionMode.STANDARD)
     faces_per_sec = n_faces / dt_std
     log(f"standard mode: {dt_std*1e3:.2f} ms/batch, {n_faces} faces, "
-        f"{faces_per_sec:.1f} faces/sec, p50 {dt_std/batch*1e3:.2f} ms/img")
+        f"{faces_per_sec:.1f} faces/sec, mean {dt_std/batch*1e3:.2f} ms/img")
 
     dt_fast, _ = bench_mode(FaceDetectionMode.FAST)
     dt_full, _ = bench_mode(FaceDetectionMode.FULL)

@@ -118,6 +118,12 @@ def main():
         except Exception as e:  # pallas may not lower off-TPU
             results["configs"][name] = f"unavailable: {type(e).__name__}"
 
+    # Steady-state stage attribution: drop everything recorded so far
+    # (includes per-bucket compiles inside the warmup calls), then time a
+    # few clean full-mode calls.
+    det.timings.reset()
+    for _ in range(3):
+        det.detect_faces_batch(images, FaceDetectionMode.FULL)
     results["stage_timings_ms"] = det.timings.report()
 
     with open(args.out, "w") as f:

@@ -37,12 +37,15 @@ def main():
 
     print(f"{len(faces)} face(s) in {src} "
           f"[{det.accelerator_report['detector']}]")
+    def fmt(v, spec=".2f"):
+        return format(v, spec) if v is not None else "n/a"
+
     for i, f in enumerate(faces):
         a = f.head_euler_angles
-        print(f"  face {i}: score={f.score:.3f} mesh={f.mesh_score:.3f} "
-              f"smile={f.smiling_probability:.2f} "
-              f"eyes L{f.left_eye_open_probability:.2f}"
-              f"/R{f.right_eye_open_probability:.2f} "
+        print(f"  face {i}: score={f.score:.3f} mesh={fmt(f.mesh_score, '.3f')} "
+              f"smile={fmt(f.smiling_probability)} "
+              f"eyes L{fmt(f.left_eye_open_probability)}"
+              f"/R{fmt(f.right_eye_open_probability)} "
               f"pose=({a.x:.1f},{a.y:.1f},{a.z:.1f})deg")
     print("stage timings:", det.timings.report())
 

@@ -8,8 +8,9 @@ files (SURVEY §7.1: "convert the weights once into a checkpoint").
 
     python tools/export_weights.py [--src DIR] [--dst DIR]
 
-Each model produces `<name>.npz` holding the params dict plus `__meta__`
-(input/output shapes).  Load side: `convert.checkpoint.load_npz`.
+Each model produces `<name>.npz` holding the params dict plus
+`__meta_input_shapes__` / `__meta_output_shapes__`.  Load side:
+`convert.checkpoint.load_params_npz` + `swap_params`.
 """
 
 import argparse
