@@ -68,6 +68,28 @@ def _enable_compilation_cache() -> None:
     _cache_enabled = True
 
 
+def _normalize_channels(images):
+    """Accepts [B,H,W,{1,3,4}] or [B,H,W]; returns device [B,H,W,3].
+
+    Mirrors the reference's input tolerance (`bgrMatToSignedFloat32`,
+    helpers.dart:377-398: BGRA drops alpha, grayscale replicates)."""
+    if not isinstance(images, jax.Array):
+        images = jnp.asarray(np.asarray(images))
+    if images.ndim == 3:  # [B, H, W] grayscale
+        images = images[..., None]
+    if images.ndim != 4:
+        raise ValueError(
+            f"expected [B, H, W, C] image batch, got shape {images.shape}")
+    c = images.shape[-1]
+    if c == 3:
+        return images
+    if c == 4:
+        return images[..., :3]
+    if c == 1:
+        return jnp.broadcast_to(images, images.shape[:-1] + (3,))
+    raise ValueError(f"unsupported channel count {c} (want 1, 3 or 4)")
+
+
 def resolve_model_dir(model_dir: Optional[str] = None) -> str:
     """Finds the directory holding the .tflite model assets."""
     candidates = ([model_dir] if model_dir else []) + \
@@ -336,8 +358,7 @@ class FaceDetector:
         per-stream, sequential concept).
         """
         self._check_disposed()
-        if not isinstance(images, jax.Array):
-            images = jnp.asarray(np.asarray(images))
+        images = _normalize_channels(images)
         b, h, w, _ = images.shape
         orig_wh = (w, h)
         if self.bucket_images:

@@ -76,3 +76,49 @@ class TestEdgeCases:
         faces = d.detect_faces(img, FaceDetectionMode.FAST)
         assert len(faces) == 1
         assert faces[0].score == pytest.approx(0.918, abs=1e-3)  # top face
+
+
+class TestChannelTolerance:
+    def test_rgba_and_grayscale_inputs(self, det):
+        from PIL import Image
+        img = np.asarray(Image.open(
+            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+        rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        f_rgb = det.detect_faces(img, FaceDetectionMode.FAST)
+        f_rgba = det.detect_faces(rgba, FaceDetectionMode.FAST)
+        assert len(f_rgba) == len(f_rgb) == 1
+        assert f_rgba[0].bounding_box == f_rgb[0].bounding_box
+        gray = img.mean(axis=2).astype(np.uint8)
+        f_gray = det.detect_faces(gray[..., None], FaceDetectionMode.FAST)
+        assert len(f_gray) == 1  # detector still finds the face on gray
+
+    def test_bad_channel_count(self, det):
+        with pytest.raises(ValueError, match="channel count"):
+            det.detect_faces(np.zeros((64, 64, 2), np.uint8))
+
+    def test_not_an_image_batch(self, det):
+        with pytest.raises(ValueError, match="image batch"):
+            det.detect_faces_batch(np.zeros((4, 4), np.uint8))
+
+
+class TestVariantConsistency:
+    def test_variants_agree_on_box(self):
+        """All detector variants localize the same face within ~tolerance —
+        a cross-check of per-variant anchor configurations against each
+        other (they share no anchor code path parameters)."""
+        from PIL import Image
+        img = np.asarray(Image.open(
+            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+        h, w = img.shape[:2]
+        boxes = {}
+        for variant in (FaceDetectionModel.SHORT_RANGE,
+                        FaceDetectionModel.BACK_CAMERA,
+                        FaceDetectionModel.FULL):
+            d = FaceDetector(model=variant, model_dir=MODELS_DIR)
+            (f,) = d.detect_faces(img, FaceDetectionMode.FAST)
+            b = f.bounding_box
+            boxes[variant] = np.asarray([(b.xmin + b.xmax) / 2 * w,
+                                         (b.ymin + b.ymax) / 2 * h])
+        centers = np.stack(list(boxes.values()))
+        spread = np.linalg.norm(centers - centers.mean(0), axis=1).max()
+        assert spread < 40, f"variant box centers disagree by {spread:.0f}px"
