@@ -510,6 +510,13 @@ class FaceDetector:
             raise ValueError("Face must have left and right eye landmarks")
         return self.embedding_model.embed(image, left[:2], right[:2])
 
+    def get_face_embedding_from_eyes(self, left_eye, right_eye,
+                                     image: np.ndarray) -> np.ndarray:
+        """Embedding from just the two eye centers in absolute pixels —
+        the reference's minimal-payload path
+        (`getFaceEmbeddingFromEyesDirect`, face_detector_core.dart:419)."""
+        return self.embedding_model.embed(image, left_eye, right_eye)
+
     def get_face_embeddings(self, faces: Sequence[Face],
                             image: np.ndarray) -> list[np.ndarray]:
         return [self.get_face_embedding(f, image) for f in faces]
