@@ -325,3 +325,37 @@ class TestSecondSampleDrift:
             c = eye.iris_center[:2]
             assert ring[:, 0].min() - 3 <= c[0] <= ring[:, 0].max() + 3
             assert ring[:, 1].min() - 3 <= c[1] <= ring[:, 1].max() + 3
+
+
+class TestVariantOracleParity:
+    """Detection-stage oracle parity for the non-default variants (the
+    back variant is covered above; these pin the front/full anchor
+    configurations end to end)."""
+
+    @pytest.mark.parametrize("variant,fname", [
+        ("short", "face_detection_short_range.tflite"),
+        ("full", "face_detection_full_range.tflite"),
+    ])
+    def test_variant_boxes_match_oracle(self, variant, fname):
+        from face_detection_tflite_tpu.models.standalone import FaceDetection
+        from face_detection_tflite_tpu.pipeline.config import (
+            FaceDetectionModel as Variant)
+        img = _img("landmark-ex1.jpg")
+        h, w = img.shape[:2]
+        det = FaceDetection(
+            Variant.SHORT_RANGE if variant == "short" else Variant.FULL,
+            model_dir=MODELS_DIR)
+        ours = det(img)
+        ref = oracle.detect(img, os.path.join(MODELS_DIR, fname), variant)
+        assert len(ours) == len(ref) == 1
+        err = np.abs(np.asarray(
+            [ours[0].bounding_box.xmin, ours[0].bounding_box.ymin,
+             ours[0].bounding_box.xmax, ours[0].bounding_box.ymax])
+            - ref[0]["box"]) * [w, h, w, h]
+        # 1 detector px = 10 image px for the 128-input variant; allow
+        # sub-detector-pixel float-vs-uint8 letterbox noise.
+        assert err.max() < 1.5, f"{variant} box err {err}"
+        kp_err = (np.abs(ours[0].keypoints_xy - ref[0]["kp"])
+                  * [w, h]).max()
+        assert kp_err < 1.5, f"{variant} kp err {kp_err}"
+        assert abs(ours[0].score - ref[0]["score"]) < 1e-3
