@@ -240,3 +240,21 @@ class TestPrecisionPresets:
                          model_dir=MODELS_DIR,
                          precision={"detector": "highest"})
         assert len(d.detect_faces(img, FaceDetectionMode.FAST)) == 1
+
+
+class TestBytesBatch:
+    def test_detect_from_bytes_batch_mixed_sizes(self):
+        from PIL import Image
+        import io
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        data1 = open(os.path.join(SAMPLES, "landmark-ex1.jpg"), "rb").read()
+        # second image at a different size -> exercises per-size sub-batching
+        img2 = Image.open(io.BytesIO(data1)).resize((640, 427))
+        buf = io.BytesIO()
+        img2.save(buf, "JPEG", quality=90)
+        results = d.detect_faces_from_bytes_batch(
+            [data1, buf.getvalue(), data1], FaceDetectionMode.FAST)
+        assert [len(r) for r in results] == [1, 1, 1]
+        # same-size entries batched together must agree exactly
+        assert results[0][0].bounding_box == results[2][0].bounding_box
