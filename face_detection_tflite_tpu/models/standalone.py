@@ -179,13 +179,19 @@ class FaceBlendshapesModel:
 
         def run(params, pts):
             (coeffs,) = self.model.fn(params, pts[None])
-            return jnp.clip(jnp.nan_to_num(coeffs.reshape(52)), 0.0, 1.0)
+            raw = coeffs.reshape(52)
+            ok = ~jnp.any(jnp.isnan(raw))
+            return jnp.clip(jnp.nan_to_num(raw), 0.0, 1.0), ok
 
         self._run = jax.jit(run)
 
-    def __call__(self, landmarks_146: np.ndarray) -> np.ndarray:
+    def __call__(self, landmarks_146: np.ndarray):
+        """[146, 2] pixels -> [52] coefficients, or None when the model
+        emits NaN (the reference nulls the whole result,
+        face_blendshapes.dart:189-196)."""
         pts = np.asarray(landmarks_146, np.float32)
         if pts.shape != (146, 2):
             raise ValueError(
                 f"blendshape input must be [146, 2] pixels, got {pts.shape}")
-        return np.asarray(self._run(self.model.params, jnp.asarray(pts)))
+        coeffs, ok = self._run(self.model.params, jnp.asarray(pts))
+        return np.asarray(coeffs) if bool(ok) else None

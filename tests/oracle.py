@@ -4,6 +4,13 @@ interpreter), for end-to-end parity testing of the TPU pipeline.
 
 Each step mirrors a cited reference function; this file is the Python
 analog of the reference's own integration-test ground truth.
+
+Circularity note: the anchor generator and blendshape routing tables are
+imported from the package under test; their CONTENT is independently
+pinned to the reference by tests/test_reference_tables.py, which re-parses
+the tables from the Dart source and re-derives the anchor grids from
+scratch — so a transcription error cannot hide by reproducing on both
+sides of the parity tests.
 """
 
 from __future__ import annotations
@@ -101,8 +108,10 @@ def detect(img_rgb, model_path, variant):
     in_size = opts.input_size_width
     tensor, padding = letterbox_uint8(img_rgb, in_size)
     outs = tflite_run(model_path, tensor[None])
-    raw_boxes = next(o for o in outs if o.size > 900).reshape(-1, 16)
-    raw_scores = next(o for o in outs if o.size <= 4096).reshape(-1)
+    # Bind deterministically: the box tensor is the one whose last dim is 16
+    # (the score tensor is [1, A] or [1, A, 1]).
+    raw_boxes = next(o for o in outs if o.shape[-1] == 16).reshape(-1, 16)
+    raw_scores = next(o for o in outs if o.shape[-1] != 16).reshape(-1)
 
     dets = []
     for i in range(len(anchors)):
@@ -134,10 +143,12 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
     box, kp, score, mesh_abs [468,3], mesh_score, iris [152,3],
     blendshapes [52]."""
     h, w = img_rgb.shape[:2]
-    dets = detect(img_rgb,
-                  f"{models_dir}/face_detection_{'short_range' if variant == 'short' else variant}.tflite"
-                  if variant != "back" else f"{models_dir}/face_detection_back.tflite",
-                  variant)
+    fname = {"short": "face_detection_short_range.tflite",
+             "front": "face_detection_front.tflite",
+             "back": "face_detection_back.tflite",
+             "full": "face_detection_full_range.tflite",
+             "full_sparse": "face_detection_full_range_sparse.tflite"}[variant]
+    dets = detect(img_rgb, f"{models_dir}/{fname}", variant)
     faces = []
     for det in dets:
         kp = det["kp"]
@@ -206,9 +217,25 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
                           mesh_abs[np.clip(_IDX, 0, 467), :2])
         bouts = tflite_run(f"{models_dir}/face_blendshapes.tflite",
                            pts146[None].astype(np.float32))
-        coeffs = np.clip(np.nan_to_num(bouts[0].reshape(52)), 0, 1)
+        raw52 = bouts[0].reshape(52)
+        # NaN output -> no blendshapes for the face (face_blendshapes.dart:189)
+        coeffs = None if np.isnan(raw52).any() else np.clip(raw52, 0, 1)
+        # Face-presence gate (face_detector_core.dart:331-353): a crop the
+        # mesh model does not confirm is dropped from the results.
+        if mesh_score < 0.5:
+            continue
+        # Full-mode iris-refined eye keypoints (face_detector_core.dart:
+        # 356-373): eye keypoints replaced by the iris center nearest the
+        # 5-point centroid, normalized by the image size.
+        kp_refined = kp.copy()
+        for eye_i, (s0, s1) in enumerate(((71, 76), (147, 152))):
+            pts5 = iris[s0:s1, :2]
+            c = pts5.mean(axis=0)
+            best = pts5[np.argmin(((pts5 - c) ** 2).sum(axis=1))]
+            kp_refined[eye_i] = [best[0] / w, best[1] / h]
         faces.append({
-            "box": np.asarray(det["box"]), "kp": kp, "score": det["score"],
+            "box": np.asarray(det["box"]), "kp": kp,
+            "kp_refined": kp_refined, "score": det["score"],
             "mesh_abs": mesh_abs, "mesh_score": mesh_score, "iris": iris,
             "blendshapes": coeffs,
         })

@@ -131,29 +131,11 @@ class TestWarp:
 
 
 def _np_weighted_nms(dets, iou_thresh, score_thresh, max_det=100):
-    """Direct port of the reference semantics (helpers.dart:183-221) in numpy,
-    used as the oracle for the fixed-shape XLA implementation."""
-    filtered = [d for d in dets if d["score"] >= score_thresh]
-    filtered.sort(key=lambda d: -d["score"])
-    out = []
-    remaining = list(filtered)
-    while remaining and len(out) < max_det:
-        lead = remaining[0]
-        def iou(a, b):
-            ax0, ay0, ax1, ay1 = a
-            bx0, by0, bx1, by1 = b
-            inter = max(0, min(ax1, bx1) - max(ax0, bx0)) * \
-                max(0, min(ay1, by1) - max(ay0, by0))
-            ua = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
-            return inter / ua if ua > 0 else 0.0
-        cluster = [d for d in remaining if iou(d["box"], lead["box"]) > iou_thresh]
-        rest = [d for d in remaining if iou(d["box"], lead["box"]) <= iou_thresh]
-        wsum = sum(d["score"] for d in cluster)
-        blend = np.sum([np.array(d["box"]) * d["score"] for d in cluster],
-                       axis=0) / wsum
-        out.append({"box": blend, "score": lead["score"], "kp": lead["kp"]})
-        remaining = rest
-    return out
+    """Reference-semantics NMS oracle — shared with the pipeline oracle
+    (tests/oracle.py) so there is exactly one Python port to keep in sync
+    with helpers.dart:183-221."""
+    from .oracle import weighted_nms as _oracle_nms
+    return _oracle_nms(dets, iou_thresh, score_thresh, max_det)
 
 
 class TestWeightedNms:

@@ -179,6 +179,17 @@ class TestEndToEndDrift:
         assert box_err.max() < 1.0, f"box err px {box_err}"
         assert abs(f.score - r["score"]) < 1e-3
 
+        # Full-mode eye keypoints are iris-refined (the reference replaces
+        # them with the iris centers, face_detector_core.dart:356-373).
+        kp_err = (np.abs(f.detection_data.keypoints_xy[:2]
+                         - r["kp_refined"][:2]) * [w, h])
+        assert kp_err.max() < 5.0, f"refined eye kp err {kp_err.max():.2f}px"
+        # and they must differ from the raw detector keypoints (proving the
+        # refinement actually ran)
+        raw_vs_refined = (np.abs(f.detection_data.keypoints_xy[:2]
+                                 - r["kp"][:2]) * [w, h]).max()
+        assert raw_vs_refined > 0.5
+
         # Full chain: bounded by the mesh model's intrinsic sensitivity.
         err = np.linalg.norm(f.mesh.points[:, :2] - r["mesh_abs"][:, :2],
                              axis=1)
