@@ -173,3 +173,35 @@ class TestVideo:
             video_path, FaceDetectionMode.FAST, frame_stride=2,
             max_frames=2))
         assert [r.frame_index for r in results] == [0, 2]
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no sample assets")
+class TestMultiFaceVideo:
+    def test_two_faces_tracked_through_video(self, tmp_path):
+        """Two faces panning together keep two distinct stable IDs."""
+        cv2 = pytest.importorskip("cv2")
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        group = np.asarray(Image.open(os.path.join(
+            SAMPLES, "group-shot-bounding-box-ex1.jpeg")).convert("RGB"))
+        # crop a region containing the two front faces, downscale
+        crop = group[900:1600, 1100:2100]
+        crop = cv2.resize(crop[..., ::-1], (500, 350))
+        path = str(tmp_path / "two.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (500, 350))
+        for i in range(5):
+            vw.write(np.roll(crop, i * 3, axis=1))
+        vw.release()
+
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           enable_tracking=True,
+                           model_dir="/root/reference/assets/models")
+        results = list(det.detect_faces_from_video(
+            path, FaceDetectionMode.FAST, batch_size=3))
+        assert len(results) == 5
+        per_frame_ids = [sorted(f.tracking_id for f in r.faces)
+                         for r in results]
+        assert all(len(ids) == 2 for ids in per_frame_ids), per_frame_ids
+        assert all(ids == per_frame_ids[0] for ids in per_frame_ids)
