@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..convert.executor import ConvertedModel, convert_file
+from ..convert.executor import convert_file
 from ..ops.anchors import anchor_options_for, generate_anchors
 from ..ops.detections import (decode_detections, remove_letterbox,
                               weighted_nms)

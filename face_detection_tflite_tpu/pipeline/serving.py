@@ -19,8 +19,6 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -372,3 +372,25 @@ class TestVariantOracleParity:
         # Full-range scores sit nearer the threshold and are more input-
         # sensitive; the float-vs-uint8 letterbox costs ~0.007 here.
         assert abs(ours[0].score - ref[0]["score"]) < 2e-2
+
+
+class TestShortVariantFullMode:
+    """Full-mode drift vs the oracle with the 128-input short-range
+    detector — different anchor geometry and detector resolution feeding
+    the same downstream stages."""
+
+    def test_short_variant_full_drift(self):
+        img = _img("landmark-ex1.jpg")
+        det = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                           max_faces=4, model_dir=MODELS_DIR)
+        ours = det.detect_faces(img, FaceDetectionMode.FULL)
+        ref = oracle.full_pipeline(img, MODELS_DIR, "short")
+        assert len(ours) == len(ref) == 1
+        f, r = ours[0], ref[0]
+        assert abs(f.score - r["score"]) < 1e-2
+        err = np.linalg.norm(f.mesh.points[:, :2] - r["mesh_abs"][:, :2],
+                             axis=1)
+        # coarser detector (128 in on a 1280 image) -> larger alignment
+        # jitter than the back variant; same noise-floor reasoning.
+        assert err.mean() < 6.0, f"mesh drift {err.mean():.2f}"
+        assert f.mesh.score > 0.9 and r["mesh_score"] > 0.9
