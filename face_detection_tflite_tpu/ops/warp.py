@@ -77,7 +77,9 @@ def extract_aligned_square(img, cx, cy, size, theta, *, out_size: int,
       fill_value: border constant (0 = black; use -1.0 for pre-normalized
         [-1, 1] inputs).
     """
-    size_int = jnp.maximum(jnp.round(size), 1.0)
+    # Dart's double.round() rounds half away from zero; for positive sizes
+    # that is floor(x + 0.5) (jnp.round would round half to even).
+    size_int = jnp.maximum(jnp.floor(size + 0.5), 1.0)
     scale = out_size / size_int
     out_center = out_size / 2.0 + 0.5 * (scale - 1.0)
 

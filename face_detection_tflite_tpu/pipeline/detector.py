@@ -325,6 +325,16 @@ class FaceDetector:
         with self.timings.stage("face_readback"):
             return self._fetch(out)
 
+    def warmup(self, image_shape: tuple, batch_size: int = 1,
+               modes: Optional[Sequence[FaceDetectionMode]] = None) -> None:
+        """Pre-compiles the programs for an (H, W) bucket so the first real
+        request doesn't pay compile latency (a serving-startup nicety; the
+        persistent compile cache makes this fast on restarts)."""
+        h, w = image_shape[:2]
+        dummy = jnp.zeros((batch_size, h, w, 3), jnp.uint8)
+        for mode in modes or (FaceDetectionMode.FULL,):
+            self.detect_faces_batch(dummy, mode)
+
     def detect_faces(self, image: np.ndarray,
                      mode: FaceDetectionMode = FaceDetectionMode.FULL
                      ) -> list[Face]:

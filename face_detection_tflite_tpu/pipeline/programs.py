@@ -164,7 +164,8 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         theta, cx, cy, fsize = geometry.compute_face_alignment(
             kp, float(img_w), float(img_h))
         # Degenerate-size drop (face_detector_core.dart:258-263).
-        valid = valid & (jnp.round(fsize) > 0)
+        # Dart round() == floor(x+0.5) for positive x (half away from zero).
+        valid = valid & (jnp.floor(fsize + 0.5) > 0)
         # The core warps with the NEGATED alignment angle
         # (face_detector_core.dart:489, `-theta`), then maps results back
         # with +theta in transformMeshToAbsolute.
@@ -242,7 +243,7 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
             # without paying for the warp, face_detector_core.dart:258-266).
             _, _, _, fsize = geometry.compute_face_alignment(
                 kp, float(img_w), float(img_h))
-            out["valid"] = valid & (jnp.round(fsize) > 0)
+            out["valid"] = valid & (jnp.floor(fsize + 0.5) > 0)
             return out
         mesh_abs, mesh_scores, valid = mesh_stage(params, img, kp, valid)
         out.update(mesh=mesh_abs, mesh_scores=mesh_scores, valid=valid)

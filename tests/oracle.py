@@ -60,9 +60,15 @@ def letterbox_uint8(img_rgb, out_size):
     return tensor, padding
 
 
+def _dart_round(x):
+    """Dart double.round(): half away from zero (Python round is
+    half-to-even)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def extract_aligned_square(img, cx, cy, size, theta, out_size):
     """helpers.dart:583-625 verbatim via cv2."""
-    size_int = round(size)
+    size_int = _dart_round(size)
     if size_int <= 0:
         return None
     scale = out_size / size_int
@@ -162,7 +168,7 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
         theta = math.atan2(vey, vex)
         size = max(math.hypot(vmx, vmy) * 3.6, math.hypot(vex, vey) * 4.0)
         cx, cy = ecx + vmx * 0.1, ecy + vmy * 0.1
-        if round(size) <= 0:
+        if _dart_round(size) <= 0:
             continue
         # warp with NEGATED theta (face_detector_core.dart:489)
         crop = extract_aligned_square(img_rgb, cx, cy, size, -theta, 192)

@@ -258,3 +258,11 @@ class TestBytesBatch:
         assert [len(r) for r in results] == [1, 1, 1]
         # same-size entries batched together must agree exactly
         assert results[0][0].bounding_box == results[2][0].bounding_box
+
+
+def test_warmup_precompiles():
+    d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                     model_dir=MODELS_DIR)
+    d.warmup((96, 128), modes=[FaceDetectionMode.FAST])
+    keys = [k for k in d._programs if isinstance(k, tuple) and len(k) == 3]
+    assert any(k[:2] == (96, 128) for k in keys)
