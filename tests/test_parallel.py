@@ -85,3 +85,19 @@ def test_detector_data_parallel_matches_single():
         for fa, fb in zip(a, b):
             assert abs(fa.bounding_box.xmin - fb.bounding_box.xmin) < 1e-5
             assert abs(fa.score - fb.score) < 1e-6
+
+
+def test_data_parallel_with_bucketing():
+    """bucket_images + data_parallel compose: spatial pad then batch pad
+    then shard."""
+    from PIL import Image
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector)
+    img = np.asarray(Image.open(
+        "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+    img = img[:200, :300]  # 200x300 -> buckets to 256x512... (256 ladder)
+    d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                     model_dir=MODELS_DIR, data_parallel=True,
+                     bucket_images=True)
+    out = d.detect_faces_batch(np.stack([img] * 5), FaceDetectionMode.FAST)
+    assert len(out) == 5  # returns per-image lists, padding stripped
