@@ -225,9 +225,13 @@ class SelfieSegmentation:
                 jax.jit(jax.vmap(one, in_axes=(None, 0))), lbp)
         return self._programs[key]
 
-    def __call__(self, images) -> list[SegmentationMask]:
-        """Segments a [B, H, W, 3] RGB batch (uint8/float 0..255; numpy or
-        device-resident jax arrays)."""
+    def dispatch(self, images):
+        """Starts segmentation asynchronously; returns an opaque handle.
+
+        The device program is dispatched but NOT materialized — callers can
+        overlap other device work (the combined detect+segment path) and
+        call :meth:`materialize` later.
+        """
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))
         if images.ndim == 3:
@@ -239,6 +243,11 @@ class SelfieSegmentation:
                 f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
         prog, lbp = self._program(h, w)
         person, probs = prog(self.model.params, images)
+        return (person, probs, lbp, b, w, h)
+
+    def materialize(self, handle) -> list[SegmentationMask]:
+        """Blocks on a :meth:`dispatch` handle and builds the mask objects."""
+        person, probs, lbp, b, w, h = handle
         person = np.asarray(person)
         masks: list[SegmentationMask] = []
         for i in range(b):
@@ -249,3 +258,8 @@ class SelfieSegmentation:
             else:
                 masks.append(SegmentationMask(person[i], w, h, lbp.padding))
         return masks
+
+    def __call__(self, images) -> list[SegmentationMask]:
+        """Segments a [B, H, W, 3] RGB batch (uint8/float 0..255; numpy or
+        device-resident jax arrays)."""
+        return self.materialize(self.dispatch(images))

@@ -195,12 +195,16 @@ class FaceDetector:
         #: (no host sync mid-pipeline); batches are padded to a multiple
         #: of the mesh size.  No-op with a single device.
         self._mesh = None
+        self._params = self.models.params
         if data_parallel:
             import jax as _jax
             if len(_jax.devices()) > 1:
-                from ..parallel.sharding import make_mesh
+                from ..parallel.sharding import make_mesh, shard_params
                 self._mesh = make_mesh()
                 self.adaptive = False
+                # Replicate the weights once; without this every call
+                # re-broadcasts the whole pytree to the mesh.
+                self._params = shard_params(self.models.params, self._mesh)
 
         self._programs: dict[tuple, object] = {}
         self._disposed = False
@@ -305,7 +309,7 @@ class FaceDetector:
         with self.timings.stage("detect"):
             det = (_predispatched if _predispatched is not None else
                    self._program(h, w, FaceDetectionMode.FAST)(
-                       self.models.params, images))
+                       self._params, images))
         with self.timings.stage("detect_readback"):
             det_host = self._fetch(det)
         if mode == FaceDetectionMode.FAST:
@@ -320,7 +324,7 @@ class FaceDetector:
         sliced = {k: v[:, :bucket] for k, v in det.items()}
         with self.timings.stage(f"face_stages[{bucket}]"):
             out = self._face_stage_program(h, w, mode)(
-                self.models.params, images, sliced["boxes"],
+                self._params, images, sliced["boxes"],
                 sliced["raw_keypoints"], sliced["scores"], sliced["valid"])
         with self.timings.stage("face_readback"):
             return self._fetch(out)
@@ -331,9 +335,31 @@ class FaceDetector:
         request doesn't pay compile latency (a serving-startup nicety; the
         persistent compile cache makes this fast on restarts)."""
         h, w = image_shape[:2]
+        if self.bucket_images:
+            h, w = self._bucket(h), self._bucket(w)
         dummy = jnp.zeros((batch_size, h, w, 3), jnp.uint8)
         for mode in modes or (FaceDetectionMode.FULL,):
-            self.detect_faces_batch(dummy, mode)
+            if self.adaptive and mode != FaceDetectionMode.FAST:
+                # A zero image detects nothing, so the adaptive path would
+                # never reach the face-stage program; compile it directly
+                # with a synthetic 1-face slab.
+                det = self._program(h, w, FaceDetectionMode.FAST)(
+                    self._params, dummy)
+                self._fetch(det)
+                prog = self._face_stage_program(h, w, mode)
+                b = dummy.shape[0]
+                boxes = jnp.tile(jnp.asarray(
+                    [[[0.3, 0.3, 0.7, 0.7]]], jnp.float32), (b, 1, 1))
+                kp = jnp.tile(jnp.asarray(
+                    [[[[0.4, 0.45], [0.6, 0.45], [0.5, 0.55], [0.5, 0.62],
+                       [0.33, 0.46], [0.67, 0.46]]]], jnp.float32),
+                    (b, 1, 1, 1))
+                scores = jnp.full((b, 1), 0.9, jnp.float32)
+                valid = jnp.ones((b, 1), jnp.bool_)
+                self._fetch(prog(self._params, dummy, boxes, kp, scores,
+                                 valid))
+            else:
+                self.detect_faces_batch(dummy, mode)
 
     def detect_faces(self, image: np.ndarray,
                      mode: FaceDetectionMode = FaceDetectionMode.FULL
@@ -344,33 +370,45 @@ class FaceDetector:
         (`face_detector.dart:477`); use `detect_faces_from_bytes` /
         `detect_faces_from_filepath` for encoded inputs.
         """
+        gen0 = self._tracking_generation  # snapshot BEFORE the detection
         faces_batch = self.detect_faces_batch(np.asarray(image)[None], mode)
-        faces = faces_batch[0]
-        if self._tracking_enabled:
-            with self._tracker_lock:
-                gen = self._tracking_generation
-                ids = self._tracker.update(
-                    [[f.bounding_box.xmin, f.bounding_box.ymin,
-                      f.bounding_box.xmax, f.bounding_box.ymax]
-                     for f in faces])
-                if gen == self._tracking_generation:
-                    faces = [f.with_tracking_id(i)
-                             for f, i in zip(faces, ids)]
-        return faces
+        return self._attach_tracking(faces_batch[0], gen0)
+
+    def _attach_tracking(self, faces, gen_snapshot: int):
+        """Feeds one frame's faces to the tracker and attaches IDs.
+
+        ``gen_snapshot`` must be read before the detection started: a frame
+        in flight when reset_tracking() is called belongs to the discarded
+        stream, so it must neither carry IDs NOR pollute the fresh tracker
+        state (face_tracker.dart:211-214 generation semantics).
+        """
+        if not self._tracking_enabled:
+            return faces
+        with self._tracker_lock:
+            if gen_snapshot != self._tracking_generation:
+                return faces  # stale stream: skip the update entirely
+            ids = self._tracker.update(
+                [[f.bounding_box.xmin, f.bounding_box.ymin,
+                  f.bounding_box.xmax, f.bounding_box.ymax]
+                 for f in faces])
+            return [f.with_tracking_id(i) for f, i in zip(faces, ids)]
 
     def detect_faces_batch(self, images: np.ndarray,
-                           mode: FaceDetectionMode = FaceDetectionMode.FULL
-                           ) -> list[list[Face]]:
+                           mode: FaceDetectionMode = FaceDetectionMode.FULL,
+                           *, _orig_sizes=None) -> list[list[Face]]:
         """Batched detection: [B, H, W, 3] -> list of per-image Face lists.
 
         The TPU-native throughput path (no reference analog — the reference
         is strictly one image per call).  Tracking is not applied (it is a
-        per-stream, sequential concept).
+        per-stream, sequential concept).  ``_orig_sizes`` (internal) carries
+        per-image (w, h) when the caller pre-padded mixed-size images into
+        one bucket.
         """
         self._check_disposed()
         images = _normalize_channels(images)
         b, h, w, _ = images.shape
-        orig_wh = (w, h)
+        if b == 0:
+            return []
         if self.bucket_images:
             hb, wb = self._bucket(h), self._bucket(w)
             if (hb, wb) != (h, w):
@@ -379,7 +417,9 @@ class FaceDetector:
                 # fixup; normalized boxes/keypoints are rescaled below.
                 images = jnp.pad(
                     images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
-                h, w = hb, wb
+        bh, bw = images.shape[1], images.shape[2]
+        orig_sizes = (_orig_sizes if _orig_sizes is not None
+                      else [(w, h)] * b)
         if self.adaptive:
             out = self._detect_adaptive(images, mode)
         else:
@@ -393,18 +433,22 @@ class FaceDetector:
                                            images.dtype)])
                 from ..parallel.sharding import shard_batch
                 images = shard_batch(images, self._mesh)
-            prog = self._program(h, w, mode)
-            out = self._fetch(prog(self.models.params, images))
+            prog = self._program(bh, bw, mode)
+            out = self._fetch(prog(self._params, images))
             if pad_b:
                 out = {k: v[:b] for k, v in out.items()}
-        if (w, h) != orig_wh:
-            sx, sy = w / orig_wh[0], h / orig_wh[1]
-            for key in ("boxes", "keypoints", "raw_keypoints"):
-                if key in out:
-                    scale = ([sx, sy, sx, sy] if key == "boxes"
-                             else [sx, sy])
-                    out[key] = out[key] * np.asarray(scale, np.float32)
-        return [self._materialize(out, i, orig_wh, mode) for i in range(b)]
+        # Rescale normalized outputs from the (possibly padded) frame back
+        # to each image's own dimensions.
+        sx = np.asarray([bw / ow for ow, _ in orig_sizes], np.float32)
+        sy = np.asarray([bh / oh for _, oh in orig_sizes], np.float32)
+        if not (np.all(sx == 1.0) and np.all(sy == 1.0)):
+            out["boxes"] = out["boxes"] * np.stack(
+                [sx, sy, sx, sy], axis=1)[:, None, :]
+            kp_scale = np.stack([sx, sy], axis=1)[:, None, None, :]
+            for key in ("keypoints", "raw_keypoints"):
+                out[key] = out[key] * kp_scale
+        return [self._materialize(out, i, orig_sizes[i], mode)
+                for i in range(b)]
 
     @staticmethod
     def _bucket(v: int, step: int = 256) -> int:
@@ -435,10 +479,14 @@ class FaceDetector:
             # Late safety-net gate (applyFaceGates, face_gates.dart:84):
             # identical arithmetic to the early device gate; load-bearing
             # in bucketed mode where the early width gate is deferred.
+            # Pure numpy — a jnp call here would pay one device round trip
+            # per face.
             if self.min_face_size > 0.0:
-                from .gates import box_visible_width_fraction
-                frac = float(box_visible_width_fraction(
-                    np.asarray(out["boxes"][i, d]), size_wh[0]))
+                iw = float(size_wh[0])
+                left = float(out["boxes"][i, d][0]) * iw
+                right = float(out["boxes"][i, d][2]) * iw
+                visible = min(right, iw) - max(left, 0.0)
+                frac = visible / iw if (visible > 0 and iw > 0) else 0.0
                 if frac < self.min_face_size:
                     continue
             mesh = (FaceMesh(out["mesh"][i, d], score=mesh_score)
@@ -479,11 +527,29 @@ class FaceDetector:
         imgs = decode_images(list(datas))
         by_size: dict[tuple, list[int]] = {}
         for i, im in enumerate(imgs):
-            by_size.setdefault(im.shape, []).append(i)
+            if self.bucket_images:
+                key = (self._bucket(im.shape[0]), self._bucket(im.shape[1]))
+            else:
+                key = im.shape[:2]
+            by_size.setdefault(key, []).append(i)
         results: list[list[Face]] = [None] * len(imgs)  # type: ignore
-        for shape, idxs in by_size.items():
-            batch = np.stack([imgs[i] for i in idxs])
-            for i, faces in zip(idxs, self.detect_faces_batch(batch, mode)):
+        for (kh, kw), idxs in by_size.items():
+            if self.bucket_images:
+                # Mixed sizes sharing a bucket run as ONE device call:
+                # pad each image to the bucket and pass its true size for
+                # the coordinate rescale.
+                batch = np.stack([
+                    np.pad(imgs[i],
+                           ((0, kh - imgs[i].shape[0]),
+                            (0, kw - imgs[i].shape[1]), (0, 0)))
+                    for i in idxs])
+                sizes = [(imgs[i].shape[1], imgs[i].shape[0]) for i in idxs]
+                faces_per = self.detect_faces_batch(batch, mode,
+                                                    _orig_sizes=sizes)
+            else:
+                batch = np.stack([imgs[i] for i in idxs])
+                faces_per = self.detect_faces_batch(batch, mode)
+            for i, faces in zip(idxs, faces_per):
                 results[i] = faces
         return results
 
@@ -560,22 +626,18 @@ class FaceDetector:
         self._check_disposed()
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
-        image = np.asarray(image)
-        h, w, _ = image.shape
-        dev_img = jnp.asarray(image[None])
-        if self.adaptive:
-            # Dispatch the detect program asynchronously FIRST, then let
-            # segmentation run while it is in flight (XLA dispatch does not
-            # block; the segmentation call blocks on its own mask fetch).
-            det = self._program(h, w, FaceDetectionMode.FAST)(
-                self.models.params, dev_img)
-            masks = self._segmentation(dev_img)
-            out = self._detect_adaptive(dev_img, mode, _predispatched=det)
-        else:
-            det_out = self._program(h, w, mode)(self.models.params, dev_img)
-            masks = self._segmentation(dev_img)
-            out = self._fetch(det_out)
-        faces = self._materialize(out, 0, (w, h), mode)
+        gen0 = self._tracking_generation
+        images = _normalize_channels(np.asarray(image)[None])
+        # Dispatch segmentation asynchronously FIRST; detection then runs
+        # while the mask program is in flight, so the combined call costs
+        # ~max(detect, segment) like the reference's dual isolates
+        # (face_detector.dart:1297-1324).
+        seg_handle = self._segmentation.dispatch(images)
+        faces = self.detect_faces_batch(images, mode)[0]
+        # The reference tracks combined calls too
+        # (_runTrackedCombinedDetection, face_detector.dart:911).
+        faces = self._attach_tracking(faces, gen0)
+        masks = self._segmentation.materialize(seg_handle)
         return faces, masks[0]
 
     # -- observability -----------------------------------------------------------

@@ -266,3 +266,71 @@ def test_warmup_precompiles():
     d.warmup((96, 128), modes=[FaceDetectionMode.FAST])
     keys = [k for k in d._programs if isinstance(k, tuple) and len(k) == 3]
     assert any(k[:2] == (96, 128) for k in keys)
+
+
+class TestReviewRegressions:
+    def test_empty_batch_adaptive(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        assert d.detect_faces_batch(
+            np.zeros((0, 64, 64, 3), np.uint8), FaceDetectionMode.FULL) == []
+
+    def test_combined_call_is_tracked(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         enable_tracking=True, with_segmentation=True,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        f1, _ = d.detect_faces_with_segmentation(img)
+        f2, _ = d.detect_faces_with_segmentation(img)
+        assert f1[0].tracking_id == f2[0].tracking_id == 1
+
+    def test_combined_call_accepts_rgba(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         with_segmentation=True, model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        faces, mask = d.detect_faces_with_segmentation(rgba)
+        assert len(faces) == 1 and mask.data.shape == (256, 256)
+
+    def test_reset_tracking_discards_inflight_update(self):
+        """A frame whose detection started before reset_tracking() must
+        not register tracks in the new generation."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         enable_tracking=True, model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        d.detect_faces(img, FaceDetectionMode.FAST)  # gen 0, track 1
+        gen_before = d._tracking_generation
+        faces = d.detect_faces_batch(img[None], FaceDetectionMode.FAST)[0]
+        d.reset_tracking()
+        stale = d._attach_tracking(faces, gen_before)
+        assert all(f.tracking_id is None for f in stale)
+        assert d._tracker.active_track_count == 0  # tracker untouched
+
+    def test_warmup_compiles_face_stage_adaptive(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        d.warmup((96, 128), modes=[FaceDetectionMode.STANDARD])
+        stage_keys = [k for k in d._programs
+                      if isinstance(k, tuple) and len(k) == 4
+                      and k[-1] == "stage"]
+        assert any(k[:2] == (96, 128) for k in stage_keys)
+
+    def test_bytes_batch_bucketed_single_call(self):
+        """Mixed sizes sharing a bucket dispatch as one device batch."""
+        from PIL import Image
+        import io
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR, bucket_images=True)
+        base = Image.open(os.path.join(SAMPLES, "landmark-ex1.jpg"))
+        datas = []
+        for size in ((500, 333), (480, 320)):  # both bucket to (512, 512)
+            buf = io.BytesIO()
+            base.resize(size).save(buf, "JPEG", quality=90)
+            datas.append(buf.getvalue())
+        results = d.detect_faces_from_bytes_batch(datas,
+                                                  FaceDetectionMode.FAST)
+        assert [len(r) for r in results] == [1, 1]
+        # boxes are normalized to each ORIGINAL image -> roughly equal
+        b0, b1 = results[0][0].bounding_box, results[1][0].bounding_box
+        assert abs(b0.xmin - b1.xmin) < 0.03
+        assert abs(b0.ymax - b1.ymax) < 0.03
