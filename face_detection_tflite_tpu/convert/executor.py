@@ -155,6 +155,15 @@ def convert_model(
             else:
                 const[t.index] = t.data
 
+    # Quantized (int8/uint8/int16) graphs need scale/zero-point handling we
+    # do not implement; converting them silently would produce garbage.
+    for t in ir.tensors:
+        if t.dtype in (np.int8, np.uint8, np.int16) and t.data is not None:
+            raise NotImplementedError(
+                f"tensor {t.name!r} is {np.dtype(t.dtype).name}-quantized; "
+                "only float32/float16 models are supported — use the float "
+                "variant of the model")
+
     # ---- pass 1: fold constant DEQUANTIZE / DENSIFY, record live ops -------
     ops: list[OpIR] = []
     for op in ir.ops:
@@ -337,6 +346,9 @@ def convert_model(
             elif nm == "FULLY_CONNECTED":
                 x = get(op.inputs[0])
                 w = get(op.inputs[1])  # [out, in]
+                if not o.get("keep_num_dims"):
+                    # TFLite flattens all but the feature dim to the batch.
+                    x = x.reshape(-1, w.shape[1])
                 y = jnp.dot(x, w.T, preferred_element_type=jnp.float32,
                             precision=prec)
                 if len(op.inputs) > 2 and op.inputs[2] >= 0:
@@ -487,8 +499,23 @@ def convert_model(
                 x = get(op.inputs[0])
                 out_hw = get_static(op.inputs[1]).astype(np.int64)
                 oh, ow = int(out_hw[0]), int(out_hw[1])
-                env[op.outputs[0]] = jax.image.resize(
-                    x, (x.shape[0], oh, ow, x.shape[3]), method="nearest")
+
+                def nn_idx(in_s, out_s):
+                    # TFLite semantics: default floor(i*scale);
+                    # half_pixel floor((i+0.5)*scale); align_corners
+                    # round(i*(in-1)/(out-1)).
+                    i = np.arange(out_s)
+                    if o.get("align_corners") and out_s > 1:
+                        idx = np.round(i * (in_s - 1) / (out_s - 1))
+                    elif o.get("half_pixel_centers"):
+                        idx = np.floor((i + 0.5) * in_s / out_s)
+                    else:
+                        idx = np.floor(i * in_s / out_s)
+                    return np.clip(idx, 0, in_s - 1).astype(np.int32)
+
+                y = jnp.take(x, jnp.asarray(nn_idx(x.shape[1], oh)), axis=1)
+                y = jnp.take(y, jnp.asarray(nn_idx(x.shape[2], ow)), axis=2)
+                env[op.outputs[0]] = y
             elif nm == "DEPTH_TO_SPACE":
                 x = get(op.inputs[0])
                 b = o["block_size"]

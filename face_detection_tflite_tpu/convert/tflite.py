@@ -193,7 +193,7 @@ def _decode_options(opname: str, op: Table) -> dict:
             t.scalar_vector(0, "int32").tolist() if t is not None else None
         )
         return {"new_shape": new_shape}
-    if opname in ("MEAN", "SUM", "REDUCE_MAX"):
+    if opname in ("MEAN", "SUM", "REDUCE_MAX", "REDUCE_MIN"):
         return {"keep_dims": scalar(0, "bool", False)}
     if opname == "STRIDED_SLICE":
         return {
@@ -203,10 +203,17 @@ def _decode_options(opname: str, op: Table) -> dict:
             "new_axis_mask": scalar(3, "int32"),
             "shrink_axis_mask": scalar(4, "int32"),
         }
-    if opname in ("RESIZE_BILINEAR", "RESIZE_NEAREST_NEIGHBOR"):
+    if opname == "RESIZE_BILINEAR":
+        # slots 0/1 are the deprecated new_height/new_width fields.
         return {
             "align_corners": scalar(2, "bool", False),
             "half_pixel_centers": scalar(3, "bool", False),
+        }
+    if opname == "RESIZE_NEAREST_NEIGHBOR":
+        # ResizeNearestNeighborOptions has no deprecated leading fields.
+        return {
+            "align_corners": scalar(0, "bool", False),
+            "half_pixel_centers": scalar(1, "bool", False),
         }
     if opname == "DEPTH_TO_SPACE":
         return {"block_size": scalar(0, "int32")}

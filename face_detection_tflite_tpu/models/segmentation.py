@@ -28,7 +28,7 @@ __all__ = ["SegmentationClass", "SegmentationMask",
            "MulticlassSegmentationMask", "SelfieSegmentation",
            "MIN_SEGMENTATION_INPUT_SIZE"]
 
-MIN_SEGMENTATION_INPUT_SIZE = 32  # kMinSegmentationInputSize
+MIN_SEGMENTATION_INPUT_SIZE = 16  # selfie_segmentation.dart:4
 
 
 class SegmentationClass(enum.IntEnum):

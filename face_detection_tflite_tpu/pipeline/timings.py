@@ -16,7 +16,7 @@ import time
 from collections import defaultdict
 from typing import Iterator
 
-__all__ = ["DetectTimings", "trace"]
+__all__ = ["DetectTimings", "FpsCounter", "trace"]
 
 
 class DetectTimings:

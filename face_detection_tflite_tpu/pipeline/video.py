@@ -12,6 +12,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import threading
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -69,17 +70,11 @@ def process_video(detector, path: str,
     def flush():
         if not pending:
             return
+        gen0 = detector._tracking_generation  # snapshot before the batch
         batch = np.stack([f for _, _, f in pending])
         per_frame = detector.detect_faces_batch(batch, mode)
         for (fi, ts, _), faces in zip(pending, per_frame):
-            if detector._tracking_enabled:
-                with detector._tracker_lock:
-                    ids = detector._tracker.update(
-                        [[f.bounding_box.xmin, f.bounding_box.ymin,
-                          f.bounding_box.xmax, f.bounding_box.ymax]
-                         for f in faces])
-                faces = [f.with_tracking_id(i)
-                         for f, i in zip(faces, ids)]
+            faces = detector._attach_tracking(faces, gen0)
             yield VideoFrameResult(fi, ts, faces)
         pending.clear()
 
@@ -117,9 +112,15 @@ class FrameThrottle:
 
     def take(self, timeout: Optional[float] = None):
         """Blocks for the freshest frame; returns None on close/timeout."""
+        deadline = None if timeout is None else time.monotonic() + timeout
         with self._cv:
-            if not self._dq and not self._closed:
-                self._cv.wait(timeout)
+            while not self._dq and not self._closed:
+                remaining = (None if deadline is None
+                             else deadline - time.monotonic())
+                if remaining is not None and remaining <= 0:
+                    break
+                if not self._cv.wait(remaining):
+                    break  # timed out
             if not self._dq:
                 return None
             frame = self._dq.pop()  # freshest

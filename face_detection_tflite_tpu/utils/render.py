@@ -33,9 +33,12 @@ def _draw_line(img, x0, y0, x1, y1, color):
     n = int(max(abs(x1 - x0), abs(y1 - y0), 1))
     xs = np.linspace(x0, x1, n + 1)
     ys = np.linspace(y0, y1, n + 1)
-    xi = np.clip(xs.round().astype(int), 0, w - 1)
-    yi = np.clip(ys.round().astype(int), 0, h - 1)
-    img[yi, xi] = color
+    xi = xs.round().astype(int)
+    yi = ys.round().astype(int)
+    # Clip (drop out-of-image samples) rather than clamping to the border,
+    # which would smear off-screen geometry along the edges.
+    inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    img[yi[inside], xi[inside]] = color
 
 
 def _draw_rect(img, x0, y0, x1, y1, color):

@@ -62,8 +62,10 @@ class TestSegmentation:
         assert mask.data.shape == (144, 256)
 
     def test_too_small_image_rejected(self, seg):
+        # kMinSegmentationInputSize = 16 (selfie_segmentation.dart:4);
+        # 16x16 itself is accepted, below is rejected.
         with pytest.raises(ValueError, match="smaller than minimum"):
-            seg(np.zeros((16, 16, 3), np.uint8)[None])
+            seg(np.zeros((15, 15, 3), np.uint8)[None])
 
     def test_batch(self, seg):
         img = _img("landmark-ex1.jpg")
