@@ -15,7 +15,7 @@ import math
 import jax.numpy as jnp
 
 __all__ = ["validate_face_gates", "box_visible_width_fraction",
-           "apply_detection_gates_mask", "apply_presence_gate_mask"]
+           "apply_detection_gates_mask"]
 
 
 def validate_face_gates(min_score: float, min_face_size: float,
@@ -56,11 +56,7 @@ def apply_detection_gates_mask(valid, scores, boxes, *, min_score: float,
     return keep
 
 
-def apply_presence_gate_mask(valid, mesh_scores,
-                             min_face_presence_confidence: float):
-    """Presence gate (`_passesPresence`, face_detector_core.dart:101-103):
-    faces whose mesh presence score is below the threshold are dropped.
-    A disabled gate (<= 0) keeps everything."""
-    if min_face_presence_confidence <= 0.0:
-        return valid
-    return valid & (mesh_scores >= min_face_presence_confidence)
+# NOTE: the presence gate (`_passesPresence`, face_detector_core.dart:101)
+# is applied on host in FaceDetector._materialize, where the reference's
+# "null meshScore always passes" rule is expressible; there is no device
+# mask variant to avoid two drifting implementations.

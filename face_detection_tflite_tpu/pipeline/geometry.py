@@ -155,8 +155,8 @@ def head_euler_angles_from_mesh(mesh_abs):
 
     ddr = jnp.sum(down * right, axis=-1, keepdims=True)
     down = down - ddr * right
-    down = down / jnp.maximum(jnp.linalg.norm(down, axis=-1, keepdims=True),
-                              1e-12)
+    dlen2 = jnp.linalg.norm(down, axis=-1, keepdims=True)
+    down = down / jnp.maximum(dlen2, 1e-12)
 
     # back = right x down, z component only.
     bz = (right[..., 0] * down[..., 1] - right[..., 1] * down[..., 0])
@@ -165,7 +165,12 @@ def head_euler_angles_from_mesh(mesh_abs):
     yaw = jnp.arcsin(jnp.clip(-right[..., 2], -1.0, 1.0))
     roll = jnp.arctan2(right[..., 1], right[..., 0])
     deg = 180.0 / jnp.pi
-    return jnp.stack([-pitch * deg, -yaw * deg, -roll * deg], axis=-1)
+    angles = jnp.stack([-pitch * deg, -yaw * deg, -roll * deg], axis=-1)
+    # Degenerate frames (coincident landmarks / parallel axes) return NaN,
+    # mirroring the reference's null (face_geometry.dart:215-229); the Face
+    # getter then falls back to roll-from-eyes.
+    degenerate = ((rlen < 1e-6) | (dlen < 1e-6) | (dlen2 < 1e-6))[..., 0]
+    return jnp.where(degenerate[..., None], jnp.nan, angles)
 
 
 def roll_from_eyes(left_eye_xy, right_eye_xy):

@@ -55,10 +55,24 @@ class FaceSmoother:
                 out.append(f)
                 continue
             seen.add(tid)
-            self._state.setdefault(tid, {})
+            state = self._state.setdefault(tid, {})
             self._missed[tid] = 0
 
             b = f.bounding_box
+            # Guard against ID reuse after detector.reset_tracking(): if the
+            # stored box and the new one don't plausibly belong to the same
+            # track (no overlap and far apart), restart the EMA rather than
+            # blending two different faces.
+            prev_box = state.get("box")
+            if prev_box is not None:
+                pw = max(prev_box[2] - prev_box[0], 1e-6)
+                ph = max(prev_box[3] - prev_box[1], 1e-6)
+                pcx = (prev_box[0] + prev_box[2]) / 2
+                pcy = (prev_box[1] + prev_box[3]) / 2
+                ncx, ncy = (b.xmin + b.xmax) / 2, (b.ymin + b.ymax) / 2
+                diag = float(np.hypot(pw, ph))
+                if float(np.hypot(ncx - pcx, ncy - pcy)) > 1.5 * diag:
+                    state.clear()
             box = self._ema(tid, "box",
                             [b.xmin, b.ymin, b.xmax, b.ymax])
             kp = self._ema(tid, "kp", f.detection_data.keypoints_xy)

@@ -15,8 +15,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .blendshape_input import BLENDSHAPE_NAMES
-from .gates import box_visible_width_fraction
-from .geometry import head_euler_angles_from_mesh, roll_from_eyes
+from .geometry import (MESH_CHIN_BOTTOM, MESH_FOREHEAD_TOP, MESH_LEFT_CHEEK,
+                       MESH_RIGHT_CHEEK)
 
 __all__ = [
     "FaceLandmarkType", "FaceContourType", "Blendshape", "RectF",
@@ -28,6 +28,38 @@ __all__ = [
 
 MESH_POINTS = 468
 MAX_EYE_LANDMARK = 15
+
+
+def _np_head_euler(mesh_points: np.ndarray):
+    """Host (numpy) head-pose solve — same math as
+    `geometry.head_euler_angles_from_mesh` (the jnp version runs inside
+    compiled programs; calling it per face here would pay one device
+    dispatch per access).  Returns (pitch, yaw, roll) degrees or None for
+    degenerate meshes (face_geometry.dart:215-229).  Equality with the jnp
+    version is pinned in tests/test_shared.py."""
+    f = mesh_points[MESH_FOREHEAD_TOP].astype(np.float64)
+    c = mesh_points[MESH_CHIN_BOTTOM].astype(np.float64)
+    l = mesh_points[MESH_LEFT_CHEEK].astype(np.float64)
+    r = mesh_points[MESH_RIGHT_CHEEK].astype(np.float64)
+    right = r - l
+    down = c - f
+    rlen = np.linalg.norm(right)
+    dlen = np.linalg.norm(down)
+    if rlen < 1e-6 or dlen < 1e-6:
+        return None
+    right /= rlen
+    down /= dlen
+    down = down - np.dot(down, right) * right
+    dlen2 = np.linalg.norm(down)
+    if dlen2 < 1e-6:
+        return None
+    down /= dlen2
+    bz = right[0] * down[1] - right[1] * down[0]
+    pitch = np.arctan2(down[2], bz)
+    yaw = np.arcsin(np.clip(-right[2], -1.0, 1.0))
+    roll = np.arctan2(right[1], right[0])
+    return (float(np.degrees(-pitch)), float(np.degrees(-yaw)),
+            float(np.degrees(-roll)))
 
 
 class FaceLandmarkType(enum.IntEnum):
@@ -317,55 +349,77 @@ class Face:
 
     @property
     def width_fraction(self) -> float:
-        """Visible face width / image width (`face_types.dart:1196`)."""
+        """Visible face width / image width (`face_types.dart:1196`).
+        Pure numpy (a jnp call here would cost a device dispatch per
+        access)."""
         b = self.detection_data.bounding_box
-        return float(box_visible_width_fraction(
-            np.asarray([b.xmin, b.ymin, b.xmax, b.ymax]),
-            self.original_size[0]))
+        iw = float(self.original_size[0])
+        if iw <= 0:
+            return 0.0
+        visible = min(b.xmax * iw, iw) - max(b.xmin * iw, 0.0)
+        return visible / iw if visible > 0 else 0.0
 
     @property
     def landmarks(self) -> FaceLandmarks:
-        """The 6 detector keypoints in absolute pixels (iris-refined eye
-        centers in full mode)."""
+        """The 6 detector keypoints in absolute pixels.  In full mode the
+        eye entries are the iris centers including their z
+        (`face_types.dart:1317-1321`)."""
         w, h = self.original_size
         pts = {}
         for t in FaceLandmarkType:
             if t < len(self.detection_data.keypoints_xy):
                 kp = self.detection_data.keypoints_xy[t]
                 pts[t] = np.asarray([kp[0] * w, kp[1] * h, 0.0])
+        eyes = self.eyes
+        if eyes is not None:
+            if eyes.left_eye is not None:
+                pts[FaceLandmarkType.LEFT_EYE] = np.asarray(
+                    eyes.left_eye.iris_center, np.float64)
+            if eyes.right_eye is not None:
+                pts[FaceLandmarkType.RIGHT_EYE] = np.asarray(
+                    eyes.right_eye.iris_center, np.float64)
         return FaceLandmarks(pts)
 
     # -- derived (lazy, as in the reference) ----------------------------------
 
     @property
     def eyes(self) -> Optional[EyePair]:
+        """Per-eye iris data; stream-splitting rules follow
+        `face_types.dart:1289-1307`: 152 -> two 76-point eyes, 10 -> two
+        5-point iris sets, any even length > 10 -> split in half, and any
+        stream of >= 5 points parses as a single (left) eye."""
         if self._eyes is None and len(self.iris_points):
             n = len(self.iris_points)
             if n == 152:
                 self._eyes = EyePair(Eye.from_points(self.iris_points[:76]),
                                      Eye.from_points(self.iris_points[76:]))
-            elif n == 76:
-                self._eyes = EyePair(Eye.from_points(self.iris_points), None)
             elif n == 10:
                 self._eyes = EyePair(Eye.from_points(self.iris_points[:5]),
                                      Eye.from_points(self.iris_points[5:]))
+            elif n > 10 and n % 2 == 0:
+                half = n // 2
+                self._eyes = EyePair(
+                    Eye.from_points(self.iris_points[:half]),
+                    Eye.from_points(self.iris_points[half:]))
+            elif n >= 5:
+                self._eyes = EyePair(Eye.from_points(self.iris_points), None)
         return self._eyes
 
     @property
     def head_euler_angles(self) -> Optional[HeadEulerAngles]:
         if self._angles is None:
             if self.mesh is not None and len(self.mesh) >= MESH_POINTS:
-                a = np.asarray(head_euler_angles_from_mesh(self.mesh.points))
-                if np.all(np.isfinite(a)):
-                    self._angles = HeadEulerAngles(*map(float, a))
+                a = _np_head_euler(self.mesh.points)
+                if a is not None:
+                    self._angles = HeadEulerAngles(*a)
             if self._angles is None:
                 # Fast-mode fallback: roll only (`face_types.dart:1271-1287`).
                 kp = self.detection_data.keypoints_xy
                 if len(kp) >= 2:
                     w, h = self.original_size
-                    roll = float(roll_from_eyes(
-                        np.asarray(kp[0]) * [w, h],
-                        np.asarray(kp[1]) * [w, h]))
+                    dx = (kp[1][0] - kp[0][0]) * w
+                    dy = (kp[1][1] - kp[0][1]) * h
+                    roll = float(np.degrees(-np.arctan2(dy, dx)))
                     self._angles = HeadEulerAngles(0.0, 0.0, roll)
         return self._angles
 

@@ -47,22 +47,26 @@ def decode_image(data: bytes) -> np.ndarray:
             return pool.decode(data)
         except ValueError:
             pass  # e.g. progressive edge cases — fall back below
+    pil_error = None
     try:
         from PIL import Image
         try:
             return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         except Exception as e:
-            raise ValueError(f"Failed to decode image bytes: {e}") from e
+            pil_error = e  # fall through to cv2 (it decodes formats PIL lacks)
     except ImportError:
         pass
     try:
         import cv2
         arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-        if arr is None:
-            raise ValueError("Failed to decode image bytes")
-        return arr[..., ::-1].copy()
-    except ImportError as e:
-        raise RuntimeError("Neither PIL nor cv2 available for decode") from e
+        if arr is not None:
+            return arr[..., ::-1].copy()
+    except ImportError:
+        if pil_error is None:
+            raise RuntimeError(
+                "Neither PIL nor cv2 available for decode") from None
+    raise ValueError(f"Failed to decode image bytes"
+                     + (f": {pil_error}" if pil_error else ""))
 
 
 def decode_images(datas: list[bytes]) -> list[np.ndarray]:

@@ -37,16 +37,21 @@ def _try_build() -> bool:
 
 
 def load_runtime() -> Optional[ctypes.CDLL]:
-    """Loads (building if needed) the native runtime, or None."""
+    """Loads (building if needed) the native runtime, or None.
+
+    A failed build/load is cached so repeated calls don't re-spawn make.
+    """
     global _lib
     with _lib_lock:
         if _lib is not None:
-            return _lib
+            return _lib if _lib is not False else None
         if not os.path.exists(_LIB_PATH) and not _try_build():
+            _lib = False
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
+            _lib = False
             return None
         lib.fdt_jpeg_probe.restype = ctypes.c_int
         lib.fdt_jpeg_probe.argtypes = [

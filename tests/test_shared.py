@@ -421,3 +421,74 @@ class TestFaceSmoother:
         from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
         with pytest.raises(ValueError):
             FaceSmoother(alpha=0.0)
+
+
+class TestFifthReviewRegressions:
+    def test_np_head_euler_matches_jnp(self):
+        """Host numpy head-pose equals the device jnp implementation."""
+        from face_detection_tflite_tpu.pipeline.types import _np_head_euler
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            mesh = np.zeros((468, 3))
+            mesh[geometry.MESH_FOREHEAD_TOP] = rng.normal(50, 20, 3)
+            mesh[geometry.MESH_CHIN_BOTTOM] = rng.normal(60, 20, 3)
+            mesh[geometry.MESH_LEFT_CHEEK] = rng.normal(30, 20, 3)
+            mesh[geometry.MESH_RIGHT_CHEEK] = rng.normal(80, 20, 3)
+            a_np = _np_head_euler(mesh)
+            a_jnp = np.asarray(geometry.head_euler_angles_from_mesh(
+                jnp.asarray(mesh, jnp.float32)[None]))[0]
+            assert np.allclose(a_np, a_jnp, atol=1e-3)
+
+    def test_degenerate_head_pose_falls_back_to_roll(self):
+        """All-coincident landmarks -> jnp gives NaN, Face falls back."""
+        mesh = np.full((468, 3), 5.0)
+        a = np.asarray(geometry.head_euler_angles_from_mesh(
+            jnp.asarray(mesh, jnp.float32)[None]))[0]
+        assert np.isnan(a).all()
+        kp = np.zeros((6, 2))
+        kp[0], kp[1] = [0.4, 0.5], [0.6, 0.5]
+        det = Detection(RectF(0.3, 0.3, 0.7, 0.7), 0.9, kp)
+        face = Face(det, FaceMesh(mesh, 0.9), np.zeros((0, 3)), (100, 100))
+        angles = face.head_euler_angles
+        assert angles.x == 0.0 and angles.y == 0.0  # roll-only fallback
+
+    def test_eyes_generic_stream_lengths(self):
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        # even stream of 20 -> split in halves
+        face = Face(det, None, np.arange(60).reshape(20, 3), (100, 100))
+        eyes = face.eyes
+        assert eyes.left_eye is not None and eyes.right_eye is not None
+        assert len(eyes.left_eye.mesh) == 5  # 10 - 5 iris points
+        # stream of 7 -> single left eye
+        face2 = Face(det, None, np.arange(21).reshape(7, 3), (100, 100))
+        assert face2.eyes.left_eye is not None
+        assert face2.eyes.right_eye is None
+
+    def test_landmarks_eye_z_from_iris(self):
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9,
+                        np.full((6, 2), 0.5))
+        iris = np.zeros((152, 3))
+        iris[71:76] = [[10, 10, -3], [12, 10, -3], [11, 11, -3.5],
+                       [10, 12, -3], [12, 12, -3]]
+        iris[147:152] = [[30, 10, -4], [32, 10, -4], [31, 11, -4.5],
+                         [30, 12, -4], [32, 12, -4]]
+        face = Face(det, None, iris, (100, 100))
+        lm = face.landmarks
+        assert lm.left_eye[2] == -3.5   # iris center z carried through
+        assert lm.right_eye[2] == -4.5
+
+    def test_smoother_resets_on_discontinuity(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+
+        def face_at(x0, tid):
+            d = Detection(RectF(x0, 0.1, x0 + 0.1, 0.2), 0.9,
+                          np.zeros((6, 2)))
+            return Face(d, None, np.zeros((0, 3)), (100, 100),
+                        tracking_id=tid)
+
+        s.smooth([face_at(0.0, 1)])
+        # same ID but a face on the other side of the frame (ID reuse
+        # after reset_tracking): EMA restarts instead of blending
+        (f,) = s.smooth([face_at(0.8, 1)])
+        assert f.bounding_box.xmin == pytest.approx(0.8)
