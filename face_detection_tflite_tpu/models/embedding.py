@@ -190,8 +190,8 @@ class FaceEmbedding:
             return cls(convert_file(tflite_path))
         return cls(build_mobilefacenet())
 
-    def _program(self, img_h: int, img_w: int):
-        key = (img_h, img_w)
+    def _raw_fn(self, img_h: int, img_w: int):
+        key = ("raw", img_h, img_w)
         if key not in self._programs:
             def one(params, img, cx, cy, size, theta):
                 # The core warps with the negated alignment angle
@@ -205,7 +205,13 @@ class FaceEmbedding:
                 norm = jnp.sqrt(jnp.sum(emb * emb))
                 return jnp.where(norm > 0, emb / norm, emb)
 
-            self._programs[key] = jax.jit(one)
+            self._programs[key] = one
+        return self._programs[key]
+
+    def _program(self, img_h: int, img_w: int):
+        key = (img_h, img_w)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(self._raw_fn(img_h, img_w))
         return self._programs[key]
 
     def embed(self, image: np.ndarray, left_eye, right_eye) -> np.ndarray:
@@ -216,6 +222,40 @@ class FaceEmbedding:
         prog = self._program(h, w)
         return np.asarray(prog(self.model.params, jnp.asarray(image),
                                cx, cy, size, theta))
+
+    def _batch_program(self, img_h: int, img_w: int, n: int):
+        key = ("batch", img_h, img_w, n)
+        if key not in self._programs:
+            one = self._raw_fn(img_h, img_w)
+
+            def many(params, img, cxs, cys, sizes, thetas):
+                return jax.vmap(
+                    lambda cx, cy, s, t: one(params, img, cx, cy, s, t)
+                )(cxs, cys, sizes, thetas)
+
+            self._programs[key] = jax.jit(many)
+        return self._programs[key]
+
+    def embed_batch(self, image: np.ndarray, eye_pairs) -> np.ndarray:
+        """Embeds N faces of ONE image in a single device program.
+
+        ``eye_pairs`` is a sequence of (left_eye, right_eye) pixel points;
+        returns [N, 192].  The N crops warp and batch through MobileFaceNet
+        together (vs. N dispatches from calling :meth:`embed` in a loop).
+        """
+        image = np.asarray(image)
+        h, w, _ = image.shape
+        aligns = [compute_embedding_alignment(le, re)
+                  for le, re in eye_pairs]
+        n = len(aligns)
+        if n == 0:
+            return np.zeros((0, EMBEDDING_DIM), np.float32)
+        prog = self._batch_program(h, w, n)
+        cxs, cys, sizes, thetas = (jnp.asarray([a[i] for a in aligns],
+                                               jnp.float32)
+                                   for i in range(4))
+        return np.asarray(prog(self.model.params, jnp.asarray(image),
+                               cxs, cys, sizes, thetas))
 
     # Static helpers mirroring the reference API.
     cosine_similarity = staticmethod(cosine_similarity)

@@ -595,7 +595,17 @@ class FaceDetector:
 
     def get_face_embeddings(self, faces: Sequence[Face],
                             image: np.ndarray) -> list[np.ndarray]:
-        return [self.get_face_embedding(f, image) for f in faces]
+        """Embeddings for many faces of one image — the crops warp and
+        batch through MobileFaceNet in a single device program."""
+        pairs = []
+        for f in faces:
+            lm = f.landmarks
+            if lm.left_eye is None or lm.right_eye is None:
+                raise ValueError("Face must have left and right eye "
+                                 "landmarks")
+            pairs.append((lm.left_eye[:2], lm.right_eye[:2]))
+        out = self.embedding_model.embed_batch(image, pairs)
+        return [out[i] for i in range(len(pairs))]
 
     @staticmethod
     def compare_faces(emb1, emb2) -> float:

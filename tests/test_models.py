@@ -162,3 +162,22 @@ class TestMulticlassPath:
         # all six class masks accessible
         for cls in SegmentationClass:
             assert mask.class_mask(cls).shape == (64, 64)
+
+
+class TestBatchedEmbedding:
+    def test_embed_batch_matches_loop(self):
+        emb = FaceEmbedding.load(None)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        pairs = [((100.0, 100.0), (140.0, 102.0)),
+                 ((200.0, 120.0), (240.0, 118.0))]
+        batch = emb.embed_batch(img, pairs)
+        assert batch.shape == (2, 192)
+        for i, (le, re) in enumerate(pairs):
+            single = emb.embed(img, le, re)
+            assert np.allclose(batch[i], single, atol=1e-5)
+
+    def test_embed_batch_empty(self):
+        emb = FaceEmbedding.load(None)
+        out = emb.embed_batch(np.zeros((64, 64, 3), np.uint8), [])
+        assert out.shape == (0, 192)
