@@ -40,7 +40,7 @@ from .utils.camera import (CameraFormat, CameraFrame, CameraRotation,
 from .pipeline.types import (Blendshape, Detection, Eye, EyePair, Face,
                              FaceBlendshapes, FaceContourType, FaceLandmarks,
                              FaceLandmarkType, FaceMesh, HeadEulerAngles,
-                             RectF, FACE_CONTOUR_MESH_INDICES)
+                             RectF, AlignedRoi, FACE_CONTOUR_MESH_INDICES)
 
 __version__ = "0.1.0"
 
@@ -48,7 +48,7 @@ __all__ = [
     "FaceDetector", "FaceDetectionMode", "FaceDetectionModel",
     "SegmentationModel", "Face", "Detection", "FaceMesh", "Eye", "EyePair",
     "FaceLandmarks", "FaceLandmarkType", "FaceContourType", "Blendshape",
-    "FaceBlendshapes", "HeadEulerAngles", "RectF",
+    "FaceBlendshapes", "HeadEulerAngles", "RectF", "AlignedRoi",
     "FACE_CONTOUR_MESH_INDICES", "SegmentationMask",
     "MulticlassSegmentationMask", "SegmentationClass", "SelfieSegmentation",
     "FaceEmbedding", "cosine_similarity", "euclidean_distance",

@@ -75,6 +75,17 @@ def transform_mesh_to_absolute(lm_norm, cx, cy, size, theta):
     return jnp.stack([x, y, z], axis=-1)
 
 
+def transform_mesh_flat_to_absolute(flat, cx, cy, size, theta):
+    """Flat [..., N*3] crop-space landmarks -> flat absolute pixels.
+
+    `face_geometry.dart:80-105` (the web path's allocation-free variant of
+    :func:`transform_mesh_to_absolute`); same math, flat layout in/out.
+    """
+    pts = jnp.reshape(flat, flat.shape[:-1] + (-1, 3))
+    out = transform_mesh_to_absolute(pts, cx, cy, size, theta)
+    return jnp.reshape(out, flat.shape)
+
+
 def transform_iris_norm_to_absolute(lm_norm, cx, cy, size, theta, is_right):
     """Iris-crop landmarks -> absolute pixels, undoing the right-eye flip.
 

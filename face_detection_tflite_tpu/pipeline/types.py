@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -20,6 +20,7 @@ from .geometry import (MESH_CHIN_BOTTOM, MESH_FOREHEAD_TOP, MESH_LEFT_CHEEK,
 
 __all__ = [
     "FaceLandmarkType", "FaceContourType", "Blendshape", "RectF",
+    "AlignedRoi",
     "Detection", "FaceMesh", "Eye", "EyePair", "FaceLandmarks",
     "HeadEulerAngles", "FaceBlendshapes", "Face",
     "FACE_CONTOUR_MESH_INDICES", "EYE_LANDMARK_CONNECTIONS",
@@ -160,6 +161,19 @@ class RectF:
 
     def scaled(self, w: float, h: float) -> tuple[float, float, float, float]:
         return (self.xmin * w, self.ymin * h, self.xmax * w, self.ymax * h)
+
+
+class AlignedRoi(NamedTuple):
+    """Rotated square ROI in pixels (`face_types.dart:1561`).
+
+    Tuple-compatible with the (cx, cy, size, theta) tuples the geometry
+    helpers produce, so either form flows into the warp ops.
+    """
+
+    cx: float
+    cy: float
+    size: float
+    theta: float
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,7 +15,7 @@ from ..pipeline.types import (EYE_LANDMARK_CONNECTIONS,
                               FaceContourType)
 
 __all__ = ["draw_detections", "draw_mesh", "draw_contours", "draw_iris",
-           "draw_segmentation", "annotate"]
+           "draw_segmentation", "annotate", "cover_fit_transform"]
 
 BOX_COLOR = (0, 255, 0)
 KP_COLOR = (255, 64, 64)
@@ -143,3 +143,20 @@ def annotate(img: np.ndarray, faces: list[Face], mask=None) -> np.ndarray:
     out = draw_contours(out, faces)
     out = draw_iris(out, faces)
     return out
+
+
+def cover_fit_transform(src_w: int, src_h: int, dst_w: int, dst_h: int
+                        ) -> tuple[float, float, float]:
+    """(scale, dx, dy) mapping source-image pixels onto a cover-fit viewport.
+
+    The reference's camera-overlay painters map detection coordinates onto
+    a preview that fills the widget BoxFit.cover-style
+    (`overlay_painters.dart:196` et al.): uniform scale = max(dstW/srcW,
+    dstH/srcH), centered, edges cropped.  dst = src * scale + (dx, dy).
+    """
+    if min(src_w, src_h, dst_w, dst_h) <= 0:
+        raise ValueError("cover_fit_transform requires positive dimensions")
+    scale = max(dst_w / src_w, dst_h / src_h)
+    dx = (dst_w - src_w * scale) * 0.5
+    dy = (dst_h - src_h * scale) * 0.5
+    return scale, dx, dy

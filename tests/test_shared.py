@@ -492,3 +492,40 @@ class TestFifthReviewRegressions:
         # after reset_tracking): EMA restarts instead of blending
         (f,) = s.smooth([face_at(0.8, 1)])
         assert f.bounding_box.xmin == pytest.approx(0.8)
+
+
+class TestAlignedRoiAndCoverFit:
+    def test_aligned_roi_is_tuple_compatible(self):
+        import face_detection_tflite_tpu as f
+        r = f.AlignedRoi(10.0, 20.0, 30.0, 0.5)
+        cx, cy, size, theta = r
+        assert (cx, cy, size, theta) == (10.0, 20.0, 30.0, 0.5)
+        assert r.size == 30.0
+
+    def test_cover_fit_transform(self):
+        from face_detection_tflite_tpu.utils.render import cover_fit_transform
+        # Portrait viewport over a landscape source: height-limited.
+        scale, dx, dy = cover_fit_transform(640, 480, 1080, 1920)
+        assert scale == 4.0 and dy == 0.0 and dx == (1080 - 640 * 4.0) / 2
+        # Same aspect: pure scale, no offsets.
+        scale, dx, dy = cover_fit_transform(320, 240, 640, 480)
+        assert (scale, dx, dy) == (2.0, 0.0, 0.0)
+        # Center of source maps to center of viewport.
+        scale, dx, dy = cover_fit_transform(101, 37, 777, 333)
+        assert 101 / 2 * scale + dx == pytest.approx(777 / 2)
+        assert 37 / 2 * scale + dy == pytest.approx(333 / 2)
+        with pytest.raises(ValueError):
+            cover_fit_transform(0, 480, 1080, 1920)
+
+    def test_transform_mesh_flat_matches_packed(self):
+        from face_detection_tflite_tpu.pipeline.geometry import (
+            transform_mesh_flat_to_absolute, transform_mesh_to_absolute)
+        rng = np.random.default_rng(7)
+        pts = rng.random((468, 3)).astype(np.float32)
+        args = (jnp.float32(100.0), jnp.float32(120.0),
+                jnp.float32(80.0), jnp.float32(0.3))
+        packed = transform_mesh_to_absolute(jnp.asarray(pts), *args)
+        flat = transform_mesh_flat_to_absolute(
+            jnp.asarray(pts.reshape(-1)), *args)
+        assert np.array_equal(np.asarray(packed).reshape(-1),
+                              np.asarray(flat))
