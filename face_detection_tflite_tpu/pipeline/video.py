@@ -64,7 +64,40 @@ def process_video(detector, path: str,
     tracking (when enabled on the detector) is applied afterwards in frame
     order, preserving the reference's sequential-tracking semantics while
     the heavy compute stays batched.
+
+    Host decode runs on a prefetch thread one batch ahead of the device:
+    cv2's decode and XLA's blocking wait both release the GIL, so frame
+    N+1's decode overlaps frame N's compute instead of serializing with it.
     """
+    import queue as _queue
+
+    stop = threading.Event()
+    q: _queue.Queue = _queue.Queue(maxsize=max(2 * batch_size, 2))
+    reader_error: list[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def _reader():
+        try:
+            for item in _read_frames(path, frame_stride, max_frames):
+                if not _put(item):
+                    return
+        except BaseException as e:  # surfaced on the consumer thread
+            reader_error.append(e)
+        finally:
+            _put(None)
+
+    thread = threading.Thread(target=_reader, daemon=True,
+                              name="fdt-video-prefetch")
+    thread.start()
+
     pending: list[tuple[int, float, np.ndarray]] = []
 
     def flush():
@@ -78,11 +111,19 @@ def process_video(detector, path: str,
             yield VideoFrameResult(fi, ts, faces)
         pending.clear()
 
-    for fi, ts, frame in _read_frames(path, frame_stride, max_frames):
-        pending.append((fi, ts, frame))
-        if len(pending) >= batch_size:
-            yield from flush()
-    yield from flush()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            pending.append(item)
+            if len(pending) >= batch_size:
+                yield from flush()
+        if reader_error:
+            raise reader_error[0]
+        yield from flush()
+    finally:
+        stop.set()
 
 
 class FrameThrottle:

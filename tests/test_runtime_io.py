@@ -2,6 +2,8 @@
 
 import io
 import os
+import threading
+import time
 
 import numpy as np
 import pytest
@@ -205,3 +207,43 @@ class TestMultiFaceVideo:
                          for r in results]
         assert all(len(ids) == 2 for ids in per_frame_ids), per_frame_ids
         assert all(ids == per_frame_ids[0] for ids in per_frame_ids)
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no sample assets")
+class TestVideoPrefetch:
+    """The prefetch-thread rewrite of process_video must preserve stream
+    semantics: ordered results, early-abandon cleanup, error surfacing."""
+
+    def test_early_abandon_stops_reader(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        img = np.asarray(Image.open(SAMPLE).convert("RGB"))[..., ::-1]
+        img = cv2.resize(img, (320, 213))
+        path = str(tmp_path / "long.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (320, 213))
+        for i in range(40):
+            vw.write(np.roll(img, i, axis=1))
+        vw.release()
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir="/root/reference/assets/models")
+        it = det.detect_faces_from_video(path, FaceDetectionMode.FAST,
+                                         batch_size=2)
+        first = next(it)
+        assert first.frame_index == 0
+        it.close()  # abandon mid-stream; prefetch thread must wind down
+        before = threading.active_count()
+        time.sleep(0.3)
+        assert threading.active_count() <= before
+
+    def test_open_error_still_raises(self):
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir="/root/reference/assets/models")
+        with pytest.raises(ValueError, match="cannot open video"):
+            list(det.detect_faces_from_video("/nonexistent/clip.mp4",
+                                             FaceDetectionMode.FAST))
