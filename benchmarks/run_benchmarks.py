@@ -118,6 +118,37 @@ def main():
         except Exception as e:  # pallas may not lower off-TPU
             results["configs"][name] = f"unavailable: {type(e).__name__}"
 
+    # Serving pipeline: JPEG-bytes stream through the pipelined executor
+    # (decode on caller thread ∥ compute on worker) vs the same batches
+    # called serially — shows the overlap win end to end.
+    if os.path.exists(sample):
+        import cv2
+        from face_detection_tflite_tpu import ServingPipeline
+        ok, enc = cv2.imencode(".jpg", np.asarray(img)[..., ::-1])
+        assert ok
+        jpeg = enc.tobytes()
+        n_batches = 2 if args.quick else 6
+        stream = [[jpeg] * batch for _ in range(n_batches)]
+        with ServingPipeline(det, mode=FaceDetectionMode.STANDARD) as pipe:
+            pipe.submit(stream[0]).result()  # warm decode+compile path
+            t0 = time.perf_counter()
+            futs = [pipe.submit(b) for b in stream]
+            for f in futs:
+                f.result()
+            t_pipe = time.perf_counter() - t0
+        det.detect_faces_from_bytes_batch(stream[0],
+                                          FaceDetectionMode.STANDARD)
+        t0 = time.perf_counter()
+        for b in stream:
+            det.detect_faces_from_bytes_batch(b, FaceDetectionMode.STANDARD)
+        t_serial = time.perf_counter() - t0
+        n_imgs = n_batches * batch
+        results["configs"]["serving_pipeline_jpeg"] = {
+            "images_per_sec_pipelined": round(n_imgs / t_pipe, 2),
+            "images_per_sec_serial": round(n_imgs / t_serial, 2),
+            "overlap_speedup": round(t_serial / t_pipe, 3),
+        }
+
     # Steady-state stage attribution: drop everything recorded so far
     # (includes per-bucket compiles inside the warmup calls), then time a
     # few clean full-mode calls.
