@@ -395,14 +395,17 @@ class FaceDetector:
 
     def detect_faces_batch(self, images: np.ndarray,
                            mode: FaceDetectionMode = FaceDetectionMode.FULL,
-                           *, _orig_sizes=None) -> list[list[Face]]:
+                           *, _orig_sizes=None,
+                           _predispatched=None) -> list[list[Face]]:
         """Batched detection: [B, H, W, 3] -> list of per-image Face lists.
 
         The TPU-native throughput path (no reference analog — the reference
         is strictly one image per call).  Tracking is not applied (it is a
         per-stream, sequential concept).  ``_orig_sizes`` (internal) carries
         per-image (w, h) when the caller pre-padded mixed-size images into
-        one bucket.
+        one bucket; ``_predispatched`` (internal) carries an already
+        dispatched detect-slab handle for these exact images so multi-bucket
+        callers can overlap detect dispatches before the first readback.
         """
         self._check_disposed()
         images = _normalize_channels(images)
@@ -421,7 +424,8 @@ class FaceDetector:
         orig_sizes = (_orig_sizes if _orig_sizes is not None
                       else [(w, h)] * b)
         if self.adaptive:
-            out = self._detect_adaptive(images, mode)
+            out = self._detect_adaptive(images, mode,
+                                        _predispatched=_predispatched)
         else:
             pad_b = 0
             if self._mesh is not None:
@@ -533,6 +537,7 @@ class FaceDetector:
                 key = im.shape[:2]
             by_size.setdefault(key, []).append(i)
         results: list[list[Face]] = [None] * len(imgs)  # type: ignore
+        groups = []
         for (kh, kw), idxs in by_size.items():
             if self.bucket_images:
                 # Mixed sizes sharing a bucket run as ONE device call:
@@ -544,11 +549,22 @@ class FaceDetector:
                             (0, kw - imgs[i].shape[1]), (0, 0)))
                     for i in idxs])
                 sizes = [(imgs[i].shape[1], imgs[i].shape[0]) for i in idxs]
-                faces_per = self.detect_faces_batch(batch, mode,
-                                                    _orig_sizes=sizes)
             else:
                 batch = np.stack([imgs[i] for i in idxs])
-                faces_per = self.detect_faces_batch(batch, mode)
+                sizes = None
+            # With several size buckets, dispatch every bucket's detect
+            # program up front: the adaptive path's first readback blocks,
+            # so serial calls would leave the device idle between buckets.
+            pre = None
+            dev_batch = batch
+            if self.adaptive and len(by_size) > 1:
+                dev_batch = jnp.asarray(batch)
+                pre = self._program(kh, kw, FaceDetectionMode.FAST)(
+                    self._params, dev_batch)
+            groups.append((idxs, dev_batch, sizes, pre))
+        for idxs, dev_batch, sizes, pre in groups:
+            faces_per = self.detect_faces_batch(
+                dev_batch, mode, _orig_sizes=sizes, _predispatched=pre)
             for i, faces in zip(idxs, faces_per):
                 results[i] = faces
         return results

@@ -334,3 +334,27 @@ class TestReviewRegressions:
         b0, b1 = results[0][0].bounding_box, results[1][0].bounding_box
         assert abs(b0.xmin - b1.xmin) < 0.03
         assert abs(b0.ymax - b1.ymax) < 0.03
+
+
+class TestBytesBatchPredispatch:
+    def test_mixed_buckets_match_per_image_calls(self):
+        """Multi-bucket byte batches (predispatched detect) must produce
+        the same faces as one-image-at-a-time calls."""
+        from PIL import Image
+        import io
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        data1 = open(os.path.join(SAMPLES, "landmark-ex1.jpg"), "rb").read()
+        img2 = Image.open(io.BytesIO(data1)).resize((640, 427))
+        buf = io.BytesIO()
+        img2.save(buf, "JPEG", quality=90)
+        datas = [data1, buf.getvalue()]
+        batched = d.detect_faces_from_bytes_batch(datas,
+                                                  FaceDetectionMode.FULL)
+        singles = [d.detect_faces_from_bytes(b, FaceDetectionMode.FULL)
+                   for b in datas]
+        assert [len(r) for r in batched] == [len(r) for r in singles]
+        for bf, sf in zip(batched, singles):
+            np.testing.assert_allclose(bf[0].mesh.points, sf[0].mesh.points,
+                                       atol=1e-3)
+            assert bf[0].bounding_box == sf[0].bounding_box
