@@ -358,3 +358,25 @@ class TestBytesBatchPredispatch:
             np.testing.assert_allclose(bf[0].mesh.points, sf[0].mesh.points,
                                        atol=1e-3)
             assert bf[0].bounding_box == sf[0].bounding_box
+
+    def test_mixed_buckets_with_bucketing_enabled(self):
+        """Predispatch composes with the bucket ladder: padded bucket
+        batches still match per-image calls."""
+        from PIL import Image
+        import io
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, bucket_images=True)
+        base = Image.open(os.path.join(SAMPLES, "landmark-ex1.jpg"))
+        datas = []
+        for size in ((500, 333), (900, 600)):  # buckets (512,512), (1024,768)
+            buf = io.BytesIO()
+            base.resize(size).save(buf, "JPEG", quality=90)
+            datas.append(buf.getvalue())
+        batched = d.detect_faces_from_bytes_batch(datas,
+                                                  FaceDetectionMode.STANDARD)
+        singles = [d.detect_faces_from_bytes(b, FaceDetectionMode.STANDARD)
+                   for b in datas]
+        assert [len(r) for r in batched] == [len(r) for r in singles] == [1, 1]
+        for bf, sf in zip(batched, singles):
+            np.testing.assert_allclose(bf[0].mesh.points, sf[0].mesh.points,
+                                       atol=1e-3)
