@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Video-file pipeline demo: batched detection + tracking + smoothing.
+
+Runs the full pipeline over a video file (decode prefetched on a host
+thread, frames batched on device), applies temporal tracking and EMA
+landmark smoothing, and writes an annotated copy.
+
+    python examples/video_demo.py input.mp4 [output.mp4]
+
+Analog of the reference example app's video flow (overlay painters +
+FaceSmoother in `example/lib/main.dart`).
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from face_detection_tflite_tpu import (  # noqa: E402
+    FaceDetectionMode, FaceDetectionModel, FaceDetector, FaceSmoother)
+from face_detection_tflite_tpu.utils.render import annotate  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    src = sys.argv[1]
+    dst = sys.argv[2] if len(sys.argv) > 2 else "annotated.mp4"
+
+    import cv2
+
+    cap = cv2.VideoCapture(src)
+    if not cap.isOpened():
+        sys.exit(f"cannot open {src}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+
+    det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                       enable_tracking=True)
+    smoother = FaceSmoother(alpha=0.5)
+
+    writer = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+    n = 0
+    cap = cv2.VideoCapture(src)
+    frames = {}
+    for ok in iter(lambda: cap.read(), (False, None)):
+        good, frame = ok
+        if not good:
+            break
+        frames[n] = frame
+        n += 1
+    cap.release()
+
+    for result in det.detect_faces_from_video(
+            src, FaceDetectionMode.FULL, batch_size=8):
+        faces = smoother.smooth(result.faces)
+        rgb = frames[result.frame_index][..., ::-1]
+        out = annotate(np.ascontiguousarray(rgb), faces)
+        writer.write(np.ascontiguousarray(out[..., ::-1]))
+        if result.frame_index % 24 == 0:
+            print(f"frame {result.frame_index}: {len(faces)} faces, "
+                  f"ids={[f.tracking_id for f in faces]}")
+    writer.release()
+    print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()
