@@ -394,3 +394,53 @@ class TestShortVariantFullMode:
         # jitter than the back variant; same noise-floor reasoning.
         assert err.mean() < 6.0, f"mesh drift {err.mean():.2f}"
         assert f.mesh.score > 0.9 and r["mesh_score"] > 0.9
+
+
+class TestClosedEyeReroute:
+    """Behavioral analog of the reference's closed-eye golden fixture
+    (`blendshapes_closed_eye_data.dart`): eyeBlink coefficients must
+    respond to eyelid closure, and they must read the eyelids from the
+    REROUTED iris-model rows (blendshape_input.dart:222-229), not the
+    mesh's own eye-ring points."""
+
+    def test_blink_reads_rerouted_eyelids(self, detector,
+                                          oracle_faces_landmark_ex1):
+        import jax.numpy as jnp
+        from face_detection_tflite_tpu.pipeline.blendshape_input import (
+            pack_blendshape_input)
+        from face_detection_tflite_tpu.pipeline.types import (
+            FACE_CONTOUR_MESH_INDICES, FaceContourType)
+
+        r = oracle_faces_landmark_ex1[0]
+        mesh, iris = r["mesh_abs"], r["iris"]
+
+        def coeffs(mesh, iris):
+            packed = pack_blendshape_input(jnp.asarray(mesh)[None],
+                                           jnp.asarray(iris)[None])
+            (c,) = detector.models.blendshapes.fn(
+                detector.models.blendshapes.params,
+                jnp.asarray(packed[0:1], jnp.float32))
+            return np.clip(np.asarray(c).reshape(52), 0, 1)
+
+        BLINK_L, BLINK_R = 9, 10  # eyeBlinkLeft/Right
+        c_open = coeffs(mesh, iris)
+
+        # Synthesize closure: flatten each eye's ring in the mesh AND the
+        # eyelid contour rows of the iris stream (71 per eye).
+        mesh_c, iris_c = mesh.copy(), iris.copy()
+        for ring in (FaceContourType.LEFT_EYE, FaceContourType.RIGHT_EYE):
+            idx = FACE_CONTOUR_MESH_INDICES[ring]
+            mesh_c[idx, 1] = mesh_c[idx, 1].mean()
+        for lo, hi in ((0, 71), (76, 147)):
+            iris_c[lo:hi, 1] = iris_c[lo:hi, 1].mean()
+
+        c_closed = coeffs(mesh_c, iris_c)
+        assert c_open[BLINK_L] < 0.3 and c_open[BLINK_R] < 0.3
+        assert c_closed[BLINK_L] > 0.4 and c_closed[BLINK_R] > 0.4
+
+        # Reroute guard: closing only the mesh's eye rings (iris rows
+        # untouched) must NOT register as a blink — the packed eyelids
+        # come from the iris stream.  (Measured: 0.13 vs 0.61 closed.)
+        c_mesh_only = coeffs(mesh_c, iris)
+        assert c_mesh_only[BLINK_L] < c_open[BLINK_L] + 0.1
+        assert c_mesh_only[BLINK_R] < c_open[BLINK_R] + 0.1
