@@ -135,6 +135,33 @@ _STATIC_INPUTS = {
 }
 
 
+_QRANGE = {np.dtype(np.int8): (-128.0, 127.0),
+           np.dtype(np.uint8): (0.0, 255.0),
+           np.dtype(np.int16): (-32768.0, 32767.0)}
+
+
+def _dequantize_const(t, data: np.ndarray) -> np.ndarray:
+    """Exact dequantization of a quantized constant (per-tensor or
+    per-channel along ``quant['dim']``)."""
+    q = t.quant
+    scale, zp = q["scale"], q["zero_point"]
+    if scale.size == 1:
+        return ((data.astype(np.float32) - np.float32(zp[0]))
+                * np.float32(scale[0]))
+    shape = [1] * data.ndim
+    shape[q["dim"]] = scale.size
+    return ((data.astype(np.float32) - zp.reshape(shape).astype(np.float32))
+            * scale.reshape(shape).astype(np.float32))
+
+
+def _fake_quant(x, scale, zero_point, qmin, qmax):
+    """Snaps a float activation onto its integer quantization grid:
+    dequantize(quantize(x)).  Keeps the graph in fp32 while reproducing
+    the integer kernels' value set."""
+    q = jnp.clip(jnp.round(x / scale) + zero_point, qmin, qmax)
+    return (q - zero_point) * scale
+
+
 def convert_model(
     ir: ModelIR, name: str = "", precision: str = "highest"
 ) -> ConvertedModel:
@@ -155,14 +182,31 @@ def convert_model(
             else:
                 const[t.index] = t.data
 
-    # Quantized (int8/uint8/int16) graphs need scale/zero-point handling we
-    # do not implement; converting them silently would produce garbage.
+    # Quantized graphs run as float-emulation: constants dequantize to
+    # fp32 exactly; activations compute in fp32 and snap to each quantized
+    # tensor's grid (fake-quant) so results track the integer kernels to
+    # within ~a quantization step.  Quantized-dtype constants WITHOUT
+    # scale/zero-point would silently convert to garbage — reject those.
     for t in ir.tensors:
-        if t.dtype in (np.int8, np.uint8, np.int16) and t.data is not None:
+        if t.dtype in (np.int8, np.uint8, np.int16) and t.data is not None \
+                and t.quant is None:
             raise NotImplementedError(
-                f"tensor {t.name!r} is {np.dtype(t.dtype).name}-quantized; "
-                "only float32/float16 models are supported — use the float "
-                "variant of the model")
+                f"tensor {t.name!r} is {np.dtype(t.dtype).name} with no "
+                "quantization parameters; cannot convert")
+    for t in ir.tensors:
+        if t.index in const and t.quant is not None and \
+                np.issubdtype(np.dtype(t.dtype), np.integer) and \
+                t.dtype != np.int64:
+            const[t.index] = _dequantize_const(t, const[t.index])
+
+    # Per-tensor fake-quant grid for quantized activations.
+    act_quant: dict[int, tuple[float, float, float, float]] = {}
+    for t in ir.tensors:
+        rng = _QRANGE.get(np.dtype(t.dtype))
+        if t.data is None and t.quant is not None and rng is not None \
+                and t.quant["scale"].size == 1:
+            act_quant[t.index] = (float(t.quant["scale"][0]),
+                                  float(t.quant["zero_point"][0])) + rng
 
     # ---- pass 1: fold constant DEQUANTIZE / DENSIFY, record live ops -------
     ops: list[OpIR] = []
@@ -222,6 +266,15 @@ def convert_model(
                 raise ValueError(
                     f"input tensor {ir.tensors[tix].name!r} expects shape "
                     f"{want}, got {tuple(x.shape)}")
+            if tix in act_quant:
+                # Quantized graph input: accept the model's integer dtype
+                # (dequantize) or float (snap to the input grid).
+                s_, zp_, lo_, hi_ = act_quant[tix]
+                x = jnp.asarray(x)
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = (x.astype(jnp.float32) - zp_) * s_
+                else:
+                    x = _fake_quant(x.astype(jnp.float32), s_, zp_, lo_, hi_)
             env[tix] = x
 
         def get(tix):
@@ -528,7 +581,11 @@ def convert_model(
                 env[op.outputs[0]] = x * jax.lax.rsqrt(
                     jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
             elif nm == "DEQUANTIZE":
-                # Non-constant dequantize: runtime fp16 -> fp32 cast.
+                # Runtime fp16 -> fp32 cast; quantized activations are
+                # already float (fake-quant keeps the float representation).
+                env[op.outputs[0]] = get(op.inputs[0]).astype(jnp.float32)
+            elif nm == "QUANTIZE":
+                # Grid snapping happens in the output hook below.
                 env[op.outputs[0]] = get(op.inputs[0]).astype(jnp.float32)
             elif nm == "CAST":
                 x = get(op.inputs[0])
@@ -536,6 +593,9 @@ def convert_model(
                 env[op.outputs[0]] = x.astype(out_dtype)
             else:
                 raise NotImplementedError(f"op {nm} not implemented")
+            for tox in op.outputs:
+                if tox in act_quant and tox in env:
+                    env[tox] = _fake_quant(env[tox], *act_quant[tox])
 
         return tuple(env[t] for t in ir.outputs)
 

@@ -99,6 +99,7 @@ OPNAMES = {
     117: "HARD_SWISH",
     124: "DENSIFY",
     126: "BATCH_MATMUL",
+    114: "QUANTIZE",
     150: "GELU",
 }
 
@@ -118,6 +119,7 @@ class TensorIR:
     dtype: Any
     data: Optional[np.ndarray]  # None for activations
     sparsity: Optional[dict] = None
+    quant: Optional[dict] = None  # {"scale", "zero_point", "dim"} if quantized
 
 
 @dataclasses.dataclass
@@ -335,6 +337,20 @@ def parse_tflite(buf: bytes) -> ModelIR:
                     data = flat.copy()  # densified later by the executor pass
                 else:
                     data = flat.reshape(shape).copy()
+        quant = None
+        qt = t.table(4)
+        if qt is not None:
+            scale = qt.scalar_vector(2, "float32")
+            if scale.size:
+                zp = qt.scalar_vector(3, "int64")
+                quant = {
+                    "scale": np.asarray(scale, np.float32).copy(),
+                    "zero_point": (np.asarray(zp, np.int64).copy() if zp.size
+                                   else np.zeros(scale.size, np.int64)),
+                    # slot 6: the details union before it takes two slots
+                    # (details_type, details).
+                    "dim": int(qt.scalar(6, "int32", 0)),
+                }
         tensors.append(
             TensorIR(
                 index=i,
@@ -343,6 +359,7 @@ def parse_tflite(buf: bytes) -> ModelIR:
                 dtype=dtype,
                 data=data,
                 sparsity=sparsity,
+                quant=quant,
             )
         )
 
