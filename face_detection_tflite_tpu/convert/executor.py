@@ -208,7 +208,54 @@ def convert_model(
             act_quant[t.index] = (float(t.quant["scale"][0]),
                                   float(t.quant["zero_point"][0])) + rng
 
-    # ---- pass 1: fold constant DEQUANTIZE / DENSIFY, record live ops -------
+    # ---- pass 1: fold constant DEQUANTIZE / DENSIFY and static shape
+    # arithmetic (SHAPE -> STRIDED_SLICE -> PACK chains from Flatten-style
+    # exports), record live ops --------------------------------------------
+
+    def _fold_static(op) -> bool:
+        """Evaluates shape-arithmetic ops whose operands are all static.
+        Shapes are static in this executor, so a SHAPE op's output is a
+        constant and everything derived from it folds away."""
+        nm = op.name
+        if nm == "SHAPE":
+            shp = ir.tensors[op.inputs[0]].shape
+            if shp and all(d > 0 for d in shp):
+                const[op.outputs[0]] = np.asarray(shp, np.int32)
+                return True
+            return False
+        ins = [i for i in op.inputs if i >= 0]
+        if not ins or not all(i in const for i in ins):
+            return False
+        vals = [const[i] for i in ins]
+        o = op.options
+        if nm == "PACK":
+            const[op.outputs[0]] = np.stack(vals, axis=o.get("axis", 0))
+        elif nm == "CONCATENATION":
+            const[op.outputs[0]] = np.concatenate(vals,
+                                                  axis=o.get("axis", 0))
+        elif nm == "STRIDED_SLICE" and vals[0].ndim == 1 and \
+                not (o["ellipsis_mask"] or o["new_axis_mask"]):
+            x = vals[0]
+            b = 0 if (o["begin_mask"] & 1) else int(vals[1][0])
+            e = x.shape[0] if (o["end_mask"] & 1) else int(vals[2][0])
+            out = x[b:e:int(vals[3][0])]
+            if o["shrink_axis_mask"] & 1:
+                out = out[0]
+            const[op.outputs[0]] = np.asarray(out)
+        elif nm in ("MUL", "ADD", "SUB") and o.get("activation") is None:
+            f = {"MUL": np.multiply, "ADD": np.add,
+                 "SUB": np.subtract}[nm]
+            const[op.outputs[0]] = f(vals[0], vals[1])
+        elif nm == "CAST":
+            const[op.outputs[0]] = vals[0].astype(
+                ir.tensors[op.outputs[0]].dtype)
+        elif nm == "EXPAND_DIMS":
+            const[op.outputs[0]] = np.expand_dims(
+                vals[0], int(np.atleast_1d(vals[1])[0]))
+        else:
+            return False
+        return True
+
     ops: list[OpIR] = []
     for op in ir.ops:
         if op.name == "DEQUANTIZE" and op.inputs[0] in const:
@@ -217,6 +264,8 @@ def convert_model(
         if op.name == "DENSIFY":
             # densify() already ran when loading the constant.
             const[op.outputs[0]] = const[op.inputs[0]]
+            continue
+        if _fold_static(op):
             continue
         ops.append(op)
 

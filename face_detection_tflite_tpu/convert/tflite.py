@@ -87,6 +87,7 @@ OPNAMES = {
     76: "RSQRT",
     78: "POW",
     82: "REDUCE_MAX",
+    77: "SHAPE",
     83: "PACK",
     88: "UNPACK",
     89: "REDUCE_MIN",
@@ -204,6 +205,11 @@ def _decode_options(opname: str, op: Table) -> dict:
             "ellipsis_mask": scalar(2, "int32"),
             "new_axis_mask": scalar(3, "int32"),
             "shrink_axis_mask": scalar(4, "int32"),
+        }
+    if opname == "PACK":
+        return {
+            "values_count": scalar(0, "int32"),
+            "axis": scalar(1, "int32"),
         }
     if opname == "RESIZE_BILINEAR":
         # slots 0/1 are the deprecated new_height/new_width fields.

@@ -99,3 +99,62 @@ class TestInt8Emulation:
             inputs=[0], outputs=[2], description="")
         with pytest.raises(NotImplementedError, match="no.*quantization"):
             convert_model(ir)
+
+
+class TestShapeChainFolding:
+    """Keras `Flatten` exports a SHAPE -> STRIDED_SLICE -> PACK -> RESHAPE
+    chain; shapes are static in this executor so the whole chain constant-
+    folds (executor.py `_fold_static`)."""
+
+    @staticmethod
+    def _build(quantize):
+        rng = np.random.default_rng(2)
+        inp = tf.keras.Input((8, 8, 3))
+        x = tf.keras.layers.Conv2D(4, 3, padding="same",
+                                   activation="relu")(inp)
+        x = tf.keras.layers.Flatten()(x)
+        out = tf.keras.layers.Dense(5)(x)
+        model = tf.keras.Model(inp, out)
+        conv = tf.lite.TFLiteConverter.from_keras_model(model)
+        if quantize:
+            conv.optimizations = [tf.lite.Optimize.DEFAULT]
+            conv.representative_dataset = lambda: (
+                [rng.uniform(-1, 1, (1, 8, 8, 3)).astype(np.float32)]
+                for _ in range(20))
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+            conv.inference_input_type = tf.int8
+            conv.inference_output_type = tf.int8
+        return conv.convert()
+
+    @pytest.mark.parametrize("quantize", [False, True])
+    def test_flatten_model_matches_interpreter(self, quantize):
+        blob = self._build(quantize)
+        ir = parse_tflite(blob)
+        assert any(op.name == "SHAPE" for op in ir.ops)
+        cm = convert_model(ir, name="flatten")
+        interp = tf.lite.Interpreter(
+            model_content=blob,
+            experimental_op_resolver_type=tf.lite.experimental
+            .OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES)
+        interp.allocate_tensors()
+        idet = interp.get_input_details()[0]
+        odet = interp.get_output_details()[0]
+        rng = np.random.default_rng(3)
+        xf = rng.uniform(-1, 1, (1, 8, 8, 3)).astype(np.float32)
+        if quantize:
+            isc, izp = idet["quantization"]
+            osc, ozp = odet["quantization"]
+            xi = np.clip(np.round(xf / isc) + izp, -128, 127).astype(np.int8)
+            interp.set_tensor(idet["index"], xi)
+            interp.invoke()
+            ref = (interp.get_tensor(odet["index"]).astype(np.float32)
+                   - ozp) * osc
+            (got,) = cm.fn(cm.params, xi)
+            assert np.abs(np.asarray(got) - ref).max() <= osc
+        else:
+            interp.set_tensor(idet["index"], xf)
+            interp.invoke()
+            ref = interp.get_tensor(odet["index"])
+            (got,) = cm.fn(cm.params, xf)
+            assert np.abs(np.asarray(got) - ref).max() < 1e-5
