@@ -130,6 +130,7 @@ _STATIC_INPUTS = {
     "RESIZE_NEAREST_NEIGHBOR": {1},
     "SPLIT": {0},
     "EXPAND_DIMS": {1},
+    "TILE": {1},
     "SLICE": {1, 2},
     "TRANSPOSE_CONV": {0},
 }
@@ -625,6 +626,11 @@ def convert_model(
                 y = x.reshape(n, h, w, b, b, c // (b * b))
                 y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
                 env[op.outputs[0]] = y.reshape(n, h * b, w * b, c // (b * b))
+            elif nm == "TILE":
+                x = get(op.inputs[0])
+                reps = tuple(int(v) for v in
+                             np.atleast_1d(get_static(op.inputs[1])))
+                env[op.outputs[0]] = jnp.tile(x, reps)
             elif nm == "L2_NORMALIZATION":
                 x = get(op.inputs[0])
                 env[op.outputs[0]] = x * jax.lax.rsqrt(

@@ -69,6 +69,7 @@ OPNAMES = {
     42: "DIV",
     43: "SQUEEZE",
     45: "STRIDED_SLICE",
+    69: "TILE",
     47: "EXP",
     49: "SPLIT",
     53: "CAST",

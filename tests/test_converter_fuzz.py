@@ -1,0 +1,75 @@
+"""Structure-fuzz the converter: random Keras stacks -> tflite -> parity.
+
+Each seeded trial builds a random layer stack (convs, depthwise, pools,
+activations, batchnorm, padding, upsampling incl. the TILE lowering,
+concat, residual add), converts it, and compares against the stock
+interpreter.  Complements the per-op tests with op-composition coverage.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from face_detection_tflite_tpu.convert.executor import convert_model
+from face_detection_tflite_tpu.convert.tflite import parse_tflite
+
+
+def _random_model(rng):
+    h = w = int(rng.choice([8, 12, 16]))
+    c = int(rng.choice([1, 3, 4]))
+    inp = tf.keras.Input((h, w, c))
+    x = inp
+    for _ in range(int(rng.integers(2, 6))):
+        kind = rng.choice(["conv", "dw", "pool", "act", "bn", "pad",
+                           "upsample", "concat_self", "add_self"])
+        ch = x.shape[-1]
+        if kind == "conv":
+            x = tf.keras.layers.Conv2D(
+                int(rng.choice([2, 4, 8])), int(rng.choice([1, 3])),
+                strides=int(rng.choice([1, 2])), padding="same",
+                activation=rng.choice([None, "relu", "tanh"]))(x)
+        elif kind == "dw" and ch > 1:
+            x = tf.keras.layers.DepthwiseConv2D(
+                3, padding="same", activation="relu")(x)
+        elif kind == "pool" and x.shape[1] >= 2 and x.shape[2] >= 2:
+            layer = (tf.keras.layers.MaxPooling2D if rng.random() < 0.5
+                     else tf.keras.layers.AveragePooling2D)
+            x = layer(2)(x)
+        elif kind == "act":
+            x = tf.keras.layers.Activation(
+                str(rng.choice(["relu", "sigmoid", "elu", "softmax"])))(x)
+        elif kind == "bn":
+            x = tf.keras.layers.BatchNormalization()(x)
+        elif kind == "pad":
+            x = tf.keras.layers.ZeroPadding2D(1)(x)
+        elif kind == "upsample":
+            x = tf.keras.layers.UpSampling2D(2, interpolation=str(
+                rng.choice(["nearest", "bilinear"])))(x)
+        elif kind == "concat_self":
+            x = tf.keras.layers.Concatenate()([x, x])
+        elif kind == "add_self":
+            x = tf.keras.layers.Add()([x, x])
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    return tf.keras.Model(inp, tf.keras.layers.Dense(4)(x))
+
+
+@pytest.mark.parametrize("seed", [42, 1042, 7])
+def test_random_stack_matches_interpreter(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(2):
+        blob = tf.lite.TFLiteConverter.from_keras_model(
+            _random_model(rng)).convert()
+        cm = convert_model(parse_tflite(blob), name=f"fuzz-{seed}")
+        interp = tf.lite.Interpreter(
+            model_content=blob,
+            experimental_op_resolver_type=tf.lite.experimental
+            .OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES)
+        interp.allocate_tensors()
+        idet = interp.get_input_details()[0]
+        x = rng.uniform(-1, 1, idet["shape"]).astype(np.float32)
+        interp.set_tensor(idet["index"], x)
+        interp.invoke()
+        ref = interp.get_tensor(interp.get_output_details()[0]["index"])
+        (got,) = cm.fn(cm.params, x)
+        assert np.abs(np.asarray(got) - ref).max() < 1e-4
