@@ -73,3 +73,39 @@ def test_random_stack_matches_interpreter(seed):
         ref = interp.get_tensor(interp.get_output_details()[0]["index"])
         (got,) = cm.fn(cm.params, x)
         assert np.abs(np.asarray(got) - ref).max() < 1e-4
+
+
+def test_random_stack_quantized_matches_interpreter():
+    """One fuzzed stack through post-training int8 quantization: the
+    fake-quant emulation must track the integer kernels."""
+    rng = np.random.default_rng(99)
+    model = _random_model(rng)
+    conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    in_shape = (1,) + tuple(model.input_shape[1:])
+    conv.representative_dataset = lambda: (
+        [rng.uniform(-1, 1, in_shape).astype(np.float32)]
+        for _ in range(20))
+    conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    conv.inference_input_type = tf.int8
+    conv.inference_output_type = tf.int8
+    blob = conv.convert()
+    cm = convert_model(parse_tflite(blob), name="fuzz-int8")
+    interp = tf.lite.Interpreter(
+        model_content=blob,
+        experimental_op_resolver_type=tf.lite.experimental
+        .OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES)
+    interp.allocate_tensors()
+    idet = interp.get_input_details()[0]
+    odet = interp.get_output_details()[0]
+    isc, izp = idet["quantization"]
+    osc, ozp = odet["quantization"]
+    xf = rng.uniform(-1, 1, in_shape).astype(np.float32)
+    xi = np.clip(np.round(xf / isc) + izp, -128, 127).astype(np.int8)
+    interp.set_tensor(idet["index"], xi)
+    interp.invoke()
+    ref = (interp.get_tensor(odet["index"]).astype(np.float32) - ozp) * osc
+    (got,) = cm.fn(cm.params, xi)
+    # a couple of grid steps of slack: int kernels round requant
+    # differently than fp32 emulation in rare ties
+    assert np.abs(np.asarray(got) - ref).max() <= 2 * osc
