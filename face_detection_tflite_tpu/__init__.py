@@ -40,7 +40,8 @@ from .utils.camera import (CameraFormat, CameraFrame, CameraRotation,
 from .pipeline.types import (Blendshape, Detection, Eye, EyePair, Face,
                              FaceBlendshapes, FaceContourType, FaceLandmarks,
                              FaceLandmarkType, FaceMesh, HeadEulerAngles,
-                             RectF, AlignedRoi, FACE_CONTOUR_MESH_INDICES)
+                             RectF, AlignedRoi, FACE_CONTOUR_MESH_INDICES,
+                             split_meshes_if_concatenated)
 
 __version__ = "0.1.0"
 
@@ -49,7 +50,8 @@ __all__ = [
     "SegmentationModel", "Face", "Detection", "FaceMesh", "Eye", "EyePair",
     "FaceLandmarks", "FaceLandmarkType", "FaceContourType", "Blendshape",
     "FaceBlendshapes", "HeadEulerAngles", "RectF", "AlignedRoi",
-    "FACE_CONTOUR_MESH_INDICES", "SegmentationMask",
+    "FACE_CONTOUR_MESH_INDICES", "split_meshes_if_concatenated",
+    "SegmentationMask",
     "MulticlassSegmentationMask", "SegmentationClass", "SelfieSegmentation",
     "FaceEmbedding", "cosine_similarity", "euclidean_distance",
     "compute_embedding_alignment", "TemporalFaceTracker", "PipelineModels",

@@ -641,6 +641,43 @@ class FaceDetector:
             self._load_segmentation(SegmentationModel.GENERAL)
         return self._segmentation(np.asarray(image)[None])[0]
 
+    def get_segmentation_mask_from_camera_frame(self, frame
+                                                ) -> SegmentationMask:
+        """Decodes a packed camera frame and segments it
+        (`getSegmentationMaskFromCameraFrame`, face_detector.dart:970)."""
+        from ..utils.camera import decode_camera_frame
+        return self.get_segmentation_mask(decode_camera_frame(frame))
+
+    def detect_faces_from_packed_bytes(
+            self, data, *, width: int, height: int, channels: int = 3,
+            channel_order: str = "bgr",
+            mode: FaceDetectionMode = FaceDetectionMode.FULL) -> list[Face]:
+        """Detects faces in raw packed pixel bytes — the zero-decode path.
+
+        Analog of `detectFacesFromMatBytes` (face_detector.dart:588): the
+        reference takes an OpenCV Mat's packed bytes (matType 16 = CV_8UC3,
+        BGR).  ``channels`` is 3 (BGR/RGB) or 4 (BGRA/RGBA);
+        ``channel_order`` names the layout ("bgr"/"rgb"/"bgra"/"rgba").
+        """
+        buf = np.frombuffer(bytes(data), np.uint8)
+        expected = width * height * channels
+        if buf.size != expected:
+            raise ValueError(
+                f"packed buffer holds {buf.size} bytes; {width}x{height}x"
+                f"{channels} needs {expected}")
+        img = buf.reshape(height, width, channels)
+        order = channel_order.lower()
+        if order not in ("bgr", "rgb", "bgra", "rgba"):
+            raise ValueError(f"unknown channel_order {channel_order!r}")
+        if len(order) != channels:
+            raise ValueError(
+                f"channel_order {channel_order!r} does not match "
+                f"channels={channels}")
+        if order.startswith("bgr"):
+            img = (np.concatenate([img[..., 2::-1], img[..., 3:]], axis=-1)
+                   if channels == 4 else img[..., ::-1])
+        return self.detect_faces(img, mode)
+
     def detect_faces_with_segmentation(
             self, image: np.ndarray,
             mode: FaceDetectionMode = FaceDetectionMode.FULL

@@ -24,7 +24,7 @@ __all__ = [
     "Detection", "FaceMesh", "Eye", "EyePair", "FaceLandmarks",
     "HeadEulerAngles", "FaceBlendshapes", "Face",
     "FACE_CONTOUR_MESH_INDICES", "EYE_LANDMARK_CONNECTIONS",
-    "MESH_POINTS", "MAX_EYE_LANDMARK",
+    "MESH_POINTS", "MAX_EYE_LANDMARK", "split_meshes_if_concatenated",
 ]
 
 MESH_POINTS = 468
@@ -472,3 +472,20 @@ class Face:
         return (f"Face(score={self.score:.3f}, box={self.bounding_box}, "
                 f"mesh={'yes' if self.mesh is not None else 'no'}, "
                 f"tracking_id={self.tracking_id})")
+
+
+def split_meshes_if_concatenated(mesh_points: np.ndarray
+                                 ) -> list[np.ndarray]:
+    """Splits a [k*468, 3] point array into per-face [468, 3] meshes.
+
+    `splitMeshesIfConcatenated` (face_detector.dart:1047): empty input
+    yields []; lengths that are not a multiple of 468 are returned whole
+    as a single entry.
+    """
+    pts = np.asarray(mesh_points)
+    if pts.size == 0:
+        return []
+    if len(pts) % MESH_POINTS != 0:
+        return [pts]
+    return [pts[i * MESH_POINTS:(i + 1) * MESH_POINTS]
+            for i in range(len(pts) // MESH_POINTS)]

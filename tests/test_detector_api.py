@@ -380,3 +380,61 @@ class TestBytesBatchPredispatch:
         for bf, sf in zip(batched, singles):
             np.testing.assert_allclose(bf[0].mesh.points, sf[0].mesh.points,
                                        atol=1e-3)
+
+
+class TestMatBytesAndFrameMask:
+    def test_packed_bytes_matches_array_path(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        h, w, _ = img.shape
+        bgr = img[..., ::-1].tobytes()
+        via_bytes = d.detect_faces_from_packed_bytes(
+            bgr, width=w, height=h, mode=FaceDetectionMode.FAST)
+        via_array = d.detect_faces(img, FaceDetectionMode.FAST)
+        assert len(via_bytes) == len(via_array) == 1
+        assert via_bytes[0].bounding_box == via_array[0].bounding_box
+
+    def test_packed_bytes_bgra(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        h, w, _ = img.shape
+        bgra = np.dstack([img[..., ::-1],
+                          np.full((h, w), 255, np.uint8)]).tobytes()
+        faces = d.detect_faces_from_packed_bytes(
+            bgra, width=w, height=h, channels=4, channel_order="bgra",
+            mode=FaceDetectionMode.FAST)
+        assert len(faces) == 1
+
+    def test_packed_bytes_size_mismatch(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        with pytest.raises(ValueError, match="needs"):
+            d.detect_faces_from_packed_bytes(b"\x00" * 10, width=4, height=4)
+        with pytest.raises(ValueError, match="channel_order"):
+            d.detect_faces_from_packed_bytes(
+                b"\x00" * 48, width=4, height=4, channel_order="bgra")
+
+    def test_segmentation_from_camera_frame(self):
+        from face_detection_tflite_tpu.utils.camera import (CameraFormat,
+                                                            CameraFrame)
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        img = _img("landmark-ex1.jpg")[:64, :64]
+        frame = CameraFrame(data=np.dstack(
+            [img, np.full(img.shape[:2], 255, np.uint8)]).tobytes(),
+            width=64, height=64, format=CameraFormat.RGBA)
+        mask = d.get_segmentation_mask_from_camera_frame(frame)
+        assert mask.data.shape == (256, 256)
+
+
+def test_split_meshes_if_concatenated():
+    from face_detection_tflite_tpu import split_meshes_if_concatenated
+    assert split_meshes_if_concatenated(np.zeros((0, 3))) == []
+    two = np.arange(2 * 468 * 3, dtype=np.float32).reshape(-1, 3)
+    parts = split_meshes_if_concatenated(two)
+    assert len(parts) == 2 and parts[0].shape == (468, 3)
+    assert np.array_equal(parts[1], two[468:])
+    odd = np.zeros((500, 3))
+    assert [p.shape for p in split_meshes_if_concatenated(odd)] == [(500, 3)]
