@@ -216,6 +216,8 @@ class FaceEmbedding:
 
     def embed(self, image: np.ndarray, left_eye, right_eye) -> np.ndarray:
         """L2-normalized embedding from an RGB image + eye centers (px)."""
+        if self.model is None:
+            raise RuntimeError("FaceEmbedding has been disposed")
         image = np.asarray(image)
         h, w, _ = image.shape
         cx, cy, size, theta = compute_embedding_alignment(left_eye, right_eye)
@@ -243,6 +245,8 @@ class FaceEmbedding:
         returns [N, 192].  The N crops warp and batch through MobileFaceNet
         together (vs. N dispatches from calling :meth:`embed` in a loop).
         """
+        if self.model is None:
+            raise RuntimeError("FaceEmbedding has been disposed")
         image = np.asarray(image)
         h, w, _ = image.shape
         aligns = [compute_embedding_alignment(le, re)
@@ -256,6 +260,12 @@ class FaceEmbedding:
                                    for i in range(4))
         return np.asarray(prog(self.model.params, jnp.asarray(image),
                                cxs, cys, sizes, thetas))
+
+    def dispose(self) -> None:
+        """Frees programs/weights; later embeds raise
+        (`face_embedding.dart:343`)."""
+        self._programs = {}
+        self.model = None
 
     # Static helpers mirroring the reference API.
     cosine_similarity = staticmethod(cosine_similarity)

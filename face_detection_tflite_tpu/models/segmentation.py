@@ -225,13 +225,33 @@ class SelfieSegmentation:
                 jax.jit(jax.vmap(one, in_axes=(None, 0))), lbp)
         return self._programs[key]
 
+    def call_from_bytes(self, data: bytes) -> SegmentationMask:
+        """Decodes an encoded image and segments it
+        (`callFromBytes`, selfie_segmentation.dart:586)."""
+        from ..utils.image import decode_image
+        return self(decode_image(data)[None])[0]
+
+    def dispose(self) -> None:
+        """Frees the compiled programs/weights; later calls raise
+        (`selfie_segmentation.dart:733`).  `dispose_async` is the same —
+        there is no isolate to wind down here."""
+        self._programs = {}
+        self.model = None
+
+    def dispose_async(self) -> None:
+        self.dispose()
+
     def dispatch(self, images):
         """Starts segmentation asynchronously; returns an opaque handle.
+
+        Raises RuntimeError after :meth:`dispose`.
 
         The device program is dispatched but NOT materialized — callers can
         overlap other device work (the combined detect+segment path) and
         call :meth:`materialize` later.
         """
+        if self.model is None:
+            raise RuntimeError("SelfieSegmentation has been disposed")
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))
         if images.ndim == 3:

@@ -36,6 +36,28 @@ __all__ = ["FaceDetection", "FaceLandmark", "IrisLandmark",
            "FaceBlendshapesModel"]
 
 
+class _Disposable:
+    """`dispose()` semantics shared by the standalone model classes.
+
+    The reference frees its interpreters and makes later calls throw
+    (`face_detection_model.dart:525` et al.); here dispose drops the
+    compiled programs/weights and poisons further use.
+    """
+
+    _disposed = False
+
+    def dispose(self) -> None:
+        self._disposed = True
+        for attr in ("_programs", "_run", "model"):
+            if hasattr(self, attr):
+                setattr(self, attr, None)
+
+    def _check_disposed(self) -> None:
+        if self._disposed:
+            raise RuntimeError(
+                f"{type(self).__name__} has been disposed")
+
+
 def _resolve(path_or_variantfile: str, model_dir: Optional[str]) -> str:
     if os.path.isabs(path_or_variantfile):
         return path_or_variantfile
@@ -43,7 +65,7 @@ def _resolve(path_or_variantfile: str, model_dir: Optional[str]) -> str:
     return os.path.join(resolve_model_dir(model_dir), path_or_variantfile)
 
 
-class FaceDetection:
+class FaceDetection(_Disposable):
     """Standalone BlazeFace: image -> list[Detection].
 
     Equivalent of `lib/src/models/face_detection_model.dart`: letterbox,
@@ -85,6 +107,7 @@ class FaceDetection:
         return self._programs[key]
 
     def __call__(self, image: np.ndarray) -> list[Detection]:
+        self._check_disposed()
         image = np.asarray(image)
         h, w, _ = image.shape
         boxes, kp, scores, valid = map(np.asarray, self._program(h, w)(
@@ -94,7 +117,7 @@ class FaceDetection:
                 for i in range(len(valid)) if valid[i]]
 
 
-class FaceLandmark:
+class FaceLandmark(_Disposable):
     """Standalone FaceMesh: 192x192 face crop -> (landmarks, score).
 
     Equivalent of `lib/src/models/face_landmark.dart`: landmarks come back
@@ -125,6 +148,7 @@ class FaceLandmark:
 
     def call_with_score(self, face_crop: np.ndarray
                         ) -> tuple[np.ndarray, float]:
+        self._check_disposed()
         assert face_crop.shape[:2] == (self.input_size, self.input_size), \
             f"expects a {self.input_size}x{self.input_size} crop"
         lm, score = self._run(self.model.params, jnp.asarray(face_crop))
@@ -135,7 +159,7 @@ class FaceLandmark:
         return self.call_with_score(face_crop)[0]
 
 
-class IrisLandmark:
+class IrisLandmark(_Disposable):
     """Standalone iris model: 64x64 eye crop -> [76, 3] points.
 
     Equivalent of `lib/src/models/iris_landmark.dart`: 71 eye-contour
@@ -159,12 +183,13 @@ class IrisLandmark:
         self._run = jax.jit(run)
 
     def __call__(self, eye_crop: np.ndarray) -> np.ndarray:
+        self._check_disposed()
         assert eye_crop.shape[:2] == (self.input_size, self.input_size), \
             f"expects a {self.input_size}x{self.input_size} crop"
         return np.asarray(self._run(self.model.params, jnp.asarray(eye_crop)))
 
 
-class FaceBlendshapesModel:
+class FaceBlendshapesModel(_Disposable):
     """Standalone Blendshape V2: [146, 2] landmarks (pixels) -> 52 coeffs.
 
     Equivalent of `lib/src/models/face_blendshapes.dart` including the
@@ -189,6 +214,7 @@ class FaceBlendshapesModel:
         """[146, 2] pixels -> [52] coefficients, or None when the model
         emits NaN (the reference nulls the whole result,
         face_blendshapes.dart:189-196)."""
+        self._check_disposed()
         pts = np.asarray(landmarks_146, np.float32)
         if pts.shape != (146, 2):
             raise ValueError(

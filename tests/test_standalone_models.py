@@ -75,3 +75,31 @@ class TestStandalone:
         assert (out >= 0).all() and (out <= 1).all()
         with pytest.raises(ValueError, match="146, 2"):
             bs(np.zeros((100, 2)))
+
+
+class TestDispose:
+    def test_standalone_dispose_poisons(self):
+        from face_detection_tflite_tpu.models.standalone import (
+            FaceBlendshapesModel)
+        m = FaceBlendshapesModel(model_dir=MODELS_DIR)
+        m.dispose()
+        with pytest.raises(RuntimeError, match="disposed"):
+            m(np.zeros((146, 2), np.float32))
+
+    def test_segmentation_dispose(self):
+        import os
+        from face_detection_tflite_tpu.convert.executor import convert_file
+        from face_detection_tflite_tpu.models.segmentation import (
+            SelfieSegmentation)
+        seg = SelfieSegmentation(convert_file(
+            os.path.join(MODELS_DIR, "selfie_segmenter.tflite")))
+        seg.dispose_async()
+        with pytest.raises(RuntimeError, match="disposed"):
+            seg(np.zeros((1, 64, 64, 3), np.uint8))
+
+    def test_embedding_dispose(self):
+        from face_detection_tflite_tpu.models.embedding import FaceEmbedding
+        emb = FaceEmbedding.load(None)
+        emb.dispose()
+        with pytest.raises(RuntimeError, match="disposed"):
+            emb.embed(np.zeros((64, 64, 3), np.uint8), (10, 10), (20, 10))
