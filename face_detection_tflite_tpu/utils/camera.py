@@ -19,6 +19,7 @@ import numpy as np
 from .image import rgb_from_yuv420
 
 __all__ = ["CameraFormat", "CameraRotation", "CameraFrame",
+           "camera_frame_from_image",
            "decode_camera_frame"]
 
 
@@ -102,3 +103,22 @@ def decode_camera_frame(frame: CameraFrame) -> np.ndarray:
     if k:
         rgb = np.rot90(rgb, k)
     return np.ascontiguousarray(rgb)
+
+
+def camera_frame_from_image(image: np.ndarray,
+                            rotation: CameraRotation = CameraRotation.NONE
+                            ) -> CameraFrame:
+    """Packs an RGB/RGBA image into a CameraFrame (RGBA layout).
+
+    Analog of flutter_litert's `prepareCameraFrameFromImage`
+    (re-exported at face_native_lib.dart:81) — mainly for tests and for
+    feeding still images through camera-frame code paths.
+    """
+    img = np.asarray(image, np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError(f"expected [H, W, 3|4] image, got {img.shape}")
+    if img.shape[2] == 3:
+        img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    h, w, _ = img.shape
+    return CameraFrame(data=img.tobytes(), width=w, height=h,
+                       format=CameraFormat.RGBA, rotation=rotation)

@@ -173,3 +173,17 @@ class TestOddDimsAndStride:
         assert rgb.shape == (h, w, 3)
         # neutral chroma -> gray everywhere (no color corruption from pad)
         assert (np.abs(rgb.astype(int) - rgb[0, 0].astype(int)) < 3).all()
+
+
+def test_camera_frame_from_image_roundtrip():
+    from face_detection_tflite_tpu import camera_frame_from_image
+    from face_detection_tflite_tpu.utils.camera import decode_camera_frame
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (31, 47, 3), dtype=np.uint8)
+    frame = camera_frame_from_image(img)
+    assert np.array_equal(decode_camera_frame(frame), img)
+    # RGBA passes through; bad rank rejected
+    rgba = np.dstack([img, np.full((31, 47), 7, np.uint8)])
+    assert camera_frame_from_image(rgba).data == rgba.tobytes()
+    with pytest.raises(ValueError, match="expected"):
+        camera_frame_from_image(np.zeros((4, 4), np.uint8))
