@@ -305,11 +305,23 @@ class FaceDetector:
         18 -> 7 ms).  The detect slab is score-ordered, so a prefix keeps
         the highest-confidence faces.
         """
-        b, h, w, _ = images.shape
         with self.timings.stage("detect"):
             det = (_predispatched if _predispatched is not None else
-                   self._program(h, w, FaceDetectionMode.FAST)(
-                       self._params, images))
+                   self._dispatch_detect(images))
+        return self._finish_adaptive(images, det, mode)
+
+    def _dispatch_detect(self, images):
+        """Dispatches the detect-only program (non-blocking)."""
+        _, h, w, _ = images.shape
+        return self._program(h, w, FaceDetectionMode.FAST)(
+            self._params, images)
+
+    def _finish_adaptive(self, images, det, mode: FaceDetectionMode):
+        """Second phase: blocks on the detect slab, picks the face bucket,
+        runs the per-face stages.  Split from the dispatch so streaming
+        callers can keep later batches' detections in flight while this
+        batch's face stages run."""
+        _, h, w, _ = images.shape
         with self.timings.stage("detect_readback"):
             det_host = self._fetch(det)
         if mode == FaceDetectionMode.FAST:
@@ -441,8 +453,12 @@ class FaceDetector:
             out = self._fetch(prog(self._params, images))
             if pad_b:
                 out = {k: v[:b] for k, v in out.items()}
-        # Rescale normalized outputs from the (possibly padded) frame back
-        # to each image's own dimensions.
+        return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
+
+    def _postprocess_slab(self, out, b, bh, bw, orig_sizes, mode
+                          ) -> list[list[Face]]:
+        """Rescales normalized outputs from the (possibly padded) frame
+        back to each image's own dimensions and builds Face objects."""
         sx = np.asarray([bw / ow for ow, _ in orig_sizes], np.float32)
         sy = np.asarray([bh / oh for _, oh in orig_sizes], np.float32)
         if not (np.all(sx == 1.0) and np.all(sy == 1.0)):
@@ -453,6 +469,66 @@ class FaceDetector:
                 out[key] = out[key] * kp_scale
         return [self._materialize(out, i, orig_sizes[i], mode)
                 for i in range(b)]
+
+    def detect_faces_batch_stream(self, batches,
+                                  mode: FaceDetectionMode =
+                                  FaceDetectionMode.FULL,
+                                  *, depth: int = 1):
+        """Software-pipelined detection over an iterable of image batches.
+
+        Yields one ``list[list[Face]]`` per input batch, in order, while
+        keeping up to ``depth`` later batches' detect programs in flight —
+        batch N+1's detection is dispatched before batch N's face stages
+        block.  The win is the host-side gap time (materialize/numpy work
+        between calls): measured 1-11% on a busy relay-attached chip where
+        the device rarely idles; grows with host post-processing cost.
+        Tracking is not applied (per-stream concept); no reference
+        counterpart (the reference is one image per isolate round-trip).
+
+        Batches may be numpy or device arrays of shape [B, H, W, 3]; all
+        images within a batch share a shape, different batches may differ
+        (each (H, W) compiles once).
+        """
+        self._check_disposed()
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        import collections
+        pending: collections.deque = collections.deque()
+
+        def _prepare(images):
+            images = _normalize_channels(images)
+            b, h, w, _ = images.shape
+            if self.bucket_images:
+                hb, wb = self._bucket(h), self._bucket(w)
+                if (hb, wb) != (h, w):
+                    images = jnp.pad(
+                        images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+            return images, b, images.shape[1], images.shape[2], (w, h)
+
+        def _finish(item):
+            if item is None:  # order-preserving marker for an empty batch
+                return []
+            images, det, b, bh, bw, wh = item
+            if self.adaptive:
+                out = self._finish_adaptive(images, det, mode)
+            else:
+                out = self._fetch(det)
+            return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
+
+        for raw in batches:
+            images, b, bh, bw, wh = _prepare(raw)
+            if b == 0:
+                pending.append(None)
+            else:
+                with self.timings.stage("detect"):
+                    det = (self._dispatch_detect(images) if self.adaptive
+                           else self._program(bh, bw, mode)(self._params,
+                                                            images))
+                pending.append((images, det, b, bh, bw, wh))
+            if len(pending) > depth:
+                yield _finish(pending.popleft())
+        while pending:
+            yield _finish(pending.popleft())
 
     @staticmethod
     def _bucket(v: int, step: int = 256) -> int:

@@ -56,6 +56,7 @@ def _random_model(rng):
 
 @pytest.mark.parametrize("seed", [42, 1042, 7])
 def test_random_stack_matches_interpreter(seed):
+    tf.keras.utils.set_random_seed(seed)
     rng = np.random.default_rng(seed)
     for _ in range(2):
         blob = tf.lite.TFLiteConverter.from_keras_model(

@@ -438,3 +438,52 @@ def test_split_meshes_if_concatenated():
     assert np.array_equal(parts[1], two[468:])
     odd = np.zeros((500, 3))
     assert [p.shape for p in split_meshes_if_concatenated(odd)] == [(500, 3)]
+
+
+class TestBatchStream:
+    def test_stream_matches_batch_calls(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        batches = [img[None], np.stack([img, img]), img[None]]
+        streamed = list(d.detect_faces_batch_stream(
+            iter(batches), FaceDetectionMode.STANDARD, depth=2))
+        direct = [d.detect_faces_batch(b, FaceDetectionMode.STANDARD)
+                  for b in batches]
+        assert [[len(f) for f in r] for r in streamed] == \
+               [[len(f) for f in r] for r in direct] == [[1], [1, 1], [1]]
+        for rs, rd in zip(streamed, direct):
+            for fs, fd in zip(rs, rd):
+                np.testing.assert_allclose(fs[0].mesh.points,
+                                           fd[0].mesh.points, atol=1e-3)
+
+    def test_stream_empty_and_mixed_shapes(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        small = img[::4, ::4]
+        batches = [np.zeros((0, 64, 64, 3), np.uint8), img[None],
+                   small[None]]
+        out = list(d.detect_faces_batch_stream(batches,
+                                               FaceDetectionMode.FAST))
+        assert out[0] == []
+        assert len(out[1][0]) == 1 and len(out[2][0]) == 1
+
+    def test_stream_empty_batch_keeps_order(self):
+        """An empty batch mid-stream must yield [] at ITS position, not
+        jump ahead of batches still in the pipeline (depth > 1)."""
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        batches = [img[None], np.stack([img, img]),
+                   np.zeros((0, 32, 32, 3), np.uint8), img[None]]
+        out = list(d.detect_faces_batch_stream(batches,
+                                               FaceDetectionMode.FAST,
+                                               depth=3))
+        assert [[len(f) for f in r] for r in out] == [[1], [1, 1], [], [1]]
+
+    def test_stream_depth_validation(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        with pytest.raises(ValueError, match="depth"):
+            list(d.detect_faces_batch_stream([], depth=0))

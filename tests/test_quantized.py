@@ -19,6 +19,7 @@ from face_detection_tflite_tpu.convert.tflite import parse_tflite
 
 @pytest.fixture(scope="module")
 def int8_model():
+    tf.keras.utils.set_random_seed(0)  # weights independent of test order
     rng = np.random.default_rng(0)
     inp = tf.keras.Input((16, 16, 3))
     x = tf.keras.layers.Conv2D(8, 3, strides=2, padding="same",
@@ -108,6 +109,7 @@ class TestShapeChainFolding:
 
     @staticmethod
     def _build(quantize):
+        tf.keras.utils.set_random_seed(2)  # weights independent of test order
         rng = np.random.default_rng(2)
         inp = tf.keras.Input((8, 8, 3))
         x = tf.keras.layers.Conv2D(4, 3, padding="same",
@@ -151,7 +153,9 @@ class TestShapeChainFolding:
             ref = (interp.get_tensor(odet["index"]).astype(np.float32)
                    - ozp) * osc
             (got,) = cm.fn(cm.params, xi)
-            assert np.abs(np.asarray(got) - ref).max() <= osc
+            # up to 2 grid steps: integer kernels break rounding ties
+            # differently than fp32 emulation
+            assert np.abs(np.asarray(got) - ref).max() <= 2 * osc
         else:
             interp.set_tensor(idet["index"], xf)
             interp.invoke()
