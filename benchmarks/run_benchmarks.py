@@ -118,6 +118,27 @@ def main():
         except Exception as e:  # pallas may not lower off-TPU
             results["configs"][name] = f"unavailable: {type(e).__name__}"
 
+    # Pipelined batch stream (device-resident input): software-pipelined
+    # two-phase dispatch vs sequential detect_faces_batch calls.
+    n_stream = 3 if args.quick else 12
+    det.detect_faces_batch(images, FaceDetectionMode.STANDARD)
+    list(det.detect_faces_batch_stream([images],
+                                       FaceDetectionMode.STANDARD))
+    t0 = time.perf_counter()
+    for _ in range(n_stream):
+        det.detect_faces_batch(images, FaceDetectionMode.STANDARD)
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in det.detect_faces_batch_stream(
+            (images for _ in range(n_stream)),
+            FaceDetectionMode.STANDARD, depth=2):
+        pass
+    t_str = time.perf_counter() - t0
+    results["configs"]["batch_stream"] = {
+        "images_per_sec_sequential": round(n_stream * batch / t_seq, 2),
+        "images_per_sec_pipelined": round(n_stream * batch / t_str, 2),
+    }
+
     # Serving pipeline: JPEG-bytes stream through the pipelined executor
     # (decode on caller thread ∥ compute on worker) vs the same batches
     # called serially — shows the overlap win end to end.
