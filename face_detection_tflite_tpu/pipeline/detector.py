@@ -439,21 +439,29 @@ class FaceDetector:
             out = self._detect_adaptive(images, mode,
                                         _predispatched=_predispatched)
         else:
-            pad_b = 0
-            if self._mesh is not None:
-                n = int(self._mesh.devices.size)
-                pad_b = (-b) % n
-                if pad_b:
-                    images = jnp.concatenate(
-                        [images, jnp.zeros((pad_b,) + images.shape[1:],
-                                           images.dtype)])
-                from ..parallel.sharding import shard_batch
-                images = shard_batch(images, self._mesh)
-            prog = self._program(bh, bw, mode)
-            out = self._fetch(prog(self._params, images))
+            handle, pad_b = self._dispatch_full(images, mode)
+            out = self._fetch(handle)
             if pad_b:
                 out = {k: v[:b] for k, v in out.items()}
         return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
+
+    def _dispatch_full(self, images, mode: FaceDetectionMode):
+        """Dispatches the single fused program (non-adaptive path),
+        applying data-parallel batch padding + sharding when a mesh is
+        configured.  Returns (device handle, pad rows to trim)."""
+        b = images.shape[0]
+        pad_b = 0
+        if self._mesh is not None:
+            n = int(self._mesh.devices.size)
+            pad_b = (-b) % n
+            if pad_b:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad_b,) + images.shape[1:],
+                                       images.dtype)])
+            from ..parallel.sharding import shard_batch
+            images = shard_batch(images, self._mesh)
+        prog = self._program(images.shape[1], images.shape[2], mode)
+        return prog(self._params, images), pad_b
 
     def _postprocess_slab(self, out, b, bh, bw, orig_sizes, mode
                           ) -> list[list[Face]]:
@@ -508,11 +516,13 @@ class FaceDetector:
         def _finish(item):
             if item is None:  # order-preserving marker for an empty batch
                 return []
-            images, det, b, bh, bw, wh = item
+            images, det, pad_b, b, bh, bw, wh = item
             if self.adaptive:
                 out = self._finish_adaptive(images, det, mode)
             else:
                 out = self._fetch(det)
+                if pad_b:
+                    out = {k: v[:b] for k, v in out.items()}
             return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
 
         for raw in batches:
@@ -520,11 +530,13 @@ class FaceDetector:
             if b == 0:
                 pending.append(None)
             else:
+                pad_b = 0
                 with self.timings.stage("detect"):
-                    det = (self._dispatch_detect(images) if self.adaptive
-                           else self._program(bh, bw, mode)(self._params,
-                                                            images))
-                pending.append((images, det, b, bh, bw, wh))
+                    if self.adaptive:
+                        det = self._dispatch_detect(images)
+                    else:
+                        det, pad_b = self._dispatch_full(images, mode)
+                pending.append((images, det, pad_b, b, bh, bw, wh))
             if len(pending) > depth:
                 yield _finish(pending.popleft())
         while pending:

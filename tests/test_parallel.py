@@ -67,6 +67,7 @@ def test_detector_data_parallel_matches_single():
     the same faces as the single-device path, including a non-divisible
     batch (padded internally)."""
     from PIL import Image
+    from PIL import Image
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector)
     img = np.asarray(Image.open(
@@ -91,6 +92,7 @@ def test_data_parallel_with_bucketing():
     """bucket_images + data_parallel compose: spatial pad then batch pad
     then shard."""
     from PIL import Image
+    from PIL import Image
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector)
     img = np.asarray(Image.open(
@@ -101,3 +103,24 @@ def test_data_parallel_with_bucketing():
                      bucket_images=True)
     out = d.detect_faces_batch(np.stack([img] * 5), FaceDetectionMode.FAST)
     assert len(out) == 5  # returns per-image lists, padding stripped
+
+
+def test_stream_with_data_parallel():
+    """detect_faces_batch_stream must apply the same batch pad+shard as
+    detect_faces_batch when data_parallel is on (regression: the stream
+    dispatched unsharded batches against sharded params)."""
+    from PIL import Image
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector)
+    img = np.asarray(Image.open(
+        "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+    img = img[::4, ::4]
+    det = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                       data_parallel=True, adaptive=False,
+                       model_dir=MODELS_DIR)
+    batch = np.stack([img] * 3)  # not divisible by the 8-device mesh
+    direct = det.detect_faces_batch(batch, FaceDetectionMode.FAST)
+    streamed = list(det.detect_faces_batch_stream(
+        [batch, batch], FaceDetectionMode.FAST, depth=2))
+    assert [len(f) for f in streamed[0]] == [len(f) for f in direct]
+    assert len(streamed) == 2
