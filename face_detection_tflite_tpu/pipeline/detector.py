@@ -502,45 +502,48 @@ class FaceDetector:
             raise ValueError("depth must be >= 1")
         import collections
         pending: collections.deque = collections.deque()
-
-        def _prepare(images):
-            images = _normalize_channels(images)
-            b, h, w, _ = images.shape
-            if self.bucket_images:
-                hb, wb = self._bucket(h), self._bucket(w)
-                if (hb, wb) != (h, w):
-                    images = jnp.pad(
-                        images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
-            return images, b, images.shape[1], images.shape[2], (w, h)
-
-        def _finish(item):
-            if item is None:  # order-preserving marker for an empty batch
-                return []
-            images, det, pad_b, b, bh, bw, wh = item
-            if self.adaptive:
-                out = self._finish_adaptive(images, det, mode)
-            else:
-                out = self._fetch(det)
-                if pad_b:
-                    out = {k: v[:b] for k, v in out.items()}
-            return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
-
         for raw in batches:
-            images, b, bh, bw, wh = _prepare(raw)
-            if b == 0:
-                pending.append(None)
-            else:
-                pad_b = 0
-                with self.timings.stage("detect"):
-                    if self.adaptive:
-                        det = self._dispatch_detect(images)
-                    else:
-                        det, pad_b = self._dispatch_full(images, mode)
-                pending.append((images, det, pad_b, b, bh, bw, wh))
+            pending.append(self._stream_dispatch(raw, mode))
             if len(pending) > depth:
-                yield _finish(pending.popleft())
+                yield self._stream_finish(pending.popleft(), mode)
         while pending:
-            yield _finish(pending.popleft())
+            yield self._stream_finish(pending.popleft(), mode)
+
+    def _stream_dispatch(self, raw, mode: FaceDetectionMode):
+        """Prepares a batch and dispatches its first-phase program
+        (non-blocking).  Returns an opaque handle for
+        :meth:`_stream_finish`; None marks an empty batch."""
+        images = _normalize_channels(raw)
+        b, h, w, _ = images.shape
+        if b == 0:
+            return None
+        if self.bucket_images:
+            hb, wb = self._bucket(h), self._bucket(w)
+            if (hb, wb) != (h, w):
+                images = jnp.pad(
+                    images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+        pad_b = 0
+        with self.timings.stage("detect"):
+            if self.adaptive:
+                det = self._dispatch_detect(images)
+            else:
+                det, pad_b = self._dispatch_full(images, mode)
+        return (images, det, pad_b, b, images.shape[1], images.shape[2],
+                (w, h))
+
+    def _stream_finish(self, item, mode: FaceDetectionMode
+                       ) -> list[list[Face]]:
+        """Blocks on a :meth:`_stream_dispatch` handle and builds faces."""
+        if item is None:  # order-preserving marker for an empty batch
+            return []
+        images, det, pad_b, b, bh, bw, wh = item
+        if self.adaptive:
+            out = self._finish_adaptive(images, det, mode)
+        else:
+            out = self._fetch(det)
+            if pad_b:
+                out = {k: v[:b] for k, v in out.items()}
+        return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
 
     @staticmethod
     def _bucket(v: int, step: int = 256) -> int:

@@ -61,6 +61,10 @@ class ServingPipeline:
             images = np.stack(decode_images(list(images)))
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))  # H2D now, async
+        # Validate shape eagerly so a malformed batch raises HERE rather
+        # than poisoning the worker's pipelined stream.
+        from .detector import _normalize_channels
+        _normalize_channels(images)
         fut: Future = Future()
         # The closed check and enqueue are atomic w.r.t. close(), so a
         # batch can never land behind the shutdown sentinel (which would
@@ -72,16 +76,39 @@ class ServingPipeline:
         return fut
 
     def _run(self):
+        # Two-phase pipelining UNDER LOAD: while more batches are queued,
+        # the next batch's detect program dispatches before this batch's
+        # face stages block; when the queue is empty, pending work
+        # finishes immediately (a lone submission never waits for
+        # company).  Futures resolve in submit order.
+        import collections
+        pending: collections.deque = collections.deque()
+
+        def finish_one():
+            fut, handle = pending.popleft()
+            try:
+                fut.set_result(self._det._stream_finish(handle, self._mode))
+            except Exception as e:
+                fut.set_exception(e)
+
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get(block=not pending)
+            except queue.Empty:
+                finish_one()
+                continue
             if item is None:
-                return
+                break
             images, fut = item
             try:
-                fut.set_result(
-                    self._det.detect_faces_batch(images, self._mode))
-            except Exception as e:  # pragma: no cover
+                pending.append(
+                    (fut, self._det._stream_dispatch(images, self._mode)))
+            except Exception as e:
                 fut.set_exception(e)
+            if len(pending) > 2:
+                finish_one()
+        while pending:
+            finish_one()
 
     def close(self, wait: bool = True) -> None:
         with self._submit_lock:

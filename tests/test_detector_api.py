@@ -179,6 +179,39 @@ class TestServingPipeline:
         with pytest.raises(RuntimeError):
             pipe.submit(np.zeros((1, 64, 64, 3), np.uint8))
 
+    def test_bad_batch_raises_at_submit_not_worker(self):
+        """Malformed shapes must fail the submit() call itself, never
+        poison the worker's pipelined stream (later batches still work)."""
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        with ServingPipeline(d, FaceDetectionMode.FAST) as pipe:
+            with pytest.raises(ValueError):
+                pipe.submit(np.zeros((1, 2, 3, 4, 5), np.uint8))
+            faces = pipe.submit(img[None]).result(timeout=300)
+        assert len(faces[0]) == 1
+
+    def test_interleaved_submit_result(self):
+        """result() on an early future while later submissions continue
+        (exercises the in-flight deque ordering)."""
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        small = img[::2, ::2]
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        with ServingPipeline(d, FaceDetectionMode.FAST, depth=2) as pipe:
+            f1 = pipe.submit(img[None])
+            f2 = pipe.submit(small[None])
+            r1 = f1.result(timeout=300)
+            f3 = pipe.submit(np.stack([img, img]))
+            r2, r3 = f2.result(timeout=300), f3.result(timeout=300)
+        assert [len(x) for x in r1 + r2 + r3] == [1, 1, 1, 1]
+
 
 class TestImageBucketing:
     def test_bucketed_matches_exact_counts_and_boxes(self):
