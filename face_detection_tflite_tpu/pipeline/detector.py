@@ -513,6 +513,7 @@ class FaceDetector:
         """Prepares a batch and dispatches its first-phase program
         (non-blocking).  Returns an opaque handle for
         :meth:`_stream_finish`; None marks an empty batch."""
+        self._check_disposed()
         images = _normalize_channels(raw)
         b, h, w, _ = images.shape
         if b == 0:
