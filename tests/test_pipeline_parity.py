@@ -444,3 +444,70 @@ class TestClosedEyeReroute:
         c_mesh_only = coeffs(mesh_c, iris)
         assert c_mesh_only[BLINK_L] < c_open[BLINK_L] + 0.1
         assert c_mesh_only[BLINK_R] < c_open[BLINK_R] + 0.1
+
+
+@pytest.fixture(scope="module")
+def oracle_faces_iris_ex2():
+    return oracle.full_pipeline(_img("iris-detection-ex2.jpg"), MODELS_DIR,
+                                "back")
+
+
+class TestSecondImageStageParity:
+    """Stage parity on a SECOND photo with different geometry
+    (iris-detection-ex2: different resolution/pose than landmark-ex1)
+    guards against parity overfitting to a single fixture."""
+
+    def test_mesh_stage_parity(self, detector, oracle_faces_iris_ex2):
+        import jax.numpy as jnp
+        from face_detection_tflite_tpu.ops import warp as warp_ops
+        from face_detection_tflite_tpu.pipeline import geometry
+        from face_detection_tflite_tpu.pipeline.programs import (
+            _identify_landmark_outputs, _unpack_landmarks)
+
+        img = _img("iris-detection-ex2.jpg")
+        h, w = img.shape[:2]
+        r = oracle_faces_iris_ex2[0]
+        kp = jnp.asarray(r["kp"])[None]
+        theta, cx, cy, fsize = geometry.compute_face_alignment(
+            kp, float(w), float(h))
+        crop = warp_ops.extract_aligned_square(
+            jnp.asarray(img, jnp.float32), cx[0], cy[0], fsize[0],
+            -theta[0], out_size=192)
+        outs = detector.models.mesh.fn(
+            detector.models.mesh.params, (crop * (1 / 127.5) - 1.0)[None])
+        lm, _ = _identify_landmark_outputs(outs)
+        lm_norm = _unpack_landmarks(lm.reshape(1, -1), 192,
+                                    clamp=True, normalize_z=True)
+        mesh = np.asarray(geometry.transform_mesh_to_absolute(
+            lm_norm, cx, cy, fsize, theta))[0]
+        err = np.linalg.norm(mesh[:, :2] - r["mesh_abs"][:, :2], axis=1)
+        assert err.mean() < 0.5, f"mesh stage mean err {err.mean():.3f} px"
+        assert err.max() < 1.5, f"mesh stage max err {err.max():.3f} px"
+
+    def test_blendshape_stage_parity(self, detector, oracle_faces_iris_ex2):
+        import jax.numpy as jnp
+        from face_detection_tflite_tpu.pipeline.blendshape_input import (
+            pack_blendshape_input)
+        r = oracle_faces_iris_ex2[0]
+        packed = pack_blendshape_input(jnp.asarray(r["mesh_abs"])[None],
+                                       jnp.asarray(r["iris"])[None])
+        (coeffs,) = detector.models.blendshapes.fn(
+            detector.models.blendshapes.params,
+            jnp.asarray(packed[0:1], jnp.float32))
+        coeffs = np.clip(np.asarray(coeffs).reshape(52), 0, 1)
+        assert np.abs(coeffs - r["blendshapes"]).max() < 1e-4
+
+    def test_detection_stage_parity(self, detector, oracle_faces_iris_ex2):
+        """Boxes/keypoints within 0.5 px of the oracle on this image."""
+        img = _img("iris-detection-ex2.jpg")
+        h, w = img.shape[:2]
+        faces = detector.detect_faces_batch(
+            img[None], FaceDetectionMode.FAST)[0]
+        r = oracle_faces_iris_ex2[0]
+        assert len(faces) == 1
+        got = np.asarray(faces[0].bounding_box.scaled(w, h))
+        want = np.asarray(r["box"]) * [w, h, w, h]
+        assert np.abs(got - want).max() < 0.5
+        kp_err = np.abs(faces[0].detection_data.keypoints_xy
+                        - r["kp"]) * [w, h]
+        assert kp_err.max() < 0.5
