@@ -162,3 +162,42 @@ class TestShapeChainFolding:
             ref = interp.get_tensor(odet["index"])
             (got,) = cm.fn(cm.params, xf)
             assert np.abs(np.asarray(got) - ref).max() < 1e-5
+
+
+def test_16x8_quantization_matches_interpreter():
+    """int16-activation / int8-weight models (the 16x8 scheme) also run
+    through the fake-quant emulation; the int16 grid is fine enough that
+    outputs track the interpreter to ~1e-5."""
+    tf.keras.utils.set_random_seed(5)
+    rng = np.random.default_rng(5)
+    inp = tf.keras.Input((16, 16, 3))
+    x = tf.keras.layers.Conv2D(8, 3, strides=2, padding="same",
+                               activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    model = tf.keras.Model(inp, tf.keras.layers.Dense(6)(x))
+    conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    conv.representative_dataset = lambda: (
+        [rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)]
+        for _ in range(20))
+    conv.target_spec.supported_ops = [
+        tf.lite.OpsSet
+        .EXPERIMENTAL_TFLITE_BUILTINS_ACTIVATIONS_INT16_WEIGHTS_INT8]
+    blob = conv.convert()
+    ir = parse_tflite(blob)
+    assert any(np.dtype(t.dtype) == np.int16 for t in ir.tensors
+               if t.quant is not None)
+    cm = convert_model(ir, name="toy-16x8")
+    interp = tf.lite.Interpreter(
+        model_content=blob,
+        experimental_op_resolver_type=tf.lite.experimental
+        .OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES)
+    interp.allocate_tensors()
+    idet = interp.get_input_details()[0]
+    odet = interp.get_output_details()[0]
+    xf = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+    interp.set_tensor(idet["index"], xf)
+    interp.invoke()
+    ref = interp.get_tensor(odet["index"])
+    (got,) = cm.fn(cm.params, xf)
+    assert np.abs(np.asarray(got) - ref).max() < 1e-4
