@@ -9,12 +9,23 @@ for 1 face @1280x853 on an Apple-Silicon core (README.md:609-613), i.e.
 ~200 faces/sec.  Same workload here: 853x1280 single-face portraits,
 batched through the fused standard-mode program on one chip.
 
+Measurement methodology (relay-aware, see docs/PERF.md):
+  * every iteration uses a UNIQUE input (one pixel bumped on device) —
+    the relay memoizes identical (program, args) calls;
+  * several warm rounds run before timing — the first post-compile rounds
+    on the relay are up to 5x slower than steady state;
+  * modes are measured INTERLEAVED round-robin and reported as medians of
+    per-round means, so slow relay drift cannot order the modes (the
+    round-1 full<standard inversion was exactly that artifact).
+
 Secondary stage timings go to stderr; stdout stays machine-parseable.
-Env knobs: FDT_BENCH_BATCH (default 16), FDT_BENCH_ITERS (default 20),
-FDT_BENCH_PRECISION (default "high" = bf16x3 MXU passes — measured 0.006 px
-mean mesh error vs fp32-exact on TPU v5e, comfortably inside the 1 px
-parity budget; "default" bf16 measures 1.75 px and is out of budget;
-"highest" is fp32-exact and ~2x slower than high on real hardware).
+Env knobs: FDT_BENCH_BATCH (default 16), FDT_BENCH_ROUNDS (default 5),
+FDT_BENCH_ITERS (per round, default 4), FDT_BENCH_CURVE=1 (also measure
+batch 8/32 scaling), FDT_BENCH_PRECISION (default "high" = bf16x3 MXU
+passes — measured 0.006 px mean mesh error vs fp32-exact on TPU v5e,
+comfortably inside the 1 px parity budget; "default" bf16 measures
+1.75 px and is out of budget; "highest" is fp32-exact and ~2x slower than
+high on real hardware).
 """
 
 import json
@@ -40,21 +51,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from face_detection_tflite_tpu.convert.executor import convert_file
-    from face_detection_tflite_tpu.pipeline.config import FaceDetectionMode
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector,
+                                           ServingPipeline)
     from face_detection_tflite_tpu.pipeline.detector import resolve_model_dir
-    from face_detection_tflite_tpu.pipeline.programs import (
-        PipelineModels, build_pipeline_program)
     from face_detection_tflite_tpu.utils.image import load_image
 
     batch = int(os.environ.get("FDT_BENCH_BATCH", "16"))
-    iters = int(os.environ.get("FDT_BENCH_ITERS", "20"))
+    rounds = int(os.environ.get("FDT_BENCH_ROUNDS", "5"))
+    iters = int(os.environ.get("FDT_BENCH_ITERS", "4"))
     precision = os.environ.get("FDT_BENCH_PRECISION", "high")
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}; batch={batch} "
-        f"iters={iters} precision={precision}")
-
-    from face_detection_tflite_tpu import FaceDetectionModel, FaceDetector
+        f"rounds={rounds}x{iters} precision={precision}")
 
     d = resolve_model_dir()
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA, max_faces=16,
@@ -75,43 +84,90 @@ def main():
             "to override)")
         sys.exit(1)
     h, w, _ = img.shape
-    # Device-resident batch: in serving, H2D transfer is pipelined with
-    # compute (double buffering); keep it out of the steady-state loop.
-    images = jnp.asarray(np.broadcast_to(img, (batch, h, w, 3)).copy())
 
-    def bench_mode(mode):
-        faces = det.detect_faces_batch(images, mode)  # compile + warmup
+    def make_base(b):
+        # Device-resident batch: in serving, H2D transfer is pipelined with
+        # compute (double buffering); keep it out of the steady-state loop.
+        return jnp.asarray(np.broadcast_to(img, (b, h, w, 3)).copy())
+
+    base = make_base(batch)
+    # Unique input per iteration (single pixel bump — defeats the relay's
+    # identical-call memoizer without changing detections).
+    bump = jax.jit(lambda x, i: x.at[:, 0, 0, 0].set(i % 199))
+    counter = [0]
+
+    def next_images(b=None, src=None):
+        counter[0] += 1
+        return bump(src if src is not None else base, counter[0])
+
+    modes = (FaceDetectionMode.FAST, FaceDetectionMode.STANDARD,
+             FaceDetectionMode.FULL)
+
+    # Compile + speculative-bucket adaptation + relay warm rounds.
+    n_faces = {}
+    for mode in modes:
+        for _ in range(3):
+            faces = det.detect_faces_batch(next_images(), mode)
+        n_faces[mode] = sum(len(f) for f in faces)
+    det.timings.reset()  # drop compile/warm rounds from the stage report
+
+    def time_mode(mode):
         t0 = time.perf_counter()
         for _ in range(iters):
-            faces = det.detect_faces_batch(images, mode)
-        dt = (time.perf_counter() - t0) / iters
-        n_faces = sum(len(f) for f in faces)
-        return dt, n_faces
+            det.detect_faces_batch(next_images(), mode)
+        return (time.perf_counter() - t0) / iters
 
-    dt_std, n_faces = bench_mode(FaceDetectionMode.STANDARD)
-    log(f"standard mode (sequential): {dt_std*1e3:.2f} ms/batch, "
-        f"{n_faces} faces, {n_faces/dt_std:.1f} faces/sec")
+    # Interleaved rounds -> per-mode median (robust to relay load drift).
+    samples = {mode: [] for mode in modes}
+    for _ in range(rounds):
+        for mode in modes:
+            samples[mode].append(time_mode(mode))
+    med = {mode: float(np.median(samples[mode])) for mode in modes}
+    for mode in modes:
+        log(f"{mode.name.lower():8s}: {med[mode]*1e3:7.2f} ms/batch  "
+            f"{med[mode]/batch*1e3:6.2f} ms/img  "
+            f"{n_faces[mode]/med[mode]:7.1f} faces/sec  "
+            f"(rounds: {[round(s*1e3, 1) for s in samples[mode]]})")
 
-    # Headline = steady-state serving throughput: the ServingPipeline
-    # keeps the next batch's detect program in flight while this batch's
-    # face stages run (public API; how the framework is actually served).
-    from face_detection_tflite_tpu import ServingPipeline
-    with ServingPipeline(det, FaceDetectionMode.STANDARD) as pipe:
-        pipe.submit(images).result()  # warm the pipelined path
-        t0 = time.perf_counter()
-        futs = [pipe.submit(images) for _ in range(iters)]
-        for fu in futs:
-            fu.result()
-        dt_serve = (time.perf_counter() - t0) / iters
-    faces_per_sec = max(n_faces / dt_std, n_faces / dt_serve)
-    log(f"serving pipeline: {dt_serve*1e3:.2f} ms/batch, "
-        f"{n_faces/dt_serve:.1f} faces/sec (headline = max of both)")
+    dt_std = med[FaceDetectionMode.STANDARD]
+    nf = n_faces[FaceDetectionMode.STANDARD]
 
-    dt_fast, _ = bench_mode(FaceDetectionMode.FAST)
-    dt_full, _ = bench_mode(FaceDetectionMode.FULL)
-    log(f"fast: {dt_fast/batch*1e3:.2f} ms/img | "
-        f"standard: {dt_std/batch*1e3:.2f} ms/img | "
-        f"full: {dt_full/batch*1e3:.2f} ms/img")
+    # Steady-state serving throughput: the ServingPipeline overlaps batch
+    # N's readback with batch N+1's compute (async D2H + pipelined
+    # dispatch) — the deployment path for continuous streams.
+    serve_samples = []
+    with ServingPipeline(det, FaceDetectionMode.STANDARD, depth=3) as pipe:
+        for _ in range(2):
+            pipe.submit(next_images()).result()  # warm the pipelined path
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            futs = [pipe.submit(next_images()) for _ in range(iters)]
+            for fu in futs:
+                fu.result()
+            serve_samples.append((time.perf_counter() - t0) / iters)
+    dt_serve = float(np.median(serve_samples))
+    log(f"serving : {dt_serve*1e3:7.2f} ms/batch  "
+        f"{nf/dt_serve:7.1f} faces/sec  "
+        f"(rounds: {[round(s*1e3, 1) for s in serve_samples]})")
+
+    faces_per_sec = max(nf / dt_std, nf / dt_serve)
+
+    log("stage timings (mean ms over the run): "
+        + json.dumps(det.timings.report()))
+
+    if os.environ.get("FDT_BENCH_CURVE"):
+        for b in (8, 32):
+            src = make_base(b)
+            for _ in range(2):
+                det.detect_faces_batch(next_images(src=src),
+                                       FaceDetectionMode.STANDARD)
+            t0 = time.perf_counter()
+            for _ in range(iters * 2):
+                det.detect_faces_batch(next_images(src=src),
+                                       FaceDetectionMode.STANDARD)
+            dt = (time.perf_counter() - t0) / (iters * 2)
+            log(f"batch curve standard b={b:3d}: {dt/b*1e3:6.2f} ms/img "
+                f"{b/dt:7.1f} img/s")
 
     print(json.dumps({
         "metric": "faces/sec/chip (detect+mesh, batched, 1 face @1280x853)",

@@ -19,7 +19,8 @@ from .convert.checkpoint import (load_params_npz, save_params_npz,
                                  swap_params)
 from .convert.executor import ConvertedModel, convert_file, convert_model
 from .convert.tflite import parse_tflite
-from .models.embedding import (FaceEmbedding, compute_embedding_alignment,
+from .models.embedding import (FaceEmbedding, UntrainedEmbeddingWarning,
+                               compute_embedding_alignment,
                                cosine_similarity, euclidean_distance)
 from .models.segmentation import (MulticlassSegmentationMask,
                                   SegmentationClass, SegmentationMask,
@@ -54,7 +55,8 @@ __all__ = [
     "FACE_CONTOUR_MESH_INDICES", "split_meshes_if_concatenated",
     "SegmentationMask",
     "MulticlassSegmentationMask", "SegmentationClass", "SelfieSegmentation",
-    "FaceEmbedding", "cosine_similarity", "euclidean_distance",
+    "FaceEmbedding", "UntrainedEmbeddingWarning",
+    "cosine_similarity", "euclidean_distance",
     "compute_embedding_alignment", "TemporalFaceTracker", "PipelineModels",
     "build_pipeline_program", "convert_file", "convert_model",
     "parse_tflite", "ConvertedModel", "resolve_model_dir",

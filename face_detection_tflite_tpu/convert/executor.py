@@ -129,6 +129,7 @@ _STATIC_INPUTS = {
     "RESIZE_BILINEAR": {1},
     "RESIZE_NEAREST_NEIGHBOR": {1},
     "SPLIT": {0},
+    "ARG_MAX": {1},
     "EXPAND_DIMS": {1},
     "TILE": {1},
     "SLICE": {1, 2},
@@ -646,6 +647,55 @@ def convert_model(
                 x = get(op.inputs[0])
                 out_dtype = ir.tensors[op.outputs[0]].dtype
                 env[op.outputs[0]] = x.astype(out_dtype)
+            elif nm == "FLOOR":
+                env[op.outputs[0]] = jnp.floor(get(op.inputs[0]))
+            elif nm == "ELU":
+                env[op.outputs[0]] = jax.nn.elu(get(op.inputs[0]))
+            elif nm == "GELU":
+                env[op.outputs[0]] = jax.nn.gelu(
+                    get(op.inputs[0]),
+                    approximate=bool(o.get("approximate")))
+            elif nm == "SPACE_TO_DEPTH":
+                x = get(op.inputs[0])
+                b = o["block_size"]
+                n, h, w, c = x.shape
+                y = x.reshape(n, h // b, b, w // b, b, c)
+                y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+                env[op.outputs[0]] = y.reshape(n, h // b, w // b, b * b * c)
+            elif nm == "ARG_MAX":
+                x = get(op.inputs[0])
+                axis = int(np.asarray(get_static(op.inputs[1])).reshape(()))
+                out_dtype = ir.tensors[op.outputs[0]].dtype
+                if np.dtype(out_dtype) == np.int64 and \
+                        not jax.config.jax_enable_x64:
+                    out_dtype = np.int32  # x64 disabled: avoid silent-trunc warn
+                env[op.outputs[0]] = jnp.argmax(x, axis=axis).astype(out_dtype)
+            elif nm == "SPLIT":
+                # inputs = (axis, x); equal split into len(outputs) parts.
+                axis = int(np.asarray(get_static(op.inputs[0])).reshape(()))
+                x = get(op.inputs[1])
+                parts = jnp.split(x, len(op.outputs), axis=axis)
+                for out_t, part in zip(op.outputs, parts):
+                    env[out_t] = part
+            elif nm == "UNPACK":
+                x = get(op.inputs[0])
+                axis = o["axis"]
+                parts = jnp.split(x, x.shape[axis], axis=axis)
+                for out_t, part in zip(op.outputs, parts):
+                    env[out_t] = jnp.squeeze(part, axis=axis)
+            elif nm == "PACK":
+                env[op.outputs[0]] = jnp.stack(
+                    [get(i) for i in op.inputs], axis=o["axis"])
+            elif nm == "BATCH_MATMUL":
+                a = get(op.inputs[0])
+                b = get(op.inputs[1])
+                if o.get("adj_x"):
+                    a = jnp.swapaxes(a, -1, -2)
+                if o.get("adj_y"):
+                    b = jnp.swapaxes(b, -1, -2)
+                env[op.outputs[0]] = jnp.matmul(
+                    a, b, precision=prec,
+                    preferred_element_type=jnp.float32)
             else:
                 raise NotImplementedError(f"op {nm} not implemented")
             for tox in op.outputs:

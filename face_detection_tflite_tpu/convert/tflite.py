@@ -238,6 +238,17 @@ def _decode_options(opname: str, op: Table) -> dict:
         return {"alpha": scalar(0, "float32", 0.0)}
     if opname == "SOFTMAX":
         return {"beta": scalar(0, "float32", 1.0)}
+    if opname == "SPLIT":
+        return {"num_splits": scalar(0, "int32", 0)}
+    if opname == "UNPACK":
+        return {"num": scalar(0, "int32", 0), "axis": scalar(1, "int32", 0)}
+    if opname == "SPACE_TO_DEPTH":
+        return {"block_size": scalar(0, "int32")}
+    if opname == "BATCH_MATMUL":
+        return {"adj_x": scalar(0, "bool", False),
+                "adj_y": scalar(1, "bool", False)}
+    if opname == "GELU":
+        return {"approximate": scalar(0, "bool", False)}
     return {}
 
 

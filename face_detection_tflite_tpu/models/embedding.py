@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -30,7 +31,21 @@ from ..pipeline.config import EMBEDDING_DIM, EMBEDDING_INPUT_SIZE
 
 __all__ = ["compute_embedding_alignment", "FaceEmbedding",
            "cosine_similarity", "euclidean_distance",
-           "build_mobilefacenet"]
+           "build_mobilefacenet", "UntrainedEmbeddingWarning"]
+
+
+class UntrainedEmbeddingWarning(UserWarning):
+    """Raised-as-warning when embeddings come from random-init weights.
+
+    The reference ships trained `mobilefacenet.tflite` via pub.dev
+    (`pubspec.yaml:45`); that asset is not in this checkout and cannot be
+    fetched here, so without a user-provided tflite file the embedding
+    network runs on seeded random weights: vectors are structurally valid
+    but NOT identity-discriminative — `compare_faces` on them is
+    meaningless.  Pass ``allow_untrained=True`` (or point
+    ``MODEL_FILES['embedding']`` at a real mobilefacenet.tflite) to
+    acknowledge and silence this.
+    """
 
 
 def compute_embedding_alignment(left_eye, right_eye):
@@ -176,28 +191,44 @@ def build_mobilefacenet(seed: int = 0, embedding_dim: int = EMBEDDING_DIM
 class FaceEmbedding:
     """Eye-aligned 192-dim face embeddings with a compiled crop+net program."""
 
-    def __init__(self, model: ConvertedModel):
+    def __init__(self, model: ConvertedModel, *,
+                 allow_untrained: bool = False):
         self.model = model
         self.is_pretrained = "random-init" not in model.name
+        self.allow_untrained = allow_untrained
         self._programs: dict[tuple[int, int], object] = {}
 
     @classmethod
-    def load(cls, tflite_path: Optional[str] = None) -> "FaceEmbedding":
+    def load(cls, tflite_path: Optional[str] = None, *,
+             allow_untrained: bool = False) -> "FaceEmbedding":
         """Loads from a mobilefacenet.tflite if given/present, else builds
         the seeded random-weight architecture (embeddings are then
-        structurally valid but NOT identity-discriminative)."""
+        structurally valid but NOT identity-discriminative — every embed
+        call warns with :class:`UntrainedEmbeddingWarning` unless
+        ``allow_untrained``)."""
         if tflite_path and os.path.exists(tflite_path):
             return cls(convert_file(tflite_path))
-        return cls(build_mobilefacenet())
+        return cls(build_mobilefacenet(), allow_untrained=allow_untrained)
+
+    def _check_trained(self) -> None:
+        if not self.is_pretrained and not self.allow_untrained:
+            warnings.warn(
+                "Face embeddings are computed with RANDOM-INIT MobileFaceNet "
+                "weights (mobilefacenet.tflite not found): vectors are not "
+                "identity-discriminative and compare_faces results are "
+                "meaningless.  Provide the trained model file or pass "
+                "allow_untrained=True to acknowledge.",
+                UntrainedEmbeddingWarning, stacklevel=3)
 
     def _raw_fn(self, img_h: int, img_w: int):
         key = ("raw", img_h, img_w)
         if key not in self._programs:
             def one(params, img, cx, cy, size, theta):
                 # The core warps with the negated alignment angle
-                # (face_detector_core.dart:433-440).
+                # (face_detector_core.dart:433-440).  The warp gathers in
+                # the source dtype (uint8 images stay uint8 until the tap).
                 crop = warp.extract_aligned_square(
-                    img.astype(jnp.float32), cx, cy, size, -theta,
+                    img, cx, cy, size, -theta,
                     out_size=EMBEDDING_INPUT_SIZE)
                 crop = crop * (1.0 / 127.5) - 1.0
                 (emb,) = self.model.fn(params, crop[None])
@@ -218,6 +249,7 @@ class FaceEmbedding:
         """L2-normalized embedding from an RGB image + eye centers (px)."""
         if self.model is None:
             raise RuntimeError("FaceEmbedding has been disposed")
+        self._check_trained()
         image = np.asarray(image)
         h, w, _ = image.shape
         cx, cy, size, theta = compute_embedding_alignment(left_eye, right_eye)
@@ -247,6 +279,7 @@ class FaceEmbedding:
         """
         if self.model is None:
             raise RuntimeError("FaceEmbedding has been disposed")
+        self._check_trained()
         image = np.asarray(image)
         h, w, _ = image.shape
         aligns = [compute_embedding_alignment(le, re)

@@ -212,7 +212,7 @@ class SelfieSegmentation:
             lbp = letterbox_params(img_h, img_w, self.in_h, self.in_w)
 
             def one(params, img):
-                x = letterbox_image(img.astype(jnp.float32), lbp)
+                x = letterbox_image(img, lbp)
                 (raw,) = self.model.fn(params, x[None])
                 raw = raw.reshape(self.in_h, self.in_w, -1)
                 if self.multiclass:

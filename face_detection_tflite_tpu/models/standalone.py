@@ -92,7 +92,7 @@ class FaceDetection(_Disposable):
             lbp = letterbox_params(h, w, self.input_size, self.input_size)
 
             def run(params, img):
-                x = letterbox_image(img.astype(jnp.float32), lbp)
+                x = letterbox_image(img, lbp)
                 rb, rs = _identify_detector_outputs(
                     self.model.fn(params, x[None]))
                 boxes, kp, scores, valid = decode_detections(

@@ -28,6 +28,8 @@ scores [D], valid [D]) with D = ``max_detections``.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,19 +84,26 @@ def _iou_matrix(boxes):
 
 
 def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
-                 num_candidates: int = 128, iou_threshold: float = NMS_IOU):
+                 num_candidates: Optional[int] = None,
+                 iou_threshold: float = NMS_IOU):
     """Fixed-shape weighted (blended) NMS.
 
-    Top-``num_candidates`` anchors by masked score are considered; candidates
-    are processed in descending score order.  Each unsuppressed candidate
-    leads a cluster of all remaining candidates with IoU strictly greater
-    than ``iou_threshold``; the emitted box is the score-weighted average of
-    the cluster, while score and keypoints come from the leader (the
-    reference keeps the max-score member's keypoints, `helpers.dart:211-218`).
+    Candidates are processed in descending score order.  Each unsuppressed
+    candidate leads a cluster of all remaining candidates with IoU strictly
+    greater than ``iou_threshold``; the emitted box is the score-weighted
+    average of the cluster, while score and keypoints come from the leader
+    (the reference keeps the max-score member's keypoints,
+    `helpers.dart:211-218`).
+
+    ``num_candidates`` defaults to ALL anchors — the reference clusters
+    every anchor above threshold (`helpers.dart:183-221`), so a smaller cap
+    is a speed knob that can change blended boxes in dense crowds; pass it
+    explicitly if you want the trade.
 
     Returns (boxes [D,4], keypoints [D,6,2], scores [D], valid [D]).
     """
-    k = min(num_candidates, scores.shape[0])
+    k = scores.shape[0] if num_candidates is None \
+        else min(num_candidates, scores.shape[0])
     masked_scores = jnp.where(valid, scores, -1.0)
     top_scores, top_idx = jax.lax.top_k(masked_scores, k)
     top_boxes = boxes[top_idx]
@@ -104,23 +113,30 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
     iou = _iou_matrix(top_boxes)  # [k, k]
     overlap = (iou > iou_threshold) & top_valid[None, :]  # strict >
 
-    # Pass 1 (the only sequential part): which candidates lead a cluster.
-    # A candidate leads iff no earlier (higher-score) LEADER overlaps it.
-    # Each step is one row-select + two [k] vector ops — cheap on the VPU;
-    # all cluster math below is dense [k, k] work.
+    # Pass 1: which candidates lead a cluster.  Greedy semantics — a
+    # candidate leads iff no earlier (higher-score) LEADER overlaps it —
+    # computed as a fixpoint instead of a k-step sequential loop: iterate
+    # l[j] = valid[j] & !any_{i<j}(l[i] & overlap[i,j]) from l = valid.
+    # After t rounds every candidate whose suppression-chain depth is < t
+    # is stable (induction over the index-ordered DAG), so the loop
+    # converges in O(longest chain) dense [k,k] VPU rounds — 2-4 in
+    # practice — instead of k scalar steps (the k=2304 full-range slab
+    # would pay 2304 sequential steps; see docs/PERF.md).
     idx = jnp.arange(k)
+    upper = overlap & (idx[:, None] < idx[None, :])  # i suppresses j>i
 
-    def body(i, state):
-        suppressed, leader = state
-        is_leader = (~suppressed[i]) & top_valid[i]
-        row = jax.lax.dynamic_slice_in_dim(overlap, i, 1, axis=0)[0]
-        suppressed = suppressed | jnp.where(is_leader, row, False)
-        leader = leader | (is_leader & (idx == i))
-        return suppressed, leader
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < k)
 
-    _, leader = jax.lax.fori_loop(
-        0, k, body,
-        (jnp.zeros((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_)))
+    def body(state):
+        l, _, it = state
+        sup = jnp.any(l[:, None] & upper, axis=0)
+        l2 = top_valid & ~sup
+        return l2, jnp.any(l2 != l), it + 1
+
+    leader, _, _ = jax.lax.while_loop(
+        cond, body, (top_valid, jnp.bool_(True), jnp.int32(0)))
 
     # Ownership: candidate j belongs to the FIRST (lowest-index) leader
     # whose row overlaps it — exactly the greedy cluster assignment,
@@ -168,7 +184,7 @@ def remove_letterbox(boxes, keypoints, padding):
 
 def detection_postprocess(raw_boxes, raw_scores, anchors, input_size, padding,
                           *, max_detections: int = 16,
-                          num_candidates: int = 128):
+                          num_candidates: Optional[int] = None):
     """decode -> weighted NMS -> letterbox removal, for one image.
 
     vmap over the batch axis; all shapes static.

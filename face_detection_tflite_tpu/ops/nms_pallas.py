@@ -131,13 +131,15 @@ def nms_core_pallas(boxes, scores, valid, iou_threshold=0.3,
 
 
 def weighted_nms_pallas(boxes, keypoints, scores, valid, *,
-                        max_detections: int, num_candidates: int = 128,
+                        max_detections: int, num_candidates=None,
                         iou_threshold: float = 0.3,
                         interpret: bool = False):
     """Drop-in replacement for ``detections.weighted_nms`` using the
     Pallas core.  Same outputs: (boxes [D,4], kp [D,...], scores [D],
-    valid [D])."""
-    k = min(num_candidates, scores.shape[0])
+    valid [D]).  ``num_candidates=None`` considers all anchors (parity
+    default, matching ``detections.weighted_nms``)."""
+    k = scores.shape[0] if num_candidates is None \
+        else min(num_candidates, scores.shape[0])
     masked_scores = jnp.where(valid, scores, -1.0)
     top_scores, top_idx = jax.lax.top_k(masked_scores, k)
     top_boxes = boxes[top_idx]

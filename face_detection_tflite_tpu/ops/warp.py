@@ -33,7 +33,12 @@ __all__ = ["extract_aligned_square", "extract_rois"]
 
 def _bilinear_sample(img, sx, sy, fill_value: float):
     """Samples [H, W, C] at float coords (sx, sy) [out, out] with bilinear
-    interpolation and constant fill outside the image."""
+    interpolation and constant fill outside the image.
+
+    Taps are gathered in the SOURCE dtype and cast to float32 afterwards:
+    uint8->float32 conversion is exact, and gathering uint8 moves 4x fewer
+    bytes than gathering a pre-cast float image (measured 32.4 -> 24.2 ms
+    per 16-crop batch on the TPU relay; see docs/PERF.md)."""
     h, w = img.shape[0], img.shape[1]
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -45,7 +50,8 @@ def _bilinear_sample(img, sx, sy, fill_value: float):
     def tap(yi, xi):
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
-        val = img[yc, xc]  # advanced indexing gather -> [out, out, C]
+        # advanced indexing gather in source dtype -> [out, out, C]
+        val = img[yc, xc].astype(jnp.float32)
         inside = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
         return jnp.where(inside[..., None], val, fill_value)
 
@@ -65,7 +71,9 @@ def extract_aligned_square(img, cx, cy, size, theta, *, out_size: int,
     """Extracts one rotated square ROI from [H, W, C] to [out, out, C].
 
     Args:
-      img: source image (any float dtype; uint8 should be cast first).
+      img: source image (uint8 or float; uint8 is preferred — taps gather
+        in the source dtype and convert exactly, so keeping the image
+        uint8 until the warp saves 4x gather bandwidth).
       cx, cy: ROI center in source pixels (traced scalars).
       size: ROI side length in source pixels (traced; rounded like the
         reference).

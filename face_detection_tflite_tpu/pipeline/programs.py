@@ -109,22 +109,34 @@ def _sigmoid_clipped(x):
 
 def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
                            mode: FaceDetectionMode = FaceDetectionMode.FULL,
-                           *, max_faces: int = 16, num_candidates: int = 128,
+                           *, max_faces: int = 16,
+                           num_candidates: Optional[int] = None,
                            min_score: float = 0.0, min_face_size: float = 0.0,
                            batched: bool = True, from_detections: bool = False,
-                           use_pallas_nms: bool = False):
+                           use_pallas_nms: bool = False,
+                           face_slab: Optional[int] = None):
     """Builds the single-program pipeline for one image bucket.
 
     Returns a traceable fn(params, images) -> dict of slab arrays.  With
     ``batched`` the images argument is [B, H, W, 3] (uint8 or float, RGB,
-    0..255) and every output gains a leading B axis.
+    0..255) and every output gains a leading B axis.  Keep uint8 inputs
+    uint8: the letterbox and ROI warps gather in the source dtype.
 
-    Output slab (D = max_faces):
+    Output slab (D = face_slab, default max_faces):
       boxes [D,4], keypoints [D,6,2] (iris-refined in full mode),
       raw_keypoints [D,6,2], scores [D], valid [D];
       mode >= standard adds mesh [D,468,3] (absolute px), mesh_scores [D];
       full adds iris [D,152,3], blendshapes [D,52], blendshapes_valid [D],
       head_angles [D,3] (pitch, yaw, roll degrees).
+
+    ``face_slab`` < max_faces is the SPECULATIVE form: NMS still emits the
+    full max_faces detection slab (returned as det_boxes [max_faces,4],
+    det_raw_keypoints, det_scores, det_valid), but the per-face stages
+    (warp/mesh/iris/blendshapes — the cost that scales with slab size) run
+    only on the top-``face_slab`` score-ordered prefix.  The caller checks
+    det_valid for overflow and re-runs the face stages (from_detections
+    program) on a bigger prefix only when an image actually has more
+    faces — the single-call fast path for typical streams (docs/PERF.md).
     """
     size = models.detector_input_size
     lbp = letterbox_params(img_h, img_w, size, size)
@@ -267,17 +279,27 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         # reference's early-gating win (CHANGELOG 6.6.x: 4-face slab gated
         # to 1 face cut full mode 18 -> 7 ms).
         def one_image_dets(params, img, boxes, kp, scores, valid):
-            return face_stages(params, img.astype(jnp.float32),
-                               boxes, kp, scores, valid)
+            return face_stages(params, img, boxes, kp, scores, valid)
 
         if not batched:
             return one_image_dets
         return jax.vmap(one_image_dets, in_axes=(None, 0, 0, 0, 0, 0))
 
+    slab = max_faces if face_slab is None else min(face_slab, max_faces)
+    if mode == FaceDetectionMode.FAST:
+        slab = max_faces  # fast mode has no per-face stage cost to bound
+
     def one_image(params, img):
-        img = img.astype(jnp.float32)
         boxes, kp, scores, valid = detect_stage(params, img)
-        return face_stages(params, img, boxes, kp, scores, valid)
+        out = face_stages(params, img, boxes[:slab], kp[:slab],
+                          scores[:slab], valid[:slab])
+        if slab < max_faces:
+            # Speculative form: expose the full detection slab so the host
+            # can detect overflow and re-run face stages without paying
+            # the detector again.
+            out.update(det_boxes=boxes, det_raw_keypoints=kp,
+                       det_scores=scores, det_valid=valid)
+        return out
 
     if not batched:
         return one_image

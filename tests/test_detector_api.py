@@ -297,7 +297,7 @@ def test_warmup_precompiles():
     d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
                      model_dir=MODELS_DIR)
     d.warmup((96, 128), modes=[FaceDetectionMode.FAST])
-    keys = [k for k in d._programs if isinstance(k, tuple) and len(k) == 3]
+    keys = [k for k in d._programs if isinstance(k, tuple) and len(k) == 4]
     assert any(k[:2] == (96, 128) for k in keys)
 
 

@@ -1,0 +1,297 @@
+"""Round-2 behavior: speculative single-call dispatch, unbounded NMS
+candidates, untrained-embedding warning, dispose() weight release, the
+decode-reuse cache, and the new combined/embedding API variants
+(VERDICT round 1 items 4-9).
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
+                                       FaceDetector)
+
+MODELS_DIR = "/root/reference/assets/models"
+SAMPLES = "/root/reference/assets/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MODELS_DIR), reason="reference assets not present")
+
+
+def _img(name):
+    return np.asarray(Image.open(os.path.join(SAMPLES, name)).convert("RGB"))
+
+
+def _jpeg_bytes(name):
+    with open(os.path.join(SAMPLES, name), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def group_img():
+    return _img("group-shot-bounding-box-ex1.jpeg")
+
+
+@pytest.fixture(scope="module")
+def portrait():
+    return _img("landmark-ex1.jpg")
+
+
+# -- speculative single-call dispatch ---------------------------------------
+
+class TestSpeculativeDispatch:
+    def test_overflow_grows_bucket_and_results_match(self, group_img):
+        """First call speculates 1 face; the 4-face group shot must
+        overflow, re-run the face stages on a wider prefix, and produce
+        the same faces as the non-adaptive full-slab program."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, max_faces=8)
+        h, w = group_img.shape[:2]
+        assert d._speculation_bucket(h, w, FaceDetectionMode.STANDARD) == 1
+        faces = d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(faces) == 4
+        assert d._speculation_bucket(h, w, FaceDetectionMode.STANDARD) == 4
+
+        ref = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR, max_faces=8, adaptive=False)
+        ref_faces = ref.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(ref_faces) == 4
+        for a, b in zip(faces, ref_faces):
+            assert a.score == pytest.approx(b.score, abs=1e-6)
+            np.testing.assert_allclose(a.mesh.points, b.mesh.points,
+                                       atol=1e-3)
+
+    def test_second_call_is_single_dispatch(self, group_img):
+        """After adaptation the whole batch runs as one fused call (no
+        overflow face-stage rerun)."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, max_faces=8)
+        d.detect_faces(group_img, FaceDetectionMode.STANDARD)  # adapts to 4
+        d.timings.reset()
+        d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        stages = set(d.timings.report())
+        assert not any(s.startswith("face_stages") for s in stages), stages
+
+    def test_bucket_shrinks_after_sparse_streak(self, portrait, group_img):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, max_faces=8)
+        gh, gw = group_img.shape[:2]
+        d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert d._speculation_bucket(gh, gw, FaceDetectionMode.STANDARD) == 4
+        # Same (H, W) key must see the sparse stream to shrink: crop the
+        # group shot to one face region? Simpler: feed a 1-face count via
+        # _note_face_count as the stream would.
+        for _ in range(8):
+            d._note_face_count(gh, gw, FaceDetectionMode.STANDARD, 1)
+        assert d._speculation_bucket(gh, gw, FaceDetectionMode.STANDARD) == 2
+
+    def test_full_mode_speculative_matches_nonadaptive(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        ref = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR, adaptive=False, max_faces=4)
+        fa = d.detect_faces(portrait, FaceDetectionMode.FULL)
+        fb = ref.detect_faces(portrait, FaceDetectionMode.FULL)
+        assert len(fa) == len(fb) == 1
+        np.testing.assert_allclose(fa[0].mesh.points, fb[0].mesh.points,
+                                   atol=1e-3)
+        np.testing.assert_allclose(fa[0]._blendshape_scores,
+                                   fb[0]._blendshape_scores, atol=1e-4)
+
+
+# -- unbounded NMS candidates (dense crowd parity) --------------------------
+
+class TestDenseCrowdNms:
+    def _synth_crowd(self, rng, n_clusters=40, per_cluster=12):
+        """Synthesizes >128 over-threshold candidates (the round-1 silent
+        top-128 cap regime) as jittered boxes around cluster centers."""
+        dets = []
+        for _ in range(n_clusters):
+            cx, cy = rng.uniform(0.1, 0.9, 2)
+            w = h = rng.uniform(0.03, 0.05)
+            for _ in range(per_cluster):
+                jx, jy = rng.normal(0, 0.004, 2)
+                score = float(rng.uniform(0.55, 0.99))
+                box = [cx + jx - w / 2, cy + jy - h / 2,
+                       cx + jx + w / 2, cy + jy + h / 2]
+                dets.append((box, score))
+        return dets
+
+    def test_matches_oracle_without_candidate_cap(self):
+        import jax.numpy as jnp
+
+        from face_detection_tflite_tpu.ops.detections import weighted_nms
+        from .oracle import weighted_nms as oracle_nms
+
+        rng = np.random.default_rng(3)
+        dets = self._synth_crowd(rng)
+        n = len(dets)
+        assert n > 128  # the regime the old default silently truncated
+        boxes = np.asarray([d[0] for d in dets], np.float32)
+        scores = np.asarray([d[1] for d in dets], np.float32)
+        kps = np.zeros((n, 6, 2), np.float32)
+        valid = scores >= 0.5
+
+        ob, ok, osc, ov = weighted_nms(
+            jnp.asarray(boxes), jnp.asarray(kps), jnp.asarray(scores),
+            jnp.asarray(valid), max_detections=64)  # default: all anchors
+        ob, osc, ov = map(np.asarray, (ob, osc, ov))
+
+        ref = oracle_nms(
+            [{"box": b, "score": s, "kp": k}
+             for b, s, k in zip(boxes.tolist(), scores.tolist(), kps)],
+            iou_thresh=0.3, score_thresh=0.5, max_det=64)
+        got = [(ob[i], osc[i]) for i in range(len(ov)) if ov[i]]
+        assert len(got) == len(ref)
+        for (gb, gs), r in zip(got, ref):
+            np.testing.assert_allclose(gb, r["box"], atol=1e-5)
+            assert gs == pytest.approx(r["score"], abs=1e-6)
+
+    def test_explicit_cap_still_available(self):
+        import jax.numpy as jnp
+
+        from face_detection_tflite_tpu.ops.detections import weighted_nms
+
+        rng = np.random.default_rng(5)
+        dets = self._synth_crowd(rng, n_clusters=30)
+        boxes = jnp.asarray([d[0] for d in dets], jnp.float32)
+        scores = jnp.asarray([d[1] for d in dets], jnp.float32)
+        kps = jnp.zeros((len(dets), 6, 2), jnp.float32)
+        valid = scores >= 0.5
+        _, _, _, ov = weighted_nms(boxes, kps, scores, valid,
+                                   max_detections=64, num_candidates=16)
+        assert int(np.asarray(ov).sum()) <= 16
+
+    def test_detector_plumbs_num_candidates(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, num_candidates=32)
+        assert d.num_candidates == 32
+        assert len(d.detect_faces(portrait, FaceDetectionMode.FAST)) == 1
+
+
+# -- untrained embedding warning --------------------------------------------
+
+class TestUntrainedEmbeddingWarning:
+    def test_embed_warns_on_random_weights(self, portrait):
+        from face_detection_tflite_tpu.models.embedding import (
+            UntrainedEmbeddingWarning)
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        faces = d.detect_faces(portrait, FaceDetectionMode.FULL)
+        assert not d.embedding_model.is_pretrained
+        with pytest.warns(UntrainedEmbeddingWarning):
+            d.get_face_embedding(faces[0], portrait)
+
+    def test_allow_untrained_silences(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR,
+                         allow_untrained_embeddings=True)
+        faces = d.detect_faces(portrait, FaceDetectionMode.FULL)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            emb = d.get_face_embedding(faces[0], portrait)
+        assert emb.shape == (192,)
+
+
+# -- dispose releases weights -----------------------------------------------
+
+class TestDisposeReleasesWeights:
+    def test_params_freed(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        d.detect_faces(portrait, FaceDetectionMode.FAST)
+        assert d.models.detector.params
+        d.dispose()
+        assert d.models.detector is None
+        assert d.models.mesh is None
+        assert d._params is None
+        assert not d._programs
+        with pytest.raises(RuntimeError):
+            d.detect_faces(portrait, FaceDetectionMode.FAST)
+
+
+# -- decode-reuse cache ------------------------------------------------------
+
+class TestDecodeCache:
+    def test_same_bytes_decode_once(self, monkeypatch):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR,
+                         allow_untrained_embeddings=True)
+        data = _jpeg_bytes("landmark-ex1.jpg")
+        calls = {"n": 0}
+        from face_detection_tflite_tpu.utils import image as image_mod
+        real = image_mod.decode_image
+
+        def counting(b):
+            calls["n"] += 1
+            return real(b)
+
+        monkeypatch.setattr(image_mod, "decode_image", counting)
+        faces = d.detect_faces_from_bytes(data, FaceDetectionMode.FULL)
+        emb = d.get_face_embedding_from_bytes(faces[0], data)
+        assert emb.shape == (192,)
+        assert calls["n"] == 1  # detect + embed share one decode
+
+    def test_different_bytes_redecode(self, monkeypatch):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        calls = {"n": 0}
+        from face_detection_tflite_tpu.utils import image as image_mod
+        real = image_mod.decode_image
+
+        def counting(b):
+            calls["n"] += 1
+            return real(b)
+
+        monkeypatch.setattr(image_mod, "decode_image", counting)
+        d.detect_faces_from_bytes(_jpeg_bytes("landmark-ex1.jpg"),
+                                  FaceDetectionMode.FAST)
+        d.detect_faces_from_bytes(_jpeg_bytes("mesh-ex1.jpeg"),
+                                  FaceDetectionMode.FAST)
+        assert calls["n"] == 2
+
+
+# -- new API variants --------------------------------------------------------
+
+class TestNewApiVariants:
+    def test_combined_from_bytes(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        faces, mask = d.detect_faces_with_segmentation_from_bytes(
+            _jpeg_bytes("landmark-ex1.jpg"), FaceDetectionMode.FAST)
+        assert len(faces) == 1
+        assert mask.data.shape[0] > 0
+
+    def test_combined_batch(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        out = d.detect_faces_with_segmentation_batch(
+            np.stack([portrait, portrait]), FaceDetectionMode.FAST)
+        assert len(out) == 2
+        for faces, mask in out:
+            assert len(faces) == 1
+            assert mask.data.shape[0] > 0
+
+    def test_combined_from_camera_frame(self, portrait):
+        from face_detection_tflite_tpu.utils.camera import (
+            camera_frame_from_image)
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        frame = camera_frame_from_image(portrait)
+        faces, mask = d.detect_faces_with_segmentation_from_camera_frame(
+            frame, FaceDetectionMode.FAST)
+        assert len(faces) == 1
+        assert mask.data.shape[0] > 0
+
+    def test_embedding_from_filepath(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR,
+                         allow_untrained_embeddings=True)
+        path = os.path.join(SAMPLES, "landmark-ex1.jpg")
+        faces = d.detect_faces_from_filepath(path, FaceDetectionMode.FULL)
+        emb = d.get_face_embedding_from_filepath(faces[0], path)
+        assert emb.shape == (192,)
+        assert np.linalg.norm(emb) == pytest.approx(1.0, abs=1e-5)
