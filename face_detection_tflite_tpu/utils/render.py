@@ -15,13 +15,40 @@ from ..pipeline.types import (EYE_LANDMARK_CONNECTIONS,
                               FaceContourType)
 
 __all__ = ["draw_detections", "draw_mesh", "draw_contours", "draw_iris",
-           "draw_segmentation", "annotate", "cover_fit_transform"]
+           "draw_segmentation", "annotate", "cover_fit_transform",
+           "face_info_label_text", "draw_face_info", "draw_mask",
+           "draw_multiclass_segmentation", "draw_virtual_background",
+           "compose_camera_overlay", "performance_level",
+           "mask_valid_region", "SEGMENTATION_CLASS_LABELS",
+           "SEGMENTATION_CLASS_COLORS", "LANDMARK_LABEL_NAMES"]
 
 BOX_COLOR = (0, 255, 0)
 KP_COLOR = (255, 64, 64)
 MESH_COLOR = (64, 160, 255)
 CONTOUR_COLOR = (255, 220, 0)
 IRIS_COLOR = (255, 0, 255)
+
+#: Semantic labels for the 6 multiclass-segmentation classes
+#: (`overlay_painters.dart:5-12`).
+SEGMENTATION_CLASS_LABELS = ("BG", "Hair", "Body", "Face", "Clothes",
+                             "Other")
+
+#: Per-class RGBA overlay colors, index-aligned with
+#: :data:`SEGMENTATION_CLASS_LABELS` (`overlay_painters.dart:18-25`,
+#: ARGB hex converted to RGBA tuples; alpha preserved for compositing).
+SEGMENTATION_CLASS_COLORS = (
+    (160, 160, 160, 153),   # 0x99A0A0A0 BG
+    (205, 133, 63, 153),    # 0x99CD853F Hair
+    (255, 165, 0, 136),     # 0x88FFA500 Body skin
+    (255, 105, 180, 136),   # 0x88FF69B4 Face skin
+    (0, 191, 255, 153),     # 0x9900BFFF Clothes
+    (64, 224, 208, 153),    # 0x9940E0D0 Other
+)
+
+#: Display names for the 6 detector keypoints
+#: (`overlay_painters.dart:313-320`).
+LANDMARK_LABEL_NAMES = ("Left Eye", "Right Eye", "Nose Tip", "Mouth",
+                        "L Tragion", "R Tragion")
 
 
 def _clip(v, lo, hi):
@@ -55,9 +82,107 @@ def _draw_dot(img, x, y, color, r=2):
     img[y0:y1 + 1, x0:x1 + 1] = color
 
 
+def _text_painter(text: str, color=(255, 255, 255)):
+    """Rasterizes ``text`` to an RGBA numpy patch via PIL's built-in bitmap
+    font (the host analog of Flutter's TextPainter)."""
+    from PIL import Image, ImageDraw
+
+    probe = ImageDraw.Draw(Image.new("RGBA", (1, 1)))
+    bbox = probe.multiline_textbbox((0, 0), text, spacing=2)
+    w, h = max(bbox[2] - bbox[0], 1), max(bbox[3] - bbox[1], 1)
+    im = Image.new("RGBA", (w + 2, h + 2), (0, 0, 0, 0))
+    ImageDraw.Draw(im).multiline_text((1 - bbox[0], 1 - bbox[1]), text,
+                                      fill=tuple(color) + (255,), spacing=2)
+    return np.asarray(im)
+
+
+def _blit_rgba(img: np.ndarray, patch: np.ndarray, x: int, y: int) -> None:
+    """Alpha-composites an RGBA patch onto an RGB image in place (clipped)."""
+    h, w = img.shape[:2]
+    ph, pw = patch.shape[:2]
+    x0, y0 = max(x, 0), max(y, 0)
+    x1, y1 = min(x + pw, w), min(y + ph, h)
+    if x1 <= x0 or y1 <= y0:
+        return
+    sub = patch[y0 - y:y1 - y, x0 - x:x1 - x].astype(np.float32)
+    a = sub[..., 3:4] / 255.0
+    region = img[y0:y1, x0:x1].astype(np.float32)
+    img[y0:y1, x0:x1] = (region * (1 - a) + sub[..., :3] * a).astype(np.uint8)
+
+
+def _fill_rect_alpha(img: np.ndarray, x0, y0, x1, y1, color,
+                     alpha: float) -> None:
+    h, w = img.shape[:2]
+    x0, x1 = _clip(x0, 0, w), _clip(x1, 0, w)
+    y0, y1 = _clip(y0, 0, h), _clip(y1, 0, h)
+    if x1 <= x0 or y1 <= y0:
+        return
+    region = img[y0:y1, x0:x1].astype(np.float32)
+    img[y0:y1, x0:x1] = (region * (1 - alpha)
+                         + np.asarray(color, np.float32) * alpha
+                         ).astype(np.uint8)
+
+
+def face_info_label_text(face: Face, show_classification: bool = False
+                         ) -> str:
+    """Compact per-face info text — detection/mesh confidence, head-pose
+    Euler angles, and (opt-in) smile / eye-open probabilities.  Verbatim
+    semantics of `overlay_painters.dart:116-146` (``faceInfoLabelText``):
+    pitch/yaw only when a mesh exists, roll always when angles exist."""
+    parts = [f"score {face.score:.2f}"]
+    if face.mesh_score is not None:
+        parts.append(f"  mesh {face.mesh_score:.2f}")
+    angles = face.head_euler_angles
+    if angles is not None:
+        parts.append("\n")
+        if face.mesh is not None:
+            parts.append(f"P {angles.x:.0f}°  Y {angles.y:.0f}°  "
+                         f"R {angles.z:.0f}°")
+        else:
+            parts.append(f"R {angles.z:.0f}°")
+    if show_classification and face.smiling_probability is not None:
+        parts.append(f"\nsmile {face.smiling_probability:.2f}  "
+                     f"eyeL {face.left_eye_open_probability:.2f}  "
+                     f"eyeR {face.right_eye_open_probability:.2f}")
+    return "".join(parts)
+
+
+def draw_face_info(img: np.ndarray, faces: list[Face],
+                   show_classification: bool = False) -> np.ndarray:
+    """Per-face translucent info cards anchored just above each bounding
+    box, falling back inside its top edge when there is no room, clamped
+    to the image (``drawFaceInfoLabel``, `overlay_painters.dart:151-195`)."""
+    out = np.array(img, copy=True)
+    h, w = out.shape[:2]
+    pad_h, pad_v, gap = 6, 4, 4
+    for f in faces:
+        patch = _text_painter(
+            face_info_label_text(f, show_classification=show_classification))
+        box_w = patch.shape[1] + pad_h * 2
+        box_h = patch.shape[0] + pad_v * 2
+        fx0, fy0, _, _ = f.bounding_box_pixels
+        left, top = fx0, fy0 - gap - box_h
+        if top < 0:
+            top = fy0 + gap
+        if left + box_w > w:
+            left = w - box_w
+        left = max(left, 0)
+        if top + box_h > h:
+            top = max(0, h - box_h)
+        left, top = int(round(left)), int(round(top))
+        # 0xB3000000 card: black at alpha 179/255 (`overlay_painters.dart:190`)
+        _fill_rect_alpha(out, left, top, left + box_w, top + box_h,
+                         (0, 0, 0), 179 / 255.0)
+        _blit_rgba(out, patch, left + pad_h, top + pad_v)
+    return out
+
+
 def draw_detections(img: np.ndarray, faces: list[Face],
-                    color=BOX_COLOR, kp_color=KP_COLOR) -> np.ndarray:
-    """Boxes + the 6 detector keypoints (DetectionsPainter analog)."""
+                    color=BOX_COLOR, kp_color=KP_COLOR,
+                    show_landmark_labels: bool = False) -> np.ndarray:
+    """Boxes + the 6 detector keypoints (DetectionsPainter analog);
+    ``show_landmark_labels`` names each keypoint like
+    `overlay_painters.dart:313-343`."""
     out = np.array(img, copy=True)
     h, w = out.shape[:2]
     for f in faces:
@@ -66,6 +191,9 @@ def draw_detections(img: np.ndarray, faces: list[Face],
         for t, p in [(t, f.landmarks[t]) for t in f.landmarks._points]:
             if p is not None:
                 _draw_dot(out, p[0], p[1], kp_color)
+                if show_landmark_labels:
+                    _blit_rgba(out, _text_painter(LANDMARK_LABEL_NAMES[t]),
+                               int(p[0]) + 4, int(p[1]) - 10)
     return out
 
 
@@ -132,6 +260,170 @@ def draw_segmentation(img: np.ndarray, mask, color=(0, 128, 255),
     m = (up.data >= threshold)[..., None] * alpha
     out = out * (1 - m) + np.asarray(color, np.float32) * m
     return out.astype(np.uint8)
+
+
+def mask_valid_region(mask) -> tuple[int, int, int, int]:
+    """(x0, y0, x1, y1) of the non-letterbox-padding region of a
+    SegmentationMask in mask pixels (``maskValidRegion``,
+    `overlay_painters.dart:41-53`)."""
+    pt, pb, pl, pr = mask.padding
+    return (round(pl * mask.width), round(pt * mask.height),
+            round((1.0 - pr) * mask.width), round((1.0 - pb) * mask.height))
+
+
+def _upsampled_valid(mask, data: np.ndarray, out_w: int, out_h: int
+                     ) -> np.ndarray:
+    """Crops ``data`` (mask-resolution plane) to the valid region and
+    bilinearly resizes it onto the output canvas, like the painters'
+    per-pixel (x - x0) * scale mapping."""
+    from ..ops.letterbox import resize_matrix
+
+    x0, y0, x1, y1 = mask_valid_region(mask)
+    src = data[y0:y1, x0:x1] if (x1 > x0 and y1 > y0) else data
+    mh = resize_matrix(src.shape[0], out_h)
+    mw = resize_matrix(src.shape[1], out_w)
+    if src.ndim == 2:
+        return mh @ src @ mw.T
+    return np.einsum("Hh,hwc,Ww->HWc", mh, src, mw)
+
+
+def draw_mask(img: np.ndarray, mask, color=(0, 255, 0, 136),
+              threshold: float = 0.5, binary: bool = False,
+              class_index: int | None = None) -> np.ndarray:
+    """Single-color mask tint (SegmentationMaskPainter's single-class path,
+    `overlay_painters.dart:981-1016`): per-pixel alpha = probability x the
+    color's alpha (or hard alpha at ``threshold`` when ``binary``);
+    ``class_index`` isolates one multiclass plane."""
+    out = np.array(img, copy=True)
+    h, w = out.shape[:2]
+    plane = mask.class_mask(class_index) if class_index is not None \
+        else mask.data
+    prob = np.clip(_upsampled_valid(mask, np.asarray(plane, np.float32),
+                                    w, h), 0.0, 1.0)
+    base_a = (color[3] if len(color) > 3 else 255) / 255.0
+    a = np.where(prob >= threshold, base_a, 0.0) if binary else prob * base_a
+    a = np.where(a > 0.01, a, 0.0)[..., None]
+    blended = (out.astype(np.float32) * (1 - a)
+               + np.asarray(color[:3], np.float32) * a)
+    return blended.astype(np.uint8)
+
+
+def draw_multiclass_segmentation(img: np.ndarray, mask,
+                                 threshold: float = 0.5,
+                                 binary: bool = False,
+                                 show_labels: bool = True,
+                                 class_colors=SEGMENTATION_CLASS_COLORS
+                                 ) -> np.ndarray:
+    """All-classes multiclass overlay (`overlay_painters.dart:935-980`):
+    each pixel is tinted with its argmax class color when that class's
+    probability >= ``threshold`` (alpha scaled by the probability unless
+    ``binary``), plus class-name labels at class centroids for classes
+    covering > 100 mask pixels (`overlay_painters.dart:58-92`)."""
+    out = np.array(img, copy=True)
+    h, w = out.shape[:2]
+    planes = np.stack([_upsampled_valid(
+        mask, np.asarray(mask.class_mask(c), np.float32), w, h)
+        for c in range(6)], axis=-1)
+    winner = planes.argmax(axis=-1)
+    max_prob = np.clip(planes.max(axis=-1), 0.0, 1.0)
+    colors = np.asarray([c[:3] for c in class_colors], np.float32)[winner]
+    base_a = np.asarray([(c[3] if len(c) > 3 else 255) / 255.0
+                         for c in class_colors], np.float32)[winner]
+    a = np.where(max_prob >= threshold,
+                 base_a if binary else max_prob * base_a, 0.0)[..., None]
+    out = (out.astype(np.float32) * (1 - a) + colors * a).astype(np.uint8)
+
+    if show_labels:
+        # Label threshold is >100 *mask-resolution* pixels in the painter;
+        # scale it to canvas pixels since we composited after upsampling.
+        x0, y0, x1, y1 = mask_valid_region(mask)
+        scale = (w * h) / max((x1 - x0) * (y1 - y0), 1)
+        drawn = max_prob >= threshold
+        for c in range(6):
+            sel = drawn & (winner == c)
+            count = int(sel.sum())
+            if count > 100 * scale:
+                ys, xs = np.nonzero(sel)
+                patch = _text_painter(SEGMENTATION_CLASS_LABELS[c])
+                _blit_rgba(out, patch,
+                           int(xs.mean()) - patch.shape[1] // 2,
+                           int(ys.mean()) - patch.shape[0] // 2)
+    return out
+
+
+def draw_virtual_background(img: np.ndarray, mask,
+                            background: np.ndarray,
+                            mirror_horizontally: bool = False
+                            ) -> np.ndarray:
+    """Replaces non-person areas with ``background`` using soft alpha at
+    the edges (VirtualBackgroundOverlayPainter,
+    `overlay_painters.dart:813-881`): per pixel, the background is drawn
+    with alpha = 1 - person probability; the background image is stretched
+    to the canvas."""
+    out = np.array(img, copy=True)
+    h, w = out.shape[:2]
+    prob = np.clip(_upsampled_valid(mask, np.asarray(mask.data, np.float32),
+                                    w, h), 0.0, 1.0)
+    if mirror_horizontally:
+        prob = prob[:, ::-1]
+    bg_a = 1.0 - prob
+    bg_a = np.where(bg_a < 0.01, 0.0, bg_a)[..., None]
+    from ..ops.letterbox import resize_matrix
+    bg = np.asarray(background, np.float32)
+    bg = np.einsum("Hh,hwc,Ww->HWc", resize_matrix(bg.shape[0], h), bg,
+                   resize_matrix(bg.shape[1], w))
+    return (out.astype(np.float32) * (1 - bg_a) + bg * bg_a).astype(np.uint8)
+
+
+def compose_camera_overlay(frame: np.ndarray, faces: list[Face],
+                           mask=None, virtual_background=None,
+                           show_segmentation: bool = False,
+                           show_all_classes: bool = False,
+                           show_pose_and_scores: bool = False,
+                           show_classification: bool = False,
+                           mirror_horizontally: bool = False,
+                           detect_ms: float | None = None) -> np.ndarray:
+    """One annotated frame from a live stream — the host analog of the
+    FaceDetectionCameraOverlay widget's layer stack
+    (`overlay_painters.dart:1045+`): virtual background (or segmentation
+    tint), then detections/contours/irises, then per-face info cards, then
+    a performance badge when ``detect_ms`` is given."""
+    out = frame
+    if mask is not None and virtual_background is not None:
+        out = draw_virtual_background(out, mask, virtual_background,
+                                      mirror_horizontally)
+    elif mask is not None and show_segmentation:
+        if show_all_classes and hasattr(mask, "class_mask"):
+            out = draw_multiclass_segmentation(out, mask)
+        else:
+            out = draw_mask(out, mask)
+    out = draw_detections(out, faces)
+    out = draw_contours(out, faces)
+    out = draw_iris(out, faces)
+    if show_pose_and_scores or show_classification:
+        out = draw_face_info(out, faces,
+                             show_classification=show_classification)
+    if detect_ms is not None:
+        label, color = performance_level(detect_ms)
+        out = np.array(out, copy=True)
+        patch = _text_painter(f"{detect_ms:.0f} ms  {label}", color=color)
+        _fill_rect_alpha(out, 4, 4, 16 + patch.shape[1], 12 + patch.shape[0],
+                         (0, 0, 0), 0.6)
+        _blit_rgba(out, patch, 10, 8)
+    return out
+
+
+def performance_level(ms: float) -> tuple[str, tuple[int, int, int]]:
+    """Buckets a detection time into a display label + RGB color
+    (``performanceLevel``, `overlay_painters.dart:29-39`; Material color
+    values)."""
+    if ms < 200:
+        return "Excellent", (76, 175, 80)
+    if ms < 500:
+        return "Good", (139, 195, 74)
+    if ms < 1000:
+        return "Fair", (255, 152, 0)
+    return "Slow", (244, 67, 54)
 
 
 def annotate(img: np.ndarray, faces: list[Face], mask=None) -> np.ndarray:
