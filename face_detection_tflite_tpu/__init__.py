@@ -32,7 +32,7 @@ from .pipeline.config import (FaceDetectionMode, FaceDetectionModel,
 from .pipeline.detector import FaceDetector, resolve_model_dir
 from .pipeline.programs import PipelineModels, build_pipeline_program
 from .pipeline.serving import ServingPipeline
-from .pipeline.smoothing import FaceSmoother
+from .pipeline.smoothing import FaceSmoother, OneEuroFilter
 from .pipeline.timings import DetectTimings, FpsCounter
 from .pipeline.tracker import TemporalFaceTracker
 from .pipeline.video import FrameThrottle, VideoFrameResult, process_video
@@ -65,5 +65,6 @@ __all__ = [
     "CameraRotation", "decode_camera_frame", "load_params_npz",
     "save_params_npz", "swap_params", "FaceDetection", "FaceLandmark",
     "FaceSmoother",
+    "OneEuroFilter",
     "IrisLandmark", "FaceBlendshapesModel",
 ]

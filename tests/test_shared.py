@@ -421,6 +421,121 @@ class TestFaceSmoother:
         from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
         with pytest.raises(ValueError):
             FaceSmoother(alpha=0.0)
+        with pytest.raises(ValueError):
+            FaceSmoother(method="kalman")
+
+
+class TestOneEuroFilter:
+    """One-Euro filter (`example/lib/main.dart:3830` call-site params;
+    Casiez et al. CHI 2012 algorithm)."""
+
+    def test_first_sample_passes_through(self):
+        from face_detection_tflite_tpu import OneEuroFilter
+        f = OneEuroFilter()
+        x = np.asarray([1.0, 2.0])
+        assert np.array_equal(f.filter(x, 0.0), x)
+
+    def test_constant_signal_stays_constant(self):
+        from face_detection_tflite_tpu import OneEuroFilter
+        f = OneEuroFilter()
+        for i in range(10):
+            out = f.filter(np.asarray([5.0]), i / 30.0)
+        assert out[0] == pytest.approx(5.0)
+
+    def test_adaptive_smoothing(self):
+        """Small jitter is crushed; a fast ramp is followed closely —
+        relative lag on the ramp is far smaller than jitter attenuation."""
+        from face_detection_tflite_tpu import OneEuroFilter
+        rng = np.random.default_rng(0)
+        jitter_f, ramp_f = OneEuroFilter(), OneEuroFilter()
+        jitter_dev = []
+        for i in range(60):
+            t = i / 30.0
+            noisy = 10.0 + rng.normal(0, 1.0)
+            jitter_dev.append(abs(jitter_f.filter(
+                np.asarray([noisy]), t)[0] - 10.0))
+            ramp_out = ramp_f.filter(np.asarray([100.0 * t]), t)
+        # Jitter attenuated well below input sigma.
+        assert np.mean(jitter_dev[10:]) < 0.5
+        # Ramp (100 px/s) tracked within a few px at the end.
+        assert abs(ramp_out[0] - 100.0 * (59 / 30.0)) < 6.0
+
+    def test_non_monotonic_time_returns_previous(self):
+        from face_detection_tflite_tpu import OneEuroFilter
+        f = OneEuroFilter()
+        f.filter(np.asarray([1.0]), 0.0)
+        out = f.filter(np.asarray([9.0]), 0.0)
+        assert out[0] == pytest.approx(1.0)
+
+    def test_param_validation(self):
+        from face_detection_tflite_tpu import OneEuroFilter
+        with pytest.raises(ValueError):
+            OneEuroFilter(min_cutoff=0.0)
+
+
+class TestOneEuroSmoother:
+    def _face(self, x0, mesh_val, with_mesh=True):
+        det = Detection(RectF(x0, 0.1, x0 + 0.2, 0.3), 0.9,
+                        np.full((6, 2), x0))
+        mesh = FaceMesh(np.full((468, 3), mesh_val), 0.99) if with_mesh \
+            else None
+        return Face(det, mesh, np.full((10, 3), mesh_val), (100, 100))
+
+    def test_iou_matching_without_tracker(self):
+        """Same-place faces continue one track (no tracking IDs needed)."""
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro")
+        (f1,) = s.smooth([self._face(0.4, 50.0)], t_sec=0.0)
+        assert f1.mesh.points[0, 0] == pytest.approx(50.0)  # first sample
+        (f2,) = s.smooth([self._face(0.4, 60.0)], t_sec=1 / 30)
+        # Filtered: strictly between previous and new observation.
+        assert 50.0 < f2.mesh.points[0, 0] < 60.0
+        assert 50.0 < f2.iris_points[0, 0] < 60.0
+        # z passes through unfiltered (main.dart smooths x/y only).
+        assert f2.mesh.points[0, 2] == pytest.approx(60.0)
+
+    def test_disjoint_face_starts_fresh_track(self):
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro")
+        s.smooth([self._face(0.0, 50.0)], t_sec=0.0)
+        (f,) = s.smooth([self._face(0.7, 90.0)], t_sec=1 / 30)
+        assert f.mesh.points[0, 0] == pytest.approx(90.0)  # unfiltered
+
+    def test_track_forgotten_after_misses(self):
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro", max_missed_frames=1)
+        s.smooth([self._face(0.4, 50.0)], t_sec=0.0)
+        for i in range(3):
+            s.smooth([], t_sec=(1 + i) / 30)
+        (f,) = s.smooth([self._face(0.4, 90.0)], t_sec=0.2)
+        assert f.mesh.points[0, 0] == pytest.approx(90.0)  # fresh track
+
+    def test_meshless_face_passes_through(self):
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro")
+        f = self._face(0.4, 0.0, with_mesh=False)
+        assert s.smooth([f], t_sec=0.0)[0] is f
+
+    def test_scores_preserved(self):
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro")
+        det = Detection(RectF(0.4, 0.1, 0.6, 0.3), 0.9, np.full((6, 2), 0.5))
+        face = Face(det, FaceMesh(np.zeros((468, 3)), 0.77),
+                    np.zeros((10, 3)), (100, 100),
+                    blendshape_scores=np.full(52, 0.25))
+        s.smooth([face], t_sec=0.0)
+        (out,) = s.smooth([face], t_sec=1 / 30)
+        assert out.mesh.score == pytest.approx(0.77)
+        assert out.blendshapes is not None
+        assert out.blendshapes[0] == pytest.approx(0.25)
+
+    def test_reset_clears_tracks(self):
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro")
+        s.smooth([self._face(0.4, 50.0)], t_sec=0.0)
+        s.reset()
+        (f,) = s.smooth([self._face(0.4, 90.0)], t_sec=1 / 30)
+        assert f.mesh.points[0, 0] == pytest.approx(90.0)
 
 
 class TestFifthReviewRegressions:
