@@ -128,7 +128,7 @@ def main():
 
     # --- letterbox ---------------------------------------------------------
     lb = jax.jit(jax.vmap(lambda im: letterbox_image(im, lbp)))
-    record("letterbox_u8", lb, lambda i: (perturb(images_u8, i % 3),))
+    record("letterbox_u8", lb, lambda i: (perturb(images_u8, i % 199),))
     lbx = lb(images_u8)
 
     # --- detector conv -----------------------------------------------------
@@ -211,16 +211,16 @@ def main():
         prog = jax.jit(build_pipeline_program(
             mm, h, w, FaceDetectionMode.FAST, max_faces=16))
         record(f"detect_prog[{prec}]", prog,
-               lambda i, p=mm.params: (p, perturb(images_u8, i % 3)))
+               lambda i, p=mm.params: (p, perturb(images_u8, i % 199)))
     for nfaces in (1, 4, 16):
         prog = jax.jit(build_pipeline_program(
             m, h, w, FaceDetectionMode.STANDARD, max_faces=nfaces))
         record(f"standard_prog[high,slab{nfaces}]", prog,
-               lambda i: (m.params, perturb(images_u8, i % 3)))
+               lambda i: (m.params, perturb(images_u8, i % 199)))
     prog = jax.jit(build_pipeline_program(
         m, h, w, FaceDetectionMode.FULL, max_faces=1))
     record("full_prog[high,slab1]", prog,
-           lambda i: (m.params, perturb(images_u8, i % 3)))
+           lambda i: (m.params, perturb(images_u8, i % 199)))
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "attribution.json"), "w") as f:

@@ -92,8 +92,12 @@ def main():
 
     # Segmentation
     try:
-        dt = bench(lambda: det.get_segmentation_mask(
-            np.asarray(img) + (_COUNTER[0] % 2)))
+        def seg_call():
+            _COUNTER[0] += 1  # unique input per call (relay memoizer)
+            a = np.asarray(img).copy()
+            a[0, 0, 0] = _COUNTER[0] % 199
+            return det.get_segmentation_mask(a)
+        dt = bench(seg_call)
         results["configs"]["segmentation_general"] = {
             "ms_per_image": round(dt * 1e3, 3)}
     except FileNotFoundError:
@@ -106,10 +110,11 @@ def main():
 
         def emb_call():
             _COUNTER[0] += 1
+            a = np.asarray(img).copy()
+            a[0, 0, 0] = _COUNTER[0] % 199  # unique input per call
             with _w.catch_warnings():
                 _w.simplefilter("ignore")
-                return det.get_face_embedding(
-                    faces[0], np.asarray(img) + (_COUNTER[0] % 2))
+                return det.get_face_embedding(faces[0], a)
         dt = bench(emb_call)
         results["configs"]["embedding"] = {
             "ms_per_call": round(dt * 1e3, 3),
@@ -139,6 +144,8 @@ def main():
     nms_samples = {n: [] for n in nms_fns}
     for rnd in range(3):
         for name, jf in nms_fns.items():
+            if not isinstance(nms_samples[name], list):
+                continue  # failed in an earlier round
             try:
                 def call(jf=jf):
                     _COUNTER[0] += 1
@@ -147,9 +154,10 @@ def main():
                         jf(bx, kp, s, s >= 0.5))
                 nms_samples[name].append(bench(call, n=max(iters, 10),
                                                warm=2 if rnd == 0 else 0))
-            except Exception as e:  # pallas may not lower off-TPU
+            except Exception as e:  # pallas may not lower off-TPU; the
+                # other variants must still be measured, so only this
+                # name is marked unavailable (not the rest of the round).
                 nms_samples[name] = f"unavailable: {type(e).__name__}"
-                break
     for name, s in nms_samples.items():
         results["configs"][name] = (
             {"ms": round(float(np.median(s)) * 1e3, 4)}
@@ -187,15 +195,22 @@ def main():
         from face_detection_tflite_tpu.utils.image import decode_images
         n_batches = 2 if args.quick else 6
         # Unique JPEG per batch (quality wiggle) — decode results differ,
-        # defeating both the decode cache and the relay memoizer.
+        # defeating both the decode cache and the relay memoizer.  The
+        # pipelined and serial passes get DISJOINT batch sets (plus a
+        # dedicated warm batch): replaying the pipelined pass's inputs
+        # serially would let the relay serve the serial pass from its
+        # identical-call cache and fake the overlap_speedup.
         jpegs = []
-        for i in range(n_batches + 1):
+        for i in range(2 * n_batches + 1):
             ok, enc = cv2.imencode(
                 ".jpg", np.asarray(img)[..., ::-1],
-                [cv2.IMWRITE_JPEG_QUALITY, 90 + (i % 8)])
+                [cv2.IMWRITE_JPEG_QUALITY, 80 + i])
             assert ok
             jpegs.append(enc.tobytes())
         stream = [[jpegs[i]] * batch for i in range(n_batches)]
+        stream_serial = [[jpegs[n_batches + i]] * batch
+                         for i in range(n_batches)]
+        warm_batch = [jpegs[2 * n_batches]] * batch
 
         t_dec = bench(lambda: decode_images(
             [jpegs[_COUNTER[0] % len(jpegs)]] * batch), n=n_batches)
@@ -210,16 +225,16 @@ def main():
             fresh(), FaceDetectionMode.STANDARD), n=n_batches)
 
         with ServingPipeline(det, mode=FaceDetectionMode.STANDARD) as pipe:
-            pipe.submit(stream[0]).result()  # warm decode+compile path
+            pipe.submit(warm_batch).result()  # warm decode+compile path
             t0 = time.perf_counter()
             futs = [pipe.submit(b) for b in stream]
             for f in futs:
                 f.result()
             t_pipe = time.perf_counter() - t0
-        det.detect_faces_from_bytes_batch(stream[0],
+        det.detect_faces_from_bytes_batch(warm_batch,
                                           FaceDetectionMode.STANDARD)
         t0 = time.perf_counter()
-        for b in stream:
+        for b in stream_serial:
             det.detect_faces_from_bytes_batch(b, FaceDetectionMode.STANDARD)
         t_serial = time.perf_counter() - t0
         n_imgs = n_batches * batch

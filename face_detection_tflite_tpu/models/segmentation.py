@@ -26,9 +26,38 @@ from ..ops.letterbox import letterbox_image, letterbox_params, resize_matrix
 
 __all__ = ["SegmentationClass", "SegmentationMask",
            "MulticlassSegmentationMask", "SelfieSegmentation",
-           "MIN_SEGMENTATION_INPUT_SIZE"]
+           "MIN_SEGMENTATION_INPUT_SIZE", "mask_valid_region",
+           "crop_valid_and_resize"]
 
 MIN_SEGMENTATION_INPUT_SIZE = 16  # selfie_segmentation.dart:4
+
+
+def mask_valid_region(width: int, height: int,
+                      padding: tuple[float, float, float, float]
+                      ) -> tuple[int, int, int, int]:
+    """(x0, y0, x1, y1) of the non-letterbox-padding region in mask pixels
+    (``maskValidRegion``, `overlay_painters.dart:41-53`).  The single
+    source of the crop rounding — `SegmentationMask.upsample` and the
+    overlay painters (utils/render.py) must agree on it exactly or masks
+    shift against the image."""
+    pt, pb, pl, pr = padding
+    return (round(pl * width), round(pt * height),
+            round((1.0 - pr) * width), round((1.0 - pb) * height))
+
+
+def crop_valid_and_resize(data: np.ndarray, width: int, height: int,
+                          padding: tuple[float, float, float, float],
+                          out_w: int, out_h: int) -> np.ndarray:
+    """Crops the letterbox padding off a mask-resolution plane and
+    bilinearly resizes (cv2 INTER_LINEAR semantics) to (out_h, out_w).
+    ``data`` is [H, W] or [H, W, C]."""
+    x0, y0, x1, y1 = mask_valid_region(width, height, padding)
+    src = data[y0:y1, x0:x1] if (x1 > x0 and y1 > y0) else data
+    mh = resize_matrix(src.shape[0], out_h)
+    mw = resize_matrix(src.shape[1], out_w)
+    if src.ndim == 2:
+        return mh @ src @ mw.T
+    return np.einsum("Hh,hwc,Ww->HWc", mh, src, mw)
 
 
 class SegmentationClass(enum.IntEnum):
@@ -72,19 +101,8 @@ class SegmentationMask:
             else 1.0
         fw, fh = round(tw * scale), round(th * scale)
 
-        src = self.data
-        pt, pb, pl, pr = self.padding
-        if any(p > 0 for p in self.padding):
-            x0 = round(pl * self.width)
-            y0 = round(pt * self.height)
-            x1 = round((1.0 - pr) * self.width)
-            y1 = round((1.0 - pb) * self.height)
-            if x1 > x0 and y1 > y0:
-                src = src[y0:y1, x0:x1]
-
-        mh = resize_matrix(src.shape[0], fh)
-        mw = resize_matrix(src.shape[1], fw)
-        out = mh @ src @ mw.T
+        out = crop_valid_and_resize(self.data, self.width, self.height,
+                                    self.padding, fw, fh)
         return SegmentationMask(out.astype(np.float32), self.original_width,
                                 self.original_height, (0.0, 0.0, 0.0, 0.0))
 

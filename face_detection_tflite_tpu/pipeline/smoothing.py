@@ -208,6 +208,11 @@ class FaceSmoother:
                          ) -> list[Face]:
         """Greedy IoU matching + per-track One-Euro filtering
         (`main.dart:3768-3852`)."""
+        if not faces:
+            # Reference early-return (`main.dart:3768-3770`): empty frames
+            # do NOT age tracks, so a face occluded for many frames
+            # resumes its existing filter state instead of jumping.
+            return faces
         unmatched = list(range(len(self._tracks)))
         out = []
         for f in faces:

@@ -265,10 +265,11 @@ def draw_segmentation(img: np.ndarray, mask, color=(0, 128, 255),
 def mask_valid_region(mask) -> tuple[int, int, int, int]:
     """(x0, y0, x1, y1) of the non-letterbox-padding region of a
     SegmentationMask in mask pixels (``maskValidRegion``,
-    `overlay_painters.dart:41-53`)."""
-    pt, pb, pl, pr = mask.padding
-    return (round(pl * mask.width), round(pt * mask.height),
-            round((1.0 - pr) * mask.width), round((1.0 - pb) * mask.height))
+    `overlay_painters.dart:41-53`).  Delegates to the single crop-rounding
+    source shared with ``SegmentationMask.upsample``."""
+    from ..models.segmentation import mask_valid_region as _valid
+
+    return _valid(mask.width, mask.height, mask.padding)
 
 
 def _upsampled_valid(mask, data: np.ndarray, out_w: int, out_h: int
@@ -276,15 +277,10 @@ def _upsampled_valid(mask, data: np.ndarray, out_w: int, out_h: int
     """Crops ``data`` (mask-resolution plane) to the valid region and
     bilinearly resizes it onto the output canvas, like the painters'
     per-pixel (x - x0) * scale mapping."""
-    from ..ops.letterbox import resize_matrix
+    from ..models.segmentation import crop_valid_and_resize
 
-    x0, y0, x1, y1 = mask_valid_region(mask)
-    src = data[y0:y1, x0:x1] if (x1 > x0 and y1 > y0) else data
-    mh = resize_matrix(src.shape[0], out_h)
-    mw = resize_matrix(src.shape[1], out_w)
-    if src.ndim == 2:
-        return mh @ src @ mw.T
-    return np.einsum("Hh,hwc,Ww->HWc", mh, src, mw)
+    return crop_valid_and_resize(data, mask.width, mask.height,
+                                 mask.padding, out_w, out_h)
 
 
 def draw_mask(img: np.ndarray, mask, color=(0, 255, 0, 136),

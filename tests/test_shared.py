@@ -502,13 +502,28 @@ class TestOneEuroSmoother:
         assert f.mesh.points[0, 0] == pytest.approx(90.0)  # unfiltered
 
     def test_track_forgotten_after_misses(self):
+        """Unmatched tracks age on NON-empty frames and retire
+        (`main.dart:3812-3816`)."""
+        from face_detection_tflite_tpu import FaceSmoother
+        s = FaceSmoother(method="one_euro", max_missed_frames=1)
+        s.smooth([self._face(0.2, 50.0)], t_sec=0.0)
+        for i in range(3):  # disjoint face ages the unmatched track
+            s.smooth([self._face(0.7, 10.0)], t_sec=(1 + i) / 30)
+        f = s.smooth([self._face(0.2, 90.0), self._face(0.7, 10.0)],
+                     t_sec=0.2)[0]
+        assert f.mesh.points[0, 0] == pytest.approx(90.0)  # fresh track
+
+    def test_empty_frames_do_not_age_tracks(self):
+        """Reference early-return on empty frames (`main.dart:3768-3770`):
+        a face occluded for many frames resumes its existing track."""
         from face_detection_tflite_tpu import FaceSmoother
         s = FaceSmoother(method="one_euro", max_missed_frames=1)
         s.smooth([self._face(0.4, 50.0)], t_sec=0.0)
-        for i in range(3):
-            s.smooth([], t_sec=(1 + i) / 30)
-        (f,) = s.smooth([self._face(0.4, 90.0)], t_sec=0.2)
-        assert f.mesh.points[0, 0] == pytest.approx(90.0)  # fresh track
+        for i in range(10):
+            assert s.smooth([], t_sec=(1 + i) / 30) == []
+        (f,) = s.smooth([self._face(0.4, 90.0)], t_sec=0.5)
+        # Matched the surviving track: filtered, not a fresh pass-through.
+        assert 50.0 < f.mesh.points[0, 0] < 90.0
 
     def test_meshless_face_passes_through(self):
         from face_detection_tflite_tpu import FaceSmoother
