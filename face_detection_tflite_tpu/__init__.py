@@ -27,9 +27,12 @@ from .models.segmentation import (MulticlassSegmentationMask,
                                   SelfieSegmentation)
 from .models.standalone import (FaceBlendshapesModel, FaceDetection,
                                 FaceLandmark, IrisLandmark)
-from .pipeline.config import (FaceDetectionMode, FaceDetectionModel,
-                              SegmentationModel)
+from .ops.letterbox import LetterboxParams, letterbox_params
+from .pipeline.blendshape_input import BLENDSHAPE_NAMES
+from .pipeline.config import (MODEL_FILES, FaceDetectionMode,
+                              FaceDetectionModel, SegmentationModel)
 from .pipeline.detector import FaceDetector, resolve_model_dir
+from .pipeline.geometry import eye_rois_from_mesh, face_detection_to_roi
 from .pipeline.programs import PipelineModels, build_pipeline_program
 from .pipeline.serving import ServingPipeline
 from .pipeline.smoothing import FaceSmoother, OneEuroFilter
@@ -67,4 +70,9 @@ __all__ = [
     "FaceSmoother",
     "OneEuroFilter",
     "IrisLandmark", "FaceBlendshapesModel",
+    # Helper surface mirrored from the reference's native barrel
+    # (`face_native_lib.dart:30-90`): geometry ROI helpers, blendshape
+    # name table, letterbox math, model-file map.
+    "eye_rois_from_mesh", "face_detection_to_roi", "BLENDSHAPE_NAMES",
+    "letterbox_params", "LetterboxParams", "MODEL_FILES",
 ]
