@@ -36,9 +36,13 @@ import numpy as np
 
 __all__ = ["decode_detections", "weighted_nms", "detection_postprocess"]
 
-RAW_SCORE_LIMIT = 100.0  # face_model_config.dart:49
-MIN_SCORE = 0.5          # face_model_config.dart:53
-NMS_IOU = 0.3            # face_model_config.dart:77
+# Single source for the parity-critical thresholds is pipeline/config.py
+# (cited there against face_model_config.dart:49,53,77); duplicating the
+# literals here once let the device decode gate drift from the host gates.
+from ..pipeline.config import (MIN_SCORE, MIN_SUPPRESSION_THRESHOLD,
+                               RAW_SCORE_LIMIT)
+
+NMS_IOU = MIN_SUPPRESSION_THRESHOLD
 
 
 def decode_detections(raw_boxes, raw_scores, anchors, input_size):
@@ -157,6 +161,14 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
     out_boxes = jnp.where(out_valid[:, None], blended[order], 0.0)
     out_kp = jnp.where(out_valid[:, None, None], top_kp[order], 0.0)
     out_scores = jnp.where(out_valid, top_scores[order], 0.0)
+    if k < d:
+        # Keep the documented fixed [D] slab even when num_candidates < D
+        # (downstream prefix slices assume the full slab shape).
+        pad = d - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_kp = jnp.pad(out_kp, ((0, pad), (0, 0), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, pad),))
+        out_valid = jnp.pad(out_valid, ((0, pad),))
     return out_boxes, out_kp, out_scores, out_valid
 
 

@@ -25,6 +25,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .detections import NMS_IOU
+
 __all__ = ["nms_core_pallas", "weighted_nms_pallas"]
 
 
@@ -132,7 +134,7 @@ def nms_core_pallas(boxes, scores, valid, iou_threshold=0.3,
 
 def weighted_nms_pallas(boxes, keypoints, scores, valid, *,
                         max_detections: int, num_candidates=None,
-                        iou_threshold: float = 0.3,
+                        iou_threshold: float = NMS_IOU,
                         interpret: bool = False):
     """Drop-in replacement for ``detections.weighted_nms`` using the
     Pallas core.  Same outputs: (boxes [D,4], kp [D,...], scores [D],
@@ -156,4 +158,11 @@ def weighted_nms_pallas(boxes, keypoints, scores, valid, *,
     out_boxes = jnp.where(out_valid[:, None], blended[order], 0.0)
     out_kp = jnp.where(out_valid[:, None, None], top_kp[order], 0.0)
     out_scores = jnp.where(out_valid, top_scores[order], 0.0)
+    if k < d:
+        # Fixed [D] slab even when num_candidates < D (see weighted_nms).
+        pad = d - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_kp = jnp.pad(out_kp, ((0, pad), (0, 0), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, pad),))
+        out_valid = jnp.pad(out_valid, ((0, pad),))
     return out_boxes, out_kp, out_scores, out_valid

@@ -226,6 +226,13 @@ class FaceDetector:
                 self._params = shard_params(self.models.params, self._mesh)
 
         self._programs: dict[tuple, object] = {}
+        #: Guards check-then-insert on _programs: two threads racing the
+        #: first call for the same bucket would otherwise each build their
+        #: own jitted wrapper and pay the 20-240 s XLA compile twice
+        #: (jax's compile cache is keyed by wrapper identity).  Builds
+        #: inside the lock are cheap (tracing/compiling happens lazily at
+        #: the first call, where jax serializes internally on ONE wrapper).
+        self._programs_lock = threading.Lock()
         #: Sticky speculation bucket per (H, W, mode): how many face slots
         #: the fused single-call program runs per-face stages for.  Grown
         #: immediately on overflow, shrunk after a streak of low counts.
@@ -279,23 +286,25 @@ class FaceDetector:
         if face_slab is not None and face_slab >= self.max_faces:
             face_slab = None
         key = (img_h, img_w, mode, face_slab)
-        if key not in self._programs:
-            # In bucketed mode the device-side width gate would measure
-            # against the padded width and over-reject; defer it to the
-            # host safety-net gate in _materialize.
-            mfs = 0.0 if self.bucket_images else self.min_face_size
-            program = build_pipeline_program(
-                self.models, img_h, img_w, mode, max_faces=self.max_faces,
-                min_score=self.min_score, min_face_size=mfs,
-                num_candidates=self.num_candidates,
-                use_pallas_nms=self._resolve_pallas_nms(),
-                face_slab=face_slab)
-            if self._mesh is not None:
-                from ..parallel.sharding import data_parallel as _dp
-                self._programs[key] = _dp(program, self._mesh)
-            else:
-                self._programs[key] = jax.jit(program)
-        return self._programs[key]
+        with self._programs_lock:
+            if key not in self._programs:
+                # In bucketed mode the device-side width gate would measure
+                # against the padded width and over-reject; defer it to the
+                # host safety-net gate in _materialize.
+                mfs = 0.0 if self.bucket_images else self.min_face_size
+                program = build_pipeline_program(
+                    self.models, img_h, img_w, mode,
+                    max_faces=self.max_faces,
+                    min_score=self.min_score, min_face_size=mfs,
+                    num_candidates=self.num_candidates,
+                    use_pallas_nms=self._resolve_pallas_nms(),
+                    face_slab=face_slab)
+                if self._mesh is not None:
+                    from ..parallel.sharding import data_parallel as _dp
+                    self._programs[key] = _dp(program, self._mesh)
+                else:
+                    self._programs[key] = jax.jit(program)
+            return self._programs[key]
 
     def _fetch_async(self, out: dict):
         """Starts materializing a device slab dict: packs every output
@@ -307,12 +316,13 @@ class FaceDetector:
         names = sorted(out)
         leaves = [out[k] for k in names]
         key = tuple((k, v.shape, str(v.dtype)) for k, v in zip(names, leaves))
-        packer = self._programs.get(("pack", key))
-        if packer is None:
-            packer = jax.jit(lambda ls: jnp.concatenate(
-                [l.reshape(l.shape[0], -1).astype(jnp.float32) for l in ls],
-                axis=1))
-            self._programs[("pack", key)] = packer
+        with self._programs_lock:
+            packer = self._programs.get(("pack", key))
+            if packer is None:
+                packer = jax.jit(lambda ls: jnp.concatenate(
+                    [l.reshape(l.shape[0], -1).astype(jnp.float32)
+                     for l in ls], axis=1))
+                self._programs[("pack", key)] = packer
         buf = packer(leaves)
         try:
             buf.copy_to_host_async()
@@ -343,10 +353,11 @@ class FaceDetector:
     def _face_stage_program(self, img_h: int, img_w: int,
                             mode: FaceDetectionMode):
         key = (img_h, img_w, mode, "stage")
-        if key not in self._programs:
-            self._programs[key] = jax.jit(build_pipeline_program(
-                self.models, img_h, img_w, mode, from_detections=True))
-        return self._programs[key]
+        with self._programs_lock:
+            if key not in self._programs:
+                self._programs[key] = jax.jit(build_pipeline_program(
+                    self.models, img_h, img_w, mode, from_detections=True))
+            return self._programs[key]
 
     # -- speculative single-call dispatch ---------------------------------
 
@@ -458,20 +469,25 @@ class FaceDetector:
                               FaceDetectionMode.FULL):
             if self.adaptive and mode != FaceDetectionMode.FAST:
                 # Compile the speculative fused program at the current
-                # bucket, plus the overflow face-stage program with a
-                # synthetic 1-face slab (a zero image detects nothing, so
-                # a plain detect call would never reach it).
+                # bucket, plus the overflow face-stage program (a zero
+                # image detects nothing, so a plain detect call would
+                # never reach it).  The overflow rerun only fires when
+                # n > bucket >= 1, so its smallest reachable slab is 2 —
+                # warm THAT shape (a 1-face warm would be a dead trace;
+                # jit recompiles per slab width).  Deeper ladder widths
+                # (4, 8, ...) still compile on first hit.
                 self.detect_faces_batch(dummy, mode)
                 prog = self._face_stage_program(h, w, mode)
                 b = dummy.shape[0]
+                nf = min(2, self.max_faces)
                 boxes = jnp.tile(jnp.asarray(
-                    [[[0.3, 0.3, 0.7, 0.7]]], jnp.float32), (b, 1, 1))
+                    [[[0.3, 0.3, 0.7, 0.7]]], jnp.float32), (b, nf, 1))
                 kp = jnp.tile(jnp.asarray(
                     [[[[0.4, 0.45], [0.6, 0.45], [0.5, 0.55], [0.5, 0.62],
                        [0.33, 0.46], [0.67, 0.46]]]], jnp.float32),
-                    (b, 1, 1, 1))
-                scores = jnp.full((b, 1), 0.9, jnp.float32)
-                valid = jnp.ones((b, 1), jnp.bool_)
+                    (b, nf, 1, 1))
+                scores = jnp.full((b, nf), 0.9, jnp.float32)
+                valid = jnp.ones((b, nf), jnp.bool_)
                 self._fetch(prog(self._params, dummy, boxes, kp, scores,
                                  valid))
             else:
@@ -524,18 +540,10 @@ class FaceDetector:
         callers can overlap detect dispatches before the first readback.
         """
         self._check_disposed()
-        images = _normalize_channels(images)
-        b, h, w, _ = images.shape
-        if b == 0:
+        prep = self._prepare_batch(images)
+        if prep is None:
             return []
-        if self.bucket_images:
-            hb, wb = self._bucket(h), self._bucket(w)
-            if (hb, wb) != (h, w):
-                # Pad bottom/right: pixel coordinates of the content are
-                # unchanged, so mesh/iris (pixel-space) outputs need no
-                # fixup; normalized boxes/keypoints are rescaled below.
-                images = jnp.pad(
-                    images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+        images, b, (w, h) = prep
         bh, bw = images.shape[1], images.shape[2]
         orig_sizes = (_orig_sizes if _orig_sizes is not None
                       else [(w, h)] * b)
@@ -548,6 +556,26 @@ class FaceDetector:
             if pad_b:
                 out = {k: v[:b] for k, v in out.items()}
         return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
+
+    def _prepare_batch(self, raw):
+        """Channel-normalizes and bucket-pads one batch (shared by the
+        batch and stream paths — keep the padding rule in ONE place).
+        Returns (images, b, (w, h)) with (w, h) the pre-pad per-image
+        size, or None for an empty batch.
+
+        The pad goes bottom/right: pixel coordinates of the content are
+        unchanged, so mesh/iris (pixel-space) outputs need no fixup;
+        normalized boxes/keypoints are rescaled in _postprocess_slab."""
+        images = _normalize_channels(raw)
+        b, h, w, _ = images.shape
+        if b == 0:
+            return None
+        if self.bucket_images:
+            hb, wb = self._bucket(h), self._bucket(w)
+            if (hb, wb) != (h, w):
+                images = jnp.pad(
+                    images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+        return images, b, (w, h)
 
     def _dispatch_full(self, images, mode: FaceDetectionMode):
         """Dispatches the single fused program (non-adaptive path),
@@ -618,15 +646,10 @@ class FaceDetector:
         (non-blocking).  Returns an opaque handle for
         :meth:`_stream_finish`; None marks an empty batch."""
         self._check_disposed()
-        images = _normalize_channels(raw)
-        b, h, w, _ = images.shape
-        if b == 0:
+        prep = self._prepare_batch(raw)
+        if prep is None:
             return None
-        if self.bucket_images:
-            hb, wb = self._bucket(h), self._bucket(w)
-            if (hb, wb) != (h, w):
-                images = jnp.pad(
-                    images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+        images, b, wh = prep
         pad_b = 0
         if self.adaptive:
             det = self._dispatch_speculative(images, mode)
@@ -634,7 +657,7 @@ class FaceDetector:
             with self.timings.stage("dispatch"):
                 det, pad_b = self._dispatch_full(images, mode)
         return (images, det, pad_b, b, images.shape[1], images.shape[2],
-                (w, h))
+                wh)
 
     def _stream_finish(self, item, mode: FaceDetectionMode
                        ) -> list[list[Face]]:

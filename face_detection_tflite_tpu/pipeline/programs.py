@@ -291,12 +291,26 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
 
     def one_image(params, img):
         boxes, kp, scores, valid = detect_stage(params, img)
+        if slab < max_faces:
+            # The gates can invalidate a HIGHER-scored slab entry while a
+            # lower-scored one stays valid (min_face_size is not monotone
+            # in score), so the NMS's score order may interleave invalid
+            # entries.  Compact valid detections to the front (stable, so
+            # score order is kept within the valid group) before slicing
+            # the speculative prefix — otherwise a valid face past the
+            # prefix index would be silently dropped even when the valid
+            # COUNT fits the bucket.
+            order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+            boxes, kp, scores, valid = (boxes[order], kp[order],
+                                        scores[order], valid[order])
         out = face_stages(params, img, boxes[:slab], kp[:slab],
                           scores[:slab], valid[:slab])
         if slab < max_faces:
-            # Speculative form: expose the full detection slab so the host
-            # can detect overflow and re-run face stages without paying
-            # the detector again.
+            # Speculative form: expose the full (compacted) detection slab
+            # so the host can detect overflow and re-run face stages
+            # without paying the detector again; compaction guarantees
+            # valid entries form a prefix, so count-vs-bucket overflow
+            # checks and [:n] reruns are exact.
             out.update(det_boxes=boxes, det_raw_keypoints=kp,
                        det_scores=scores, det_valid=valid)
         return out

@@ -160,6 +160,21 @@ class TestWeightedNms:
         _, _, _, ov = self._run(dets)
         assert not ov.any()
 
+    def test_fixed_slab_when_candidates_below_max_detections(self):
+        """num_candidates < max_detections must still return the documented
+        [D] slab (round-2 review: downstream prefix slices assume it)."""
+        dets = [self._det(0, 0, 0.2, 0.2, 0.9),
+                self._det(0.8, 0.8, 1.0, 1.0, 0.8)]
+        boxes = jnp.asarray([d["box"] for d in dets], jnp.float32)
+        kps = jnp.asarray([d["kp"] for d in dets], jnp.float32)
+        scores = jnp.asarray([d["score"] for d in dets], jnp.float32)
+        ob, ok, osc, ov = weighted_nms(
+            boxes, kps, scores, scores >= 0.5, max_detections=8,
+            num_candidates=2)
+        assert ob.shape == (8, 4) and ok.shape == (8, 6, 2)
+        assert osc.shape == (8,) and ov.shape == (8,)
+        assert np.asarray(ov).sum() == 2 and not np.asarray(ov)[2:].any()
+
     def test_keep_non_overlapping(self):
         dets = [self._det(0, 0, 0.2, 0.2, 0.9),
                 self._det(0.8, 0.8, 1.0, 1.0, 0.8)]

@@ -88,6 +88,30 @@ class TestSpeculativeDispatch:
             d._note_face_count(gh, gw, FaceDetectionMode.STANDARD, 1)
         assert d._speculation_bucket(gh, gw, FaceDetectionMode.STANDARD) == 2
 
+    def test_gated_interleaved_slab_does_not_drop_faces(self, group_img):
+        """A gate can invalidate a HIGHER-scored slab entry while keeping a
+        lower-scored one (min_face_size is not monotone in score).  On the
+        group shot, min_face_size=0.075 gates the #1 and #3 faces by width
+        (0.0746/0.0631) but keeps #2 and #4 (0.0780/0.0764), so the NMS
+        slab's valid mask is [F,T,F,T].  The speculative prefix must still
+        cover BOTH surviving faces — the round-2 review found the
+        uncompacted prefix silently dropped the one at slab index 3."""
+        kw = dict(model=FaceDetectionModel.BACK_CAMERA, model_dir=MODELS_DIR,
+                  max_faces=8, min_face_size=0.075)
+        d = FaceDetector(**kw)
+        ref = FaceDetector(adaptive=False, **kw)
+        ref_faces = ref.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(ref_faces) == 2  # the gate pattern this test relies on
+        faces = d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(faces) == len(ref_faces)
+        for a, b in zip(faces, ref_faces):
+            assert a.score == pytest.approx(b.score, abs=1e-6)
+            np.testing.assert_allclose(a.mesh.points, b.mesh.points,
+                                       atol=1e-3)
+        # Steady state must also cover the gated pattern (bucket adapted).
+        faces2 = d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(faces2) == 2
+
     def test_full_mode_speculative_matches_nonadaptive(self, portrait):
         d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                          model_dir=MODELS_DIR)
