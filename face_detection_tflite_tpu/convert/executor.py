@@ -119,7 +119,7 @@ class ConvertedModel:
 _STATIC_INPUTS = {
     "RESHAPE": {1},
     "PAD": {1},
-    "PADV2": {1},
+    "PADV2": {1, 2},  # pads + the constant fill value
     "TRANSPOSE": {1},
     "MEAN": {1},
     "SUM": {1},
@@ -230,9 +230,12 @@ def convert_model(
             return False
         vals = [const[i] for i in ins]
         o = op.options
-        if nm == "PACK":
+        if nm == "PACK" and o.get("activation") is None:
             const[op.outputs[0]] = np.stack(vals, axis=o.get("axis", 0))
-        elif nm == "CONCATENATION":
+        elif nm == "CONCATENATION" and o.get("activation") is None:
+            # Fused activations must NOT fold away silently (same guard as
+            # the MUL/ADD/SUB branch) — an activated op falls through to
+            # the runtime lowering instead.
             const[op.outputs[0]] = np.concatenate(vals,
                                                   axis=o.get("axis", 0))
         elif nm == "STRIDED_SLICE" and vals[0].ndim == 1 and \
@@ -547,7 +550,7 @@ def convert_model(
                 padv = get_static(op.inputs[1]).reshape(-1, 2)
                 value = 0.0
                 if nm == "PADV2" and len(op.inputs) > 2:
-                    value = float(const[op.inputs[2]].reshape(()))
+                    value = float(get_static(op.inputs[2]).reshape(()))
                 env[op.outputs[0]] = jnp.pad(
                     x, [(int(a), int(b)) for a, b in padv],
                     constant_values=value)
@@ -703,6 +706,26 @@ def convert_model(
                     env[tox] = _fake_quant(env[tox], *act_quant[tox])
 
         return tuple(env[t] for t in ir.outputs)
+
+    # Host-memory hygiene: the traced constants now live in `params` as
+    # device arrays, but fn's closure holds `const` (every weight as
+    # numpy) and `ir` (whose TensorIR.data entries are views into the
+    # original flatbuffer blob) — keeping them would roughly double the
+    # model's host footprint for its whole lifetime.  Runtime tracing only
+    # needs the small static-input entries; keep those as COPIES (views
+    # would pin the whole blob) and drop every tensor buffer.
+    static_needed: set[int] = set()
+    for op in ops:
+        statics = _STATIC_INPUTS.get(op.name, set())
+        for pos, tix in enumerate(op.inputs):
+            if tix >= 0 and tix in const and pos in statics:
+                static_needed.add(tix)
+    pruned = {tix: np.array(const[tix]) for tix in static_needed}
+    const.clear()
+    const.update(pruned)
+    for t in ir.tensors:
+        t.data = None
+        t.sparsity = None
 
     input_shapes = [tensor_shape[t] for t in ir.inputs]
     output_shapes = [tensor_shape[t] for t in ir.outputs]

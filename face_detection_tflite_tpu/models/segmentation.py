@@ -15,6 +15,7 @@ Mask objects mirror `SegmentationMask` / `MulticlassSegmentationMask`
 from __future__ import annotations
 
 import enum
+import threading
 from typing import Optional
 
 import jax
@@ -45,16 +46,36 @@ def mask_valid_region(width: int, height: int,
             round((1.0 - pr) * width), round((1.0 - pb) * height))
 
 
+def corner_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] bilinear weights with the REFERENCE's mask sampling:
+    ``src = i * (in/out)`` with floor + clamped neighbor
+    (`face_types.dart:383-404`) — corner-anchored, NOT cv2's half-pixel
+    centers.  cv2 semantics (`resize_matrix`) belong to the letterbox
+    path, whose parity target is OpenCV; the mask upsample's parity
+    target is the reference's own Dart loop."""
+    m = np.zeros((out_size, in_size), np.float32)
+    scale = in_size / out_size
+    src = np.arange(out_size) * scale
+    lo = np.clip(np.floor(src), 0, in_size - 1).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    for o in range(out_size):
+        m[o, lo[o]] += 1.0 - frac[o]
+        m[o, hi[o]] += frac[o]
+    return m
+
+
 def crop_valid_and_resize(data: np.ndarray, width: int, height: int,
                           padding: tuple[float, float, float, float],
                           out_w: int, out_h: int) -> np.ndarray:
     """Crops the letterbox padding off a mask-resolution plane and
-    bilinearly resizes (cv2 INTER_LINEAR semantics) to (out_h, out_w).
+    bilinearly resizes it to (out_h, out_w) with the reference's
+    corner-anchored sampling (`face_types.dart:383-404`).
     ``data`` is [H, W] or [H, W, C]."""
     x0, y0, x1, y1 = mask_valid_region(width, height, padding)
     src = data[y0:y1, x0:x1] if (x1 > x0 and y1 > y0) else data
-    mh = resize_matrix(src.shape[0], out_h)
-    mw = resize_matrix(src.shape[1], out_w)
+    mh = corner_resize_matrix(src.shape[0], out_h)
+    mw = corner_resize_matrix(src.shape[1], out_w)
     if src.ndim == 2:
         return mh @ src @ mw.T
     return np.einsum("Hh,hwc,Ww->HWc", mh, src, mw)
@@ -215,7 +236,11 @@ class MulticlassSegmentationMask(SegmentationMask):
 class SelfieSegmentation:
     """Compiled segmentation pipeline for one image bucket.
 
-    One jitted program per (img_h, img_w): letterbox + network + mask math.
+    One jitted program per exact (img_h, img_w) — segmentation is not
+    size-bucketed (padding the image would put dead rows inside the
+    letterbox and shift the mask's valid-region geometry), so a stream of
+    many DISTINCT image sizes pays one compile each; resize on host first
+    if that matters for your workload.
     """
 
     def __init__(self, model: ConvertedModel, multiclass: bool = False):
@@ -223,9 +248,17 @@ class SelfieSegmentation:
         self.multiclass = multiclass
         _, self.in_h, self.in_w, _ = model.input_shapes[0]
         self._programs: dict[tuple[int, int], object] = {}
+        # Guards check-then-insert (same rationale as
+        # FaceDetector._programs_lock: a race costs a duplicated
+        # 20-240 s first compile).
+        self._programs_lock = threading.Lock()
 
     def _program(self, img_h: int, img_w: int):
         key = (img_h, img_w)
+        with self._programs_lock:
+            return self._program_locked(key, img_h, img_w)
+
+    def _program_locked(self, key, img_h: int, img_w: int):
         if key not in self._programs:
             lbp = letterbox_params(img_h, img_w, self.in_h, self.in_w)
 
@@ -268,31 +301,40 @@ class SelfieSegmentation:
         overlap other device work (the combined detect+segment path) and
         call :meth:`materialize` later.
         """
-        if self.model is None:
+        model = self.model  # snapshot: a concurrent dispose() must yield
+        if model is None:   # the documented RuntimeError, not AttributeError
             raise RuntimeError("SelfieSegmentation has been disposed")
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))
-        if images.ndim == 3:
+        if images.ndim == 3:  # single [H, W, C] image
             images = images[None]
+        # Same channel tolerance as the detector path (RGBA drops alpha,
+        # grayscale replicates — `bgrMatToSignedFloat32`).
+        from ..utils.image import normalize_channels
+        images = normalize_channels(images)
         b, h, w, _ = images.shape
         if h < MIN_SEGMENTATION_INPUT_SIZE or w < MIN_SEGMENTATION_INPUT_SIZE:
             raise ValueError(
                 f"image {w}x{h} is smaller than minimum "
                 f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
         prog, lbp = self._program(h, w)
-        person, probs = prog(self.model.params, images)
+        person, probs = prog(model.params, images)
         return (person, probs, lbp, b, w, h)
 
     def materialize(self, handle) -> list[SegmentationMask]:
         """Blocks on a :meth:`dispatch` handle and builds the mask objects."""
         person, probs, lbp, b, w, h = handle
         person = np.asarray(person)
+        # ONE batched pull for the class planes: per-image np.asarray
+        # calls would pay a full device->host round trip each over
+        # remote-attached TPUs (see FaceDetector._fetch).
+        probs_np = np.asarray(probs) if self.multiclass else None
         masks: list[SegmentationMask] = []
         for i in range(b):
             if self.multiclass:
                 masks.append(MulticlassSegmentationMask(
                     person[i], w, h, lbp.padding,
-                    class_data=np.asarray(probs[i])))
+                    class_data=probs_np[i]))
             else:
                 masks.append(SegmentationMask(person[i], w, h, lbp.padding))
         return masks

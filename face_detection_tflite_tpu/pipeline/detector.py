@@ -68,26 +68,9 @@ def _enable_compilation_cache() -> None:
     _cache_enabled = True
 
 
-def _normalize_channels(images):
-    """Accepts [B,H,W,{1,3,4}] or [B,H,W]; returns device [B,H,W,3].
-
-    Mirrors the reference's input tolerance (`bgrMatToSignedFloat32`,
-    helpers.dart:377-398: BGRA drops alpha, grayscale replicates)."""
-    if not isinstance(images, jax.Array):
-        images = jnp.asarray(np.asarray(images))
-    if images.ndim == 3:  # [B, H, W] grayscale
-        images = images[..., None]
-    if images.ndim != 4:
-        raise ValueError(
-            f"expected [B, H, W, C] image batch, got shape {images.shape}")
-    c = images.shape[-1]
-    if c == 3:
-        return images
-    if c == 4:
-        return images[..., :3]
-    if c == 1:
-        return jnp.broadcast_to(images, images.shape[:-1] + (3,))
-    raise ValueError(f"unsupported channel count {c} (want 1, 3 or 4)")
+# Shared with the segmentation entry point; kept importable under the old
+# private name for existing callers (serving.py, tests).
+from ..utils.image import normalize_channels as _normalize_channels
 
 
 def resolve_model_dir(model_dir: Optional[str] = None) -> str:

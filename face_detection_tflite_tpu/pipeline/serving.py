@@ -33,14 +33,19 @@ class ServingPipeline:
 
     Stage 1 (submit thread pool): decode + host batch assembly + H2D.
     Stage 2 (dispatch thread): program dispatch + readback + materialize.
-    Up to ``depth`` batches are in flight; submission blocks beyond that
-    (bounded memory, the FrameThrottle analog for offline streams).
+    ``depth`` bounds BOTH queues: at most ``depth`` submitted batches wait
+    undispatched (submission blocks beyond that) and at most ``depth``+1
+    dispatched batches are in flight on the device — so total live
+    batches <= 2*depth+1 (bounded memory, the FrameThrottle analog for
+    offline streams).  Cancelling a still-queued Future works; once its
+    batch is dispatched a Future can no longer be cancelled.
     """
 
     def __init__(self, detector, mode: FaceDetectionMode =
                  FaceDetectionMode.STANDARD, depth: int = 2):
         self._det = detector
         self._mode = mode
+        self._depth = depth
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._closed = False
         self._submit_lock = threading.Lock()
@@ -87,9 +92,13 @@ class ServingPipeline:
         def finish_one():
             fut, handle = pending.popleft()
             try:
-                fut.set_result(self._det._stream_finish(handle, self._mode))
+                result = self._det._stream_finish(handle, self._mode)
             except Exception as e:
-                fut.set_exception(e)
+                if not fut.cancelled():
+                    fut.set_exception(e)
+                return
+            if not fut.cancelled():
+                fut.set_result(result)
 
         while True:
             try:
@@ -100,12 +109,19 @@ class ServingPipeline:
             if item is None:
                 break
             images, fut = item
+            # Transition QUEUED -> RUNNING; a Future the caller cancelled
+            # while queued is skipped here.  Once RUNNING, cancel() can no
+            # longer succeed, so the set_result/set_exception in
+            # finish_one cannot race a cancellation (an InvalidStateError
+            # there would kill this worker and wedge the pipeline).
+            if not fut.set_running_or_notify_cancel():
+                continue
             try:
                 pending.append(
                     (fut, self._det._stream_dispatch(images, self._mode)))
             except Exception as e:
                 fut.set_exception(e)
-            if len(pending) > 2:
+            if len(pending) > self._depth:
                 finish_one()
         while pending:
             finish_one()

@@ -14,7 +14,35 @@ import threading
 
 import numpy as np
 
-__all__ = ["decode_image", "decode_images", "load_image", "rgb_from_yuv420"]
+__all__ = ["decode_image", "decode_images", "load_image", "rgb_from_yuv420",
+           "normalize_channels"]
+
+
+def normalize_channels(images):
+    """Accepts [B,H,W,{1,3,4}] or [B,H,W]; returns device [B,H,W,3].
+
+    Mirrors the reference's input tolerance (`bgrMatToSignedFloat32`,
+    helpers.dart:377-398: BGRA drops alpha, grayscale replicates).
+    Shared by the detector and segmentation entry points so every public
+    path tolerates the same channel layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    if not isinstance(images, jax.Array):
+        images = jnp.asarray(np.asarray(images))
+    if images.ndim == 3:  # [B, H, W] grayscale
+        images = images[..., None]
+    if images.ndim != 4:
+        raise ValueError(
+            f"expected [B, H, W, C] image batch, got shape {images.shape}")
+    c = images.shape[-1]
+    if c == 3:
+        return images
+    if c == 4:
+        return images[..., :3]
+    if c == 1:
+        return jnp.broadcast_to(images, images.shape[:-1] + (3,))
+    raise ValueError(f"unsupported channel count {c} (want 1, 3 or 4)")
 
 _pool = None
 _pool_lock = threading.Lock()

@@ -54,6 +54,44 @@ class TestSegmentation:
         up = mask.upsample(max_size=512)
         assert max(up.data.shape) == 512
 
+    def test_upsample_matches_reference_resampler(self):
+        """Pixel-exact vs a direct port of the reference's Dart upsample
+        loop (`face_types.dart:344-414`): crop the rounded valid region,
+        then bilinear with CORNER-anchored sampling (src = i * scale,
+        floor + clamped neighbor) — NOT cv2 half-pixel semantics (a
+        round-2 review caught the half-pixel variant shifting masks ~0.4
+        source px vs the reference)."""
+        from face_detection_tflite_tpu.models.segmentation import (
+            SegmentationMask)
+        rng = np.random.default_rng(3)
+        data = rng.uniform(0, 1, (64, 48)).astype(np.float32)
+        padding = (0.1, 0.15, 0.05, 0.0)
+        up = SegmentationMask(data, 200, 150, padding).upsample().data
+
+        # -- direct port of the Dart loops --------------------------------
+        h, w = data.shape
+        pt, pb, pl, pr = padding
+        x0, y0 = round(pl * w), round(pt * h)
+        x1, y1 = round((1.0 - pr) * w), round((1.0 - pb) * h)
+        src = data[y0:y1, x0:x1]
+        sh, sw = src.shape
+        fw, fh = 200, 150
+        expected = np.zeros((fh, fw), np.float32)
+        for y in range(fh):
+            src_y = y * (sh / fh)
+            yy0 = min(max(int(np.floor(src_y)), 0), sh - 1)
+            yy1 = min(yy0 + 1, sh - 1)
+            fy = src_y - yy0
+            for x in range(fw):
+                src_x = x * (sw / fw)
+                xx0 = min(max(int(np.floor(src_x)), 0), sw - 1)
+                xx1 = min(xx0 + 1, sw - 1)
+                fx = src_x - xx0
+                v0 = src[yy0, xx0] * (1 - fx) + src[yy0, xx1] * fx
+                v1 = src[yy1, xx0] * (1 - fx) + src[yy1, xx1] * fx
+                expected[y, x] = v0 * (1 - fy) + v1 * fy
+        np.testing.assert_allclose(up, expected, atol=1e-5)
+
     def test_landscape_model(self):
         seg = SelfieSegmentation(convert_file(
             os.path.join(MODELS_DIR, "selfie_segmenter_landscape.tflite")))
