@@ -201,12 +201,21 @@ class FaceEmbedding:
     @classmethod
     def load(cls, tflite_path: Optional[str] = None, *,
              allow_untrained: bool = False) -> "FaceEmbedding":
-        """Loads from a mobilefacenet.tflite if given/present, else builds
-        the seeded random-weight architecture (embeddings are then
-        structurally valid but NOT identity-discriminative — every embed
-        call warns with :class:`UntrainedEmbeddingWarning` unless
-        ``allow_untrained``)."""
-        if tflite_path and os.path.exists(tflite_path):
+        """Loads from a mobilefacenet.tflite, or builds the seeded
+        random-weight architecture when ``tflite_path`` is None
+        (embeddings are then structurally valid but NOT
+        identity-discriminative — every embed call warns with
+        :class:`UntrainedEmbeddingWarning` unless ``allow_untrained``).
+
+        An EXPLICIT path that does not exist raises FileNotFoundError —
+        silently falling back would let a typo'd path produce meaningless
+        similarities with no signal (only the implicit None case falls
+        back)."""
+        if tflite_path:
+            if not os.path.exists(tflite_path):
+                raise FileNotFoundError(
+                    f"embedding model not found: {tflite_path} (pass "
+                    "tflite_path=None to use the random-init fallback)")
             return cls(convert_file(tflite_path))
         return cls(build_mobilefacenet(), allow_untrained=allow_untrained)
 

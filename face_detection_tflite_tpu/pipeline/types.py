@@ -271,6 +271,11 @@ class FaceLandmarks:
     def __getitem__(self, t: FaceLandmarkType) -> Optional[np.ndarray]:
         return self._points.get(t)
 
+    def items(self):
+        """(FaceLandmarkType, point) pairs — public iteration for painters
+        (the reference exposes the underlying map directly)."""
+        return self._points.items()
+
     @property
     def left_eye(self):
         return self._points.get(FaceLandmarkType.LEFT_EYE)
@@ -399,14 +404,19 @@ class Face:
     @property
     def eyes(self) -> Optional[EyePair]:
         """Per-eye iris data; stream-splitting rules follow
-        `face_types.dart:1289-1307`: 152 -> two 76-point eyes, 10 -> two
-        5-point iris sets, any even length > 10 -> split in half, and any
-        stream of >= 5 points parses as a single (left) eye."""
+        `face_types.dart:1289-1307` IN ORDER: 152 -> two 76-point eyes,
+        76 -> ONE full (left) eye (the documented per-eye stream — it must
+        NOT fall into the even-split rule, which would fabricate two
+        38-point half-eyes), 10 -> two 5-point iris sets, any other even
+        length > 10 -> split in half, and any stream of >= 5 points parses
+        as a single (left) eye."""
         if self._eyes is None and len(self.iris_points):
             n = len(self.iris_points)
             if n == 152:
                 self._eyes = EyePair(Eye.from_points(self.iris_points[:76]),
                                      Eye.from_points(self.iris_points[76:]))
+            elif n == 76:
+                self._eyes = EyePair(Eye.from_points(self.iris_points), None)
             elif n == 10:
                 self._eyes = EyePair(Eye.from_points(self.iris_points[:5]),
                                      Eye.from_points(self.iris_points[5:]))

@@ -80,8 +80,11 @@ def decode_camera_frame(frame: CameraFrame) -> np.ndarray:
         chroma = raw[y_size:]
         cw, ch = (w + 1) // 2, (h + 1) // 2
         if frame.format == CameraFormat.I420:
+            # Ceil-half: for odd widths the chroma plane is (w+1)//2 wide,
+            # so a floored y_stride//2 default would undershoot the plane
+            # and break the reshape on a perfectly valid frame.
             c_stride = frame.chroma_row_stride or \
-                (y_stride // 2 if frame.row_stride else cw)
+                ((y_stride + 1) // 2 if frame.row_stride else cw)
             plane = c_stride * ch
             u = _strip_stride(chroma[:plane], cw, c_stride).reshape(ch, cw)
             v = _strip_stride(chroma[plane:2 * plane], cw,

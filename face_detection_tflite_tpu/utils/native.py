@@ -127,6 +127,9 @@ class JpegDecoderPool:
 
     def decode_batch(self, datas: Sequence[bytes]) -> list[np.ndarray]:
         """Decodes many JPEGs concurrently on the pool."""
+        if not self._pool:
+            # Passing the NULL handle into C would segfault the process.
+            raise RuntimeError("JpegDecoderPool is closed")
         n = len(datas)
         if n == 0:
             return []

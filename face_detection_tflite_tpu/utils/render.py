@@ -148,11 +148,12 @@ def face_info_label_text(face: Face, show_classification: bool = False
 
 
 def draw_face_info(img: np.ndarray, faces: list[Face],
-                   show_classification: bool = False) -> np.ndarray:
+                   show_classification: bool = False,
+                   copy: bool = True) -> np.ndarray:
     """Per-face translucent info cards anchored just above each bounding
     box, falling back inside its top edge when there is no room, clamped
     to the image (``drawFaceInfoLabel``, `overlay_painters.dart:151-195`)."""
-    out = np.array(img, copy=True)
+    out = np.array(img, copy=True) if copy else img
     h, w = out.shape[:2]
     pad_h, pad_v, gap = 6, 4, 4
     for f in faces:
@@ -179,16 +180,17 @@ def draw_face_info(img: np.ndarray, faces: list[Face],
 
 def draw_detections(img: np.ndarray, faces: list[Face],
                     color=BOX_COLOR, kp_color=KP_COLOR,
-                    show_landmark_labels: bool = False) -> np.ndarray:
+                    show_landmark_labels: bool = False,
+                    copy: bool = True) -> np.ndarray:
     """Boxes + the 6 detector keypoints (DetectionsPainter analog);
     ``show_landmark_labels`` names each keypoint like
     `overlay_painters.dart:313-343`."""
-    out = np.array(img, copy=True)
+    out = np.array(img, copy=True) if copy else img
     h, w = out.shape[:2]
     for f in faces:
         x0, y0, x1, y1 = f.bounding_box_pixels
         _draw_rect(out, x0, y0, x1, y1, color)
-        for t, p in [(t, f.landmarks[t]) for t in f.landmarks._points]:
+        for t, p in f.landmarks.items():  # evaluate the lazy property once
             if p is not None:
                 _draw_dot(out, p[0], p[1], kp_color)
                 if show_landmark_labels:
@@ -210,9 +212,9 @@ def draw_mesh(img: np.ndarray, faces: list[Face],
 
 
 def draw_contours(img: np.ndarray, faces: list[Face],
-                  color=CONTOUR_COLOR) -> np.ndarray:
+                  color=CONTOUR_COLOR, copy: bool = True) -> np.ndarray:
     """Polyline contours (face oval, eyes, brows, lips, nose)."""
-    out = np.array(img, copy=True)
+    out = np.array(img, copy=True) if copy else img
     for f in faces:
         if f.mesh is None:
             continue
@@ -227,9 +229,9 @@ def draw_contours(img: np.ndarray, faces: list[Face],
 
 
 def draw_iris(img: np.ndarray, faces: list[Face],
-              color=IRIS_COLOR) -> np.ndarray:
+              color=IRIS_COLOR, copy: bool = True) -> np.ndarray:
     """Iris centers/contours and eyelid rings (iris painter analog)."""
-    out = np.array(img, copy=True)
+    out = np.array(img, copy=True) if copy else img
     for f in faces:
         eyes = f.eyes
         if eyes is None:
@@ -384,24 +386,32 @@ def compose_camera_overlay(frame: np.ndarray, faces: list[Face],
     (`overlay_painters.dart:1045+`): virtual background (or segmentation
     tint), then detections/contours/irises, then per-face info cards, then
     a performance badge when ``detect_ms`` is given."""
+    # Copy the frame ONCE, then let the box/contour/iris/info painters
+    # draw in place — per-layer copies cost ~16 MB of churn per composed
+    # 1280x853 frame in a live stream.  The mask/background layers build
+    # new arrays inherently (they blend), so they count as the copy.
     out = frame
+    owned = False
     if mask is not None and virtual_background is not None:
         out = draw_virtual_background(out, mask, virtual_background,
                                       mirror_horizontally)
+        owned = True
     elif mask is not None and show_segmentation:
         if show_all_classes and hasattr(mask, "class_mask"):
             out = draw_multiclass_segmentation(out, mask)
         else:
             out = draw_mask(out, mask)
-    out = draw_detections(out, faces)
-    out = draw_contours(out, faces)
-    out = draw_iris(out, faces)
+        owned = True
+    out = draw_detections(out, faces, copy=not owned)
+    owned = True
+    out = draw_contours(out, faces, copy=False)
+    out = draw_iris(out, faces, copy=False)
     if show_pose_and_scores or show_classification:
         out = draw_face_info(out, faces,
-                             show_classification=show_classification)
+                             show_classification=show_classification,
+                             copy=False)
     if detect_ms is not None:
         label, color = performance_level(detect_ms)
-        out = np.array(out, copy=True)
         patch = _text_painter(f"{detect_ms:.0f} ms  {label}", color=color)
         _fill_rect_alpha(out, 4, 4, 16 + patch.shape[1], 12 + patch.shape[0],
                          (0, 0, 0), 0.6)

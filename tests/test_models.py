@@ -115,8 +115,10 @@ class TestSegmentation:
 class TestEmbedding:
     @pytest.fixture(scope="class")
     def emb(self):
-        return FaceEmbedding.load(
-            os.path.join(MODELS_DIR, "mobilefacenet.tflite"))
+        # Use the trained model when present, the random-init fallback
+        # otherwise (explicit-but-missing paths raise by design).
+        path = os.path.join(MODELS_DIR, "mobilefacenet.tflite")
+        return FaceEmbedding.load(path if os.path.exists(path) else None)
 
     def test_alignment_math(self):
         # eyes horizontal, 40 px apart at (80,100)/(120,100)
@@ -156,8 +158,14 @@ class TestEmbedding:
             cosine_similarity(a, np.zeros(5))
 
     def test_random_init_fallback_flagged(self):
-        emb = FaceEmbedding.load("/nonexistent/mobilefacenet.tflite")
+        emb = FaceEmbedding.load(None)
         assert not emb.is_pretrained
+
+    def test_explicit_missing_path_raises(self):
+        """An explicit path that does not exist must raise, not silently
+        fall back to meaningless random-init weights."""
+        with pytest.raises(FileNotFoundError):
+            FaceEmbedding.load("/nonexistent/mobilefacenet.tflite")
 
     def test_mobilefacenet_architecture(self):
         import jax.numpy as jnp

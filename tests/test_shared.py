@@ -594,6 +594,22 @@ class TestFifthReviewRegressions:
         assert face2.eyes.left_eye is not None
         assert face2.eyes.right_eye is None
 
+    def test_eyes_76_point_stream_is_one_full_eye(self):
+        """76 points = ONE per-eye stream (71 contour + 5 iris), matched
+        BEFORE the even-split rule (`face_types.dart:1296-1298`) — the
+        round-2 review caught it falling into the halves split, which
+        fabricated two 38-point half-eyes with garbage iris centers."""
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        iris = np.zeros((76, 3))
+        iris[71:76] = [[10, 10, -3], [12, 10, -3], [11, 11, -3.5],
+                       [10, 12, -3], [12, 12, -3]]
+        face = Face(det, None, iris, (100, 100))
+        eyes = face.eyes
+        assert eyes.right_eye is None
+        assert len(eyes.left_eye.mesh) == 71
+        np.testing.assert_allclose(eyes.left_eye.iris_center,
+                                   [11, 11, -3.5])
+
     def test_landmarks_eye_z_from_iris(self):
         det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9,
                         np.full((6, 2), 0.5))
