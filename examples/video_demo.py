@@ -11,11 +11,19 @@ Analog of the reference example app's video flow (overlay painters +
 FaceSmoother in `example/lib/main.dart`).
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+try:
+    jax.devices()
+except RuntimeError:  # background shells: fall back to CPU
+    jax.config.update("jax_platforms", "cpu")
 
 from face_detection_tflite_tpu import (  # noqa: E402
     FaceDetectionMode, FaceDetectionModel, FaceDetector, FaceSmoother)
@@ -44,26 +52,32 @@ def main() -> None:
 
     writer = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                              (w, h))
-    n = 0
+    # Results arrive in strict frame order, so a second capture reads the
+    # frames incrementally in step with the result stream — O(1) memory
+    # (pre-decoding a whole video would hold gigabytes of frames).
     cap = cv2.VideoCapture(src)
-    frames = {}
-    for ok in iter(lambda: cap.read(), (False, None)):
-        good, frame = ok
-        if not good:
-            break
-        frames[n] = frame
-        n += 1
-    cap.release()
+    frame_idx = -1
+    frame = None
+
+    def frame_at(i):
+        nonlocal frame_idx, frame
+        while frame_idx < i:
+            good, frame = cap.read()
+            if not good:
+                raise RuntimeError(f"frame {i} unreadable on second pass")
+            frame_idx += 1
+        return frame
 
     for result in det.detect_faces_from_video(
             src, FaceDetectionMode.FULL, batch_size=8):
         faces = smoother.smooth(result.faces)
-        rgb = frames[result.frame_index][..., ::-1]
+        rgb = frame_at(result.frame_index)[..., ::-1]
         out = annotate(np.ascontiguousarray(rgb), faces)
         writer.write(np.ascontiguousarray(out[..., ::-1]))
         if result.frame_index % 24 == 0:
             print(f"frame {result.frame_index}: {len(faces)} faces, "
                   f"ids={[f.tracking_id for f in faces]}")
+    cap.release()
     writer.release()
     print(f"wrote {dst}")
 

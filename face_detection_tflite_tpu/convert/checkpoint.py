@@ -47,5 +47,11 @@ def swap_params(model: ConvertedModel, params: dict) -> ConvertedModel:
             raise ValueError(
                 f"shape mismatch for {k}: checkpoint "
                 f"{tuple(params[k].shape)} vs graph {tuple(v.shape)}")
+        if np.dtype(params[k].dtype) != np.dtype(v.dtype):
+            # A float64/int checkpoint would otherwise pass validation
+            # and fail (or silently change precision) at first trace.
+            raise ValueError(
+                f"dtype mismatch for {k}: checkpoint "
+                f"{np.dtype(params[k].dtype)} vs graph {np.dtype(v.dtype)}")
     return ConvertedModel(dict(params), model.fn, model.input_shapes,
                           model.output_shapes, name=model.name)

@@ -101,7 +101,12 @@ class FaceDetection(_Disposable):
                     boxes, kp, scores, valid,
                     max_detections=self.max_detections)
                 boxes, kp = remove_letterbox(boxes, kp, lbp.padding)
-                return boxes, kp, scores, valid
+                # Pack into ONE buffer: per-array device->host pulls cost
+                # a full round trip each over remote-attached TPUs.
+                d = boxes.shape[0]
+                return jnp.concatenate(
+                    [boxes, kp.reshape(d, 12), scores[:, None],
+                     valid.astype(jnp.float32)[:, None]], axis=1)  # [D, 18]
 
             self._programs[key] = jax.jit(run)
         return self._programs[key]
@@ -110,8 +115,10 @@ class FaceDetection(_Disposable):
         self._check_disposed()
         image = np.asarray(image)
         h, w, _ = image.shape
-        boxes, kp, scores, valid = map(np.asarray, self._program(h, w)(
-            self.model.params, jnp.asarray(image)))
+        packed = np.asarray(self._program(h, w)(
+            self.model.params, jnp.asarray(image)))  # one transfer
+        boxes, kp = packed[:, :4], packed[:, 4:16].reshape(-1, 6, 2)
+        scores, valid = packed[:, 16], packed[:, 17] > 0.5
         return [Detection(RectF(*map(float, boxes[i])), float(scores[i]),
                           kp[i])
                 for i in range(len(valid)) if valid[i]]
@@ -142,7 +149,8 @@ class FaceLandmark(_Disposable):
             # as the "no score" sentinel (call_with_score maps it to None).
             s = (_sigmoid_clipped(score.reshape(()))
                  if score is not None else jnp.float32(-1.0))
-            return lm_norm, s
+            # One packed buffer -> one device->host transfer.
+            return jnp.concatenate([lm_norm.reshape(-1), s.reshape(1)])
 
         self._run = jax.jit(run)
 
@@ -151,9 +159,10 @@ class FaceLandmark(_Disposable):
         self._check_disposed()
         assert face_crop.shape[:2] == (self.input_size, self.input_size), \
             f"expects a {self.input_size}x{self.input_size} crop"
-        lm, score = self._run(self.model.params, jnp.asarray(face_crop))
-        s = float(score)
-        return np.asarray(lm), (s if s >= 0.0 else None)
+        packed = np.asarray(self._run(self.model.params,
+                                      jnp.asarray(face_crop)))
+        lm, s = packed[:-1].reshape(-1, 3), float(packed[-1])
+        return lm, (s if s >= 0.0 else None)
 
     def __call__(self, face_crop: np.ndarray) -> np.ndarray:
         return self.call_with_score(face_crop)[0]
@@ -206,7 +215,10 @@ class FaceBlendshapesModel(_Disposable):
             (coeffs,) = self.model.fn(params, pts[None])
             raw = coeffs.reshape(52)
             ok = ~jnp.any(jnp.isnan(raw))
-            return jnp.clip(jnp.nan_to_num(raw), 0.0, 1.0), ok
+            # One packed buffer -> one device->host transfer.
+            return jnp.concatenate(
+                [jnp.clip(jnp.nan_to_num(raw), 0.0, 1.0),
+                 ok.astype(jnp.float32).reshape(1)])
 
         self._run = jax.jit(run)
 
@@ -219,5 +231,5 @@ class FaceBlendshapesModel(_Disposable):
         if pts.shape != (146, 2):
             raise ValueError(
                 f"blendshape input must be [146, 2] pixels, got {pts.shape}")
-        coeffs, ok = self._run(self.model.params, jnp.asarray(pts))
-        return np.asarray(coeffs) if bool(ok) else None
+        packed = np.asarray(self._run(self.model.params, jnp.asarray(pts)))
+        return packed[:52] if packed[52] > 0.5 else None

@@ -53,10 +53,20 @@ class LetterboxParams:
 
 def letterbox_params(src_h: int, src_w: int, dst_h: int, dst_w: int
                      ) -> LetterboxParams:
-    """Aspect-preserving fit of (src_h, src_w) into (dst_h, dst_w)."""
+    """Aspect-preserving fit of (src_h, src_w) into (dst_h, dst_w).
+
+    Sizes round like Dart's ``.round()`` — half AWAY from zero (the
+    reference's letterbox lives in Dart) — not Python's half-to-even;
+    the two differ only at exact .5 products (e.g. 170x512 -> 128 gives
+    42.5), but there they shift the resize and pad split by a pixel.
+    """
     scale = min(dst_w / src_w, dst_h / src_h)
-    new_w = min(dst_w, max(1, round(src_w * scale)))
-    new_h = min(dst_h, max(1, round(src_h * scale)))
+
+    def _dart_round(x: float) -> int:
+        return int(np.floor(x + 0.5))
+
+    new_w = min(dst_w, max(1, _dart_round(src_w * scale)))
+    new_h = min(dst_h, max(1, _dart_round(src_h * scale)))
     pad_w = dst_w - new_w
     pad_h = dst_h - new_h
     pad_left = pad_w // 2

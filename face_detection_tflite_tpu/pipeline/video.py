@@ -32,6 +32,10 @@ class VideoFrameResult:
 
 def _read_frames(path: str, frame_stride: int, max_frames: Optional[int]):
     import cv2
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+    if max_frames is not None and max_frames <= 0:
+        return  # a zero/negative budget yields nothing (not one frame)
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise ValueError(f"cannot open video: {path}")

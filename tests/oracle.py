@@ -46,8 +46,10 @@ def letterbox_uint8(img_rgb, out_size):
     resize, black pad, [-1, 1] normalize.  Returns (tensor, padding)."""
     h, w = img_rgb.shape[:2]
     scale = min(out_size / w, out_size / h)
-    new_w = min(out_size, max(1, round(w * scale)))
-    new_h = min(out_size, max(1, round(h * scale)))
+    # Dart .round() (half away from zero), NOT Python half-to-even — they
+    # differ at exact .5 products and the reference letterbox is Dart.
+    new_w = min(out_size, max(1, int(np.floor(w * scale + 0.5))))
+    new_h = min(out_size, max(1, int(np.floor(h * scale + 0.5))))
     resized = cv2.resize(img_rgb, (new_w, new_h),
                          interpolation=cv2.INTER_LINEAR)
     pad_w, pad_h = out_size - new_w, out_size - new_h
@@ -199,6 +201,12 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
             rsize = math.hypot(dx, dy) * 2.3
             rtheta = math.atan2(dy, dx)
             eye = extract_aligned_square(img_rgb, rcx, rcy, rsize, rtheta, 64)
+            if eye is None:
+                # Degenerate eye ROI (coincident corner landmarks): the
+                # reference catches the failure and keeps the face with
+                # no iris (face_detector_core.dart:313-315).
+                iris_all = []
+                break
             if is_right:
                 eye = cv2.flip(eye, 1)
             eye_in = eye.astype(np.float32) / 127.5 - 1.0
@@ -216,6 +224,18 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
                 rcx + lx2 * ct2 - ly2 * st2,
                 rcy + lx2 * st2 + ly2 * ct2,
                 ipts[:, 2]], axis=1))
+        if not iris_all:
+            # Iris stage failed/degenerate: emit the face with mesh only,
+            # like the reference's try/catch does.
+            if mesh_score < 0.5:
+                continue
+            faces.append({
+                "box": np.asarray(det["box"]), "kp": kp,
+                "kp_refined": kp.copy(), "score": det["score"],
+                "mesh_abs": mesh_abs, "mesh_score": mesh_score,
+                "iris": np.zeros((0, 3)), "blendshapes": None,
+            })
+            continue
         iris = np.concatenate(iris_all)  # [152, 3]
         # blendshape pack + model (blendshape_input.dart:272-284)
         pts146 = np.where(_SRC[:, None].astype(bool),
