@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..convert.executor import ConvertedModel
-from ..ops.letterbox import letterbox_image, letterbox_params, resize_matrix
+from ..ops.letterbox import letterbox_image, letterbox_params
 
 __all__ = ["SegmentationClass", "SegmentationMask",
            "MulticlassSegmentationMask", "SelfieSegmentation",
