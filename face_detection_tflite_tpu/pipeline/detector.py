@@ -258,9 +258,11 @@ class FaceDetector:
     def _resolve_pallas_nms(self) -> bool:
         if self.use_pallas_nms is not None:
             return self.use_pallas_nms
-        # Auto: the XLA fixpoint NMS measured at parity with the Pallas
-        # kernel inside the fused program on the attached TPU
-        # (benchmarks/results.json nms_*), so the simpler form wins.
+        # Auto: measured INSIDE the fused FAST program at batch 16, the
+        # XLA fixpoint runs 2x faster than the Pallas kernel (16.2 vs
+        # 33.8 ms/batch, identical outputs) — vmap serializes per-image
+        # pallas_calls while the fixpoint batches across images.  See
+        # docs/PERF.md "NMS decision".
         return False
 
     def _program(self, img_h: int, img_w: int, mode: FaceDetectionMode,

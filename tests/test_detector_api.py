@@ -194,6 +194,31 @@ class TestServingPipeline:
             faces = pipe.submit(img[None]).result(timeout=300)
         assert len(faces[0]) == 1
 
+    def test_cancelled_future_does_not_wedge_worker(self):
+        """A Future cancelled while queued must be skipped, and the worker
+        must keep serving later submissions (round-2 review: set_result on
+        a CANCELLED future raised InvalidStateError and killed the worker,
+        wedging every subsequent submit)."""
+        import time as _time
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        with ServingPipeline(d, FaceDetectionMode.FAST, depth=2) as pipe:
+            futs = [pipe.submit(img[None]) for _ in range(6)]
+            cancelled = [f.cancel() for f in futs[2:5]]
+            # Regardless of which cancels won their races, every
+            # non-cancelled future must still resolve...
+            for f in futs:
+                if not f.cancelled():
+                    assert len(f.result(timeout=300)[0]) == 1
+            # ...and the pipeline must accept and serve new work.
+            late = pipe.submit(img[None])
+            assert len(late.result(timeout=300)[0]) == 1
+        assert any(cancelled) or all(f.done() for f in futs)
+
     def test_interleaved_submit_result(self):
         """result() on an early future while later submissions continue
         (exercises the in-flight deque ordering)."""
