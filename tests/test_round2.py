@@ -112,6 +112,20 @@ class TestSpeculativeDispatch:
         faces2 = d.detect_faces(group_img, FaceDetectionMode.STANDARD)
         assert len(faces2) == 2
 
+    def test_gated_interleaved_slab_bucketed(self, group_img):
+        """Same gate pattern under bucket_images: the width gate defers to
+        the host there (device valid stays score-monotone), and the
+        adaptive path must still return the same faces as non-adaptive."""
+        kw = dict(model=FaceDetectionModel.BACK_CAMERA, model_dir=MODELS_DIR,
+                  max_faces=8, min_face_size=0.075, bucket_images=True)
+        d = FaceDetector(**kw)
+        ref = FaceDetector(adaptive=False, **kw)
+        ref_faces = ref.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        faces = d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(faces) == len(ref_faces) == 2
+        for a, b in zip(faces, ref_faces):
+            assert a.score == pytest.approx(b.score, abs=1e-6)
+
     def test_full_mode_speculative_matches_nonadaptive(self, portrait):
         d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                          model_dir=MODELS_DIR)
