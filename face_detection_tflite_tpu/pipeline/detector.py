@@ -117,7 +117,8 @@ class FaceDetector:
                  data_parallel: bool = False,
                  num_candidates: Optional[int] = None,
                  use_pallas_nms: Optional[bool] = None,
-                 allow_untrained_embeddings: bool = False):
+                 allow_untrained_embeddings: bool = False,
+                 quantized_readback: bool = True):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -145,6 +146,12 @@ class FaceDetector:
         #: the early min_face_size gate is deferred to the host (the padded
         #: width would over-reject).  Recommended for serving mixed sizes.
         self.bucket_images = bucket_images
+        #: Pack the mesh/iris landmark readback as int16 at ~0.08 px
+        #: resolution (1280 px frames; mean quantization error ~0.02 px
+        #: vs the 1 px parity budget).  Landmarks dominate the packed
+        #: readback payload and readback dominates the pipeline
+        #: (BENCH_r02); False keeps the full-fp32 readback.
+        self.quantized_readback = quantized_readback
         self._model_dir = resolve_model_dir(model_dir)
 
         if precision == "serving":
@@ -291,49 +298,122 @@ class FaceDetector:
                     self._programs[key] = jax.jit(program)
             return self._programs[key]
 
-    def _fetch_async(self, out: dict):
+    #: Absolute-pixel landmark slabs eligible for int16 readback packing.
+    _QUANT_KEYS = frozenset({"mesh", "iris"})
+
+    def _readback_scale(self, img_h: int, img_w: int) -> Optional[float]:
+        """px -> int16 scale for quantized landmark readback, or None.
+
+        Landmark coordinates are absolute pixels; a margin of 2x the
+        longer image side covers every plausible out-of-frame excursion
+        of a rotated ROI.  At 1280 px the scale is 12.5 (resolution
+        0.08 px, mean quantization error ~0.02 px — two orders inside
+        the 1 px parity budget).  Images past 4000 px would drop the
+        resolution below 0.25 px, so they fall back to fp32 readback.
+        """
+        if not self.quantized_readback:
+            return None
+        scale = 32000.0 / (2.0 * max(img_h, img_w))
+        return scale if scale >= 4.0 else None
+
+    @staticmethod
+    def _readback_encoding(name: str, dtype, quant_scale) -> str:
+        if dtype == jnp.bool_:
+            return "u8"
+        if jnp.issubdtype(dtype, jnp.integer):
+            return "i32"
+        if quant_scale and name in FaceDetector._QUANT_KEYS:
+            return "i16"
+        return "f32"
+
+    def _fetch_async(self, out: dict, quant_scale: Optional[float] = None):
         """Starts materializing a device slab dict: packs every output
-        into ONE fp32 buffer on device (per-array pulls pay a full
+        into ONE byte buffer on device (per-array pulls pay a full
         round-trip latency each over remote-attached TPUs) and kicks off
         the device->host copy asynchronously, so the transfer overlaps
         whatever the host (or the next batch's programs) does before
-        :meth:`_fetch_finish` blocks on it."""
-        names = sorted(out)
-        leaves = [out[k] for k in names]
-        key = tuple((k, v.shape, str(v.dtype)) for k, v in zip(names, leaves))
+        :meth:`_fetch_finish` blocks on it.
+
+        Packing is byte-exact per dtype (fp32/int32 bitcast to bytes,
+        bool as one byte) except the large absolute-pixel landmark slabs
+        (mesh/iris), which quantize to int16 at ``quant_scale`` px^-1
+        when given — readback is the measured pipeline bottleneck
+        (BENCH_r02: 51.4 of ~61 ms/batch) and the landmark payload
+        dominates it; see docs/PERF.md "Readback packing"."""
+        # 4-byte sections first, then 2-byte, then 1-byte: every section
+        # offset stays naturally aligned for the host-side .view calls.
+        _rank = {"f32": 0, "i32": 1, "i16": 2, "u8": 3}
+        entries = sorted(
+            ((self._readback_encoding(k, v.dtype, quant_scale), k, v)
+             for k, v in out.items()),
+            key=lambda e: (_rank[e[0]], e[1]))
+        encs = [e[0] for e in entries]
+        names = [e[1] for e in entries]
+        leaves = [e[2] for e in entries]
+        key = ("pack", quant_scale,
+               tuple((k, v.shape, str(v.dtype), e)
+                     for k, v, e in zip(names, leaves, encs)))
         with self._programs_lock:
-            packer = self._programs.get(("pack", key))
+            packer = self._programs.get(key)
             if packer is None:
-                packer = jax.jit(lambda ls: jnp.concatenate(
-                    [l.reshape(l.shape[0], -1).astype(jnp.float32)
-                     for l in ls], axis=1))
-                self._programs[("pack", key)] = packer
+                def pack(ls):
+                    segs = []
+                    for x, enc in zip(ls, encs):
+                        x = x.reshape(x.shape[0], -1)
+                        if enc == "u8":
+                            segs.append(x.astype(jnp.uint8))
+                            continue
+                        if enc == "i16":
+                            x = jnp.clip(jnp.round(x * quant_scale),
+                                         -32767.0, 32767.0).astype(jnp.int16)
+                        elif enc == "i32":
+                            x = x.astype(jnp.int32)
+                        else:
+                            x = x.astype(jnp.float32)
+                        segs.append(jax.lax.bitcast_convert_type(
+                            x, jnp.uint8).reshape(x.shape[0], -1))
+                    return jnp.concatenate(segs, axis=1)
+
+                packer = jax.jit(pack)
+                self._programs[key] = packer
         buf = packer(leaves)
         try:
             buf.copy_to_host_async()
         except Exception:
             pass  # backends without async copy just block in finish
-        return buf, names, [(v.shape, v.dtype) for v in leaves]
+        return (buf, names, [(v.shape, e) for v, e in zip(leaves, encs)],
+                quant_scale)
 
     @staticmethod
     def _fetch_finish(handle) -> dict:
         """Blocks on a :meth:`_fetch_async` handle and unpacks it."""
-        buf, names, metas = handle
+        buf, names, metas, quant_scale = handle
         host = np.asarray(buf)
         result = {}
         off = 0
-        for k, (shape, dtype) in zip(names, metas):
+        for k, (shape, enc) in zip(names, metas):
             n = int(np.prod(shape[1:]))
-            arr = host[:, off:off + n].reshape(shape)
-            if dtype == jnp.bool_:
-                arr = arr > 0.5
-            result[k] = arr
-            off += n
+            if enc == "u8":
+                result[k] = (host[:, off:off + n] > 0).reshape(shape)
+                off += n
+            elif enc == "i16":
+                result[k] = (host[:, off:off + 2 * n].view(np.int16)
+                             .astype(np.float32) / quant_scale
+                             ).reshape(shape)
+                off += 2 * n
+            elif enc == "i32":
+                result[k] = host[:, off:off + 4 * n].view(
+                    np.int32).reshape(shape)
+                off += 4 * n
+            else:
+                result[k] = host[:, off:off + 4 * n].view(
+                    np.float32).reshape(shape)
+                off += 4 * n
         return result
 
-    def _fetch(self, out: dict) -> dict:
+    def _fetch(self, out: dict, quant_scale: Optional[float] = None) -> dict:
         """One-transfer materialization of a device slab dict."""
-        return self._fetch_finish(self._fetch_async(out))
+        return self._fetch_finish(self._fetch_async(out, quant_scale))
 
     def _face_stage_program(self, img_h: int, img_w: int,
                             mode: FaceDetectionMode):
@@ -402,7 +482,15 @@ class FaceDetector:
         with self.timings.stage(f"dispatch[slab{bucket}]"):
             det = self._program(h, w, mode, face_slab=bucket)(
                 self._params, images)
-        return bucket, det, self._fetch_async(det)
+        # Only det_count crosses to the host on the common path; the full
+        # det_* overflow slab stays device-resident in ``det`` (the
+        # overflow re-run reads it there).  BENCH_r02 measured the full
+        # slab in the packed readback as the single largest payload the
+        # host then discarded unread.
+        fetch = {k: v for k, v in det.items()
+                 if k == "det_count" or not k.startswith("det_")}
+        return bucket, det, self._fetch_async(
+            fetch, self._readback_scale(h, w))
 
     def _finish_speculative(self, images, handle, mode: FaceDetectionMode):
         """Blocks on a speculative dispatch; re-runs the face stages on a
@@ -413,13 +501,13 @@ class FaceDetector:
             out = self._fetch_finish(fetch)
         if mode == FaceDetectionMode.FAST:
             return out
-        valid_slab = out.get("det_valid", out["valid"])
-        n = int(valid_slab.sum(axis=1).max())
+        if "det_count" in out:
+            n = int(out["det_count"].max())
+        else:  # non-speculative program (bucket == max_faces): no overflow
+            n = int(out["valid"].sum(axis=1).max())
         self._note_face_count(h, w, mode, n)
-        if "det_valid" not in out or n <= bucket:
-            for k in ("det_boxes", "det_raw_keypoints", "det_scores",
-                      "det_valid"):
-                out.pop(k, None)
+        if "det_count" not in out or n <= bucket:
+            out.pop("det_count", None)
             return out
         # Overflow: face stages on the covering power-of-two prefix, from
         # the device-resident detect slab (no second detector pass).
@@ -433,7 +521,7 @@ class FaceDetector:
                 det["det_boxes"][:, :nb], det["det_raw_keypoints"][:, :nb],
                 det["det_scores"][:, :nb], det["det_valid"][:, :nb])
         with self.timings.stage("face_readback"):
-            return self._fetch(out2)
+            return self._fetch(out2, self._readback_scale(h, w))
 
     def warmup(self, image_shape: tuple, batch_size: int = 1,
                modes: Optional[Sequence[FaceDetectionMode]] = None) -> None:
@@ -537,7 +625,7 @@ class FaceDetector:
                                         _predispatched=_predispatched)
         else:
             handle, pad_b = self._dispatch_full(images, mode)
-            out = self._fetch(handle)
+            out = self._fetch(handle, self._readback_scale(bh, bw))
             if pad_b:
                 out = {k: v[:b] for k, v in out.items()}
         return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
@@ -584,6 +672,10 @@ class FaceDetector:
                           ) -> list[list[Face]]:
         """Rescales normalized outputs from the (possibly padded) frame
         back to each image's own dimensions and builds Face objects."""
+        # Fast/standard programs no longer emit the "keypoints" duplicate
+        # (identical to raw_keypoints until iris refinement) — alias it
+        # back for the materializer.
+        out.setdefault("keypoints", out["raw_keypoints"])
         sx = np.asarray([bw / ow for ow, _ in orig_sizes], np.float32)
         sy = np.asarray([bh / oh for _, oh in orig_sizes], np.float32)
         if not (np.all(sx == 1.0) and np.all(sy == 1.0)):
@@ -653,7 +745,7 @@ class FaceDetector:
         if self.adaptive:
             out = self._finish_speculative(images, det, mode)
         else:
-            out = self._fetch(det)
+            out = self._fetch(det, self._readback_scale(bh, bw))
             if pad_b:
                 out = {k: v[:b] for k, v in out.items()}
         return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)

@@ -123,20 +123,23 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
     uint8: the letterbox and ROI warps gather in the source dtype.
 
     Output slab (D = face_slab, default max_faces):
-      boxes [D,4], keypoints [D,6,2] (iris-refined in full mode),
-      raw_keypoints [D,6,2], scores [D], valid [D];
+      boxes [D,4], raw_keypoints [D,6,2], scores [D], valid [D];
       mode >= standard adds mesh [D,468,3] (absolute px), mesh_scores [D];
-      full adds iris [D,152,3], blendshapes [D,52], blendshapes_valid [D],
-      head_angles [D,3] (pitch, yaw, roll degrees).
+      full adds keypoints [D,6,2] (iris-refined; absent otherwise — the
+      host defaults it to raw_keypoints), iris [D,152,3],
+      blendshapes [D,52], blendshapes_valid [D], head_angles [D,3]
+      (pitch, yaw, roll degrees).
 
     ``face_slab`` < max_faces is the SPECULATIVE form: NMS still emits the
     full max_faces detection slab (returned as det_boxes [max_faces,4],
-    det_raw_keypoints, det_scores, det_valid), but the per-face stages
-    (warp/mesh/iris/blendshapes — the cost that scales with slab size) run
-    only on the top-``face_slab`` score-ordered prefix.  The caller checks
-    det_valid for overflow and re-runs the face stages (from_detections
-    program) on a bigger prefix only when an image actually has more
-    faces — the single-call fast path for typical streams (docs/PERF.md).
+    det_raw_keypoints, det_scores, det_valid, plus the scalar valid count
+    det_count), but the per-face stages (warp/mesh/iris/blendshapes — the
+    cost that scales with slab size) run only on the top-``face_slab``
+    score-ordered prefix.  The caller reads det_count for overflow (the
+    det_* slab itself never leaves the device on the common path) and
+    re-runs the face stages (from_detections program) on a bigger prefix
+    only when an image actually has more faces — the single-call fast
+    path for typical streams (docs/PERF.md).
     """
     size = models.detector_input_size
     lbp = letterbox_params(img_h, img_w, size, size)
@@ -247,7 +250,12 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         return kp
 
     def face_stages(params, img, boxes, kp, scores, valid):
-        out = {"boxes": boxes, "raw_keypoints": kp, "keypoints": kp,
+        # "keypoints" (iris-refined) is emitted only in full mode; in
+        # fast/standard it would be an exact duplicate of raw_keypoints,
+        # and the host readback is the measured bottleneck (BENCH_r02:
+        # 51.4 of ~61 ms/batch) — the host materializer defaults
+        # keypoints to raw_keypoints when the key is absent.
+        out = {"boxes": boxes, "raw_keypoints": kp,
                "scores": scores, "valid": valid}
         if not compute_mesh:
             # Fast mode still applies the degenerate-alignment drop (the
@@ -310,9 +318,14 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
             # so the host can detect overflow and re-run face stages
             # without paying the detector again; compaction guarantees
             # valid entries form a prefix, so count-vs-bucket overflow
-            # checks and [:n] reruns are exact.
+            # checks and [:n] reruns are exact.  The slab arrays stay
+            # DEVICE-resident on the no-overflow path — only det_count
+            # (one int per image) joins the host readback; the overflow
+            # re-run consumes det_* straight from the device handle
+            # (detector.py _finish_speculative).
             out.update(det_boxes=boxes, det_raw_keypoints=kp,
-                       det_scores=scores, det_valid=valid)
+                       det_scores=scores, det_valid=valid,
+                       det_count=jnp.sum(valid.astype(jnp.int32)))
         return out
 
     if not batched:

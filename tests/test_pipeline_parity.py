@@ -281,10 +281,14 @@ class TestBatchedDetection:
         per_image = detector.detect_faces_batch(batch, FaceDetectionMode.FULL)
         single = detector.detect_faces(img, FaceDetectionMode.FULL)
         assert len(per_image) == 2
+        # One int16 readback-quantization step (0.08 px at 1280 px) is the
+        # equality resolution between separately-compiled programs: fp32
+        # diffs of ~1e-4 can round to adjacent grid points.
+        step = 1.0 / detector._readback_scale(*img.shape[:2])
         for faces in per_image:
             assert len(faces) == len(single) == 1
             assert np.allclose(faces[0].mesh.points, single[0].mesh.points,
-                               atol=1e-3)
+                               atol=1.01 * step)
 
 
 class TestMultiFaceDrift:

@@ -1,0 +1,132 @@
+"""Round-3 behavior: readback payload reduction (device-resident det_*
+slab + det_count scalar, deduped keypoints, int16 landmark quantization)
+— VERDICT round 2 "Next" #1.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
+                                       FaceDetector)
+
+MODELS_DIR = "/root/reference/assets/models"
+SAMPLES = "/root/reference/assets/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MODELS_DIR), reason="reference assets not present")
+
+
+def _img(name):
+    return np.asarray(Image.open(os.path.join(SAMPLES, name)).convert("RGB"))
+
+
+@pytest.fixture(scope="module")
+def portrait():
+    return _img("landmark-ex1.jpg")
+
+
+@pytest.fixture(scope="module")
+def group_img():
+    return _img("group-shot-bounding-box-ex1.jpeg")
+
+
+class TestQuantizedReadback:
+    """int16 landmark readback: error bounded by half a quantization step."""
+
+    def test_quantized_matches_fp32_within_half_step(self, portrait):
+        kw = dict(model=FaceDetectionModel.BACK_CAMERA, model_dir=MODELS_DIR)
+        dq = FaceDetector(quantized_readback=True, **kw)
+        df = FaceDetector(quantized_readback=False, **kw)
+        h, w = portrait.shape[:2]
+        scale = dq._readback_scale(h, w)
+        assert scale is not None and scale > 4.0
+        fq = dq.detect_faces(portrait, FaceDetectionMode.FULL)
+        ff = df.detect_faces(portrait, FaceDetectionMode.FULL)
+        assert len(fq) == len(ff) == 1
+        step = 1.0 / scale
+        mesh_err = np.abs(fq[0].mesh.points - ff[0].mesh.points)
+        assert mesh_err.max() <= 0.55 * step  # round() error <= step/2
+        iris_err = np.abs(fq[0].iris_points - ff[0].iris_points)
+        assert iris_err.max() <= 0.55 * step
+        # Non-landmark outputs are byte-exact (fp32 bitcast, not quantized).
+        assert fq[0].score == ff[0].score
+        assert fq[0].bounding_box_pixels == ff[0].bounding_box_pixels
+        assert fq[0].blendshapes.as_dict() == ff[0].blendshapes.as_dict()
+
+    def test_huge_images_fall_back_to_fp32(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        assert d._readback_scale(853, 1280) == pytest.approx(12.5)
+        assert d._readback_scale(2160, 3840) == pytest.approx(32000 / 7680)
+        assert d._readback_scale(4000, 6000) is None  # < 0.25 px resolution
+
+    def test_quantization_off_knob(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, quantized_readback=False)
+        assert d._readback_scale(*portrait.shape[:2]) is None
+
+
+class TestReadbackPayload:
+    """The det_* overflow slab and duplicate keypoints stay on device."""
+
+    def test_speculative_fetch_ships_only_det_count(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, max_faces=16)
+        import jax.numpy as jnp
+        images = jnp.asarray(portrait[None])
+        bucket, det, fetch = d._dispatch_speculative(
+            images, FaceDetectionMode.STANDARD)
+        buf, names, metas, scale = fetch
+        # Device dict has the full overflow slab...
+        assert {"det_boxes", "det_raw_keypoints", "det_scores",
+                "det_valid", "det_count"} <= set(det)
+        # ...but only the scalar count joins the host readback.
+        assert "det_count" in names
+        assert not any(n.startswith("det_") and n != "det_count"
+                       for n in names)
+        # keypoints is emitted only in full mode (duplicate of
+        # raw_keypoints until iris refinement).
+        assert "keypoints" not in names and "raw_keypoints" in names
+        out = d._finish_speculative(images, (bucket, det, fetch),
+                                    FaceDetectionMode.STANDARD)
+        assert "det_count" not in out
+
+    def test_standard_payload_budget(self, portrait):
+        """Slab-1 standard readback fits a small per-image byte budget
+        (the r2 payload was ~6.9 KB/img; quantized r3 is ~3 KB)."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, max_faces=16)
+        import jax.numpy as jnp
+        images = jnp.asarray(portrait[None])
+        _, _, (buf, _, _, _) = d._dispatch_speculative(
+            images, FaceDetectionMode.STANDARD)
+        per_image = buf.shape[1]
+        assert per_image < 3200, per_image
+
+    def test_full_mode_keypoints_are_refined_and_standard_aliased(
+            self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        full = d.detect_faces(portrait, FaceDetectionMode.FULL)[0]
+        std = d.detect_faces(portrait, FaceDetectionMode.STANDARD)[0]
+        # Full-mode eye keypoints are iris-refined (differ from the raw
+        # detector keypoints that standard mode aliases).
+        diff = np.abs(full.detection_data.keypoints_xy[:2]
+                      - std.detection_data.keypoints_xy[:2])
+        assert diff.max() > 0
+
+    def test_overflow_rerun_still_exact_with_quantization_off(
+            self, group_img):
+        """det_count-driven overflow: the 4-face group overflows slab 1 and
+        the rerun consumes the device-resident det_* slab."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, max_faces=8,
+                         quantized_readback=False)
+        h, w = group_img.shape[:2]
+        faces = d.detect_faces(group_img, FaceDetectionMode.STANDARD)
+        assert len(faces) == 4
+        stages = set(d.timings.report())
+        assert any(s.startswith("face_stages") for s in stages), stages
