@@ -30,7 +30,8 @@ from .models.standalone import (FaceBlendshapesModel, FaceDetection,
 from .ops.letterbox import LetterboxParams, letterbox_params
 from .pipeline.blendshape_input import BLENDSHAPE_NAMES
 from .pipeline.config import (MODEL_FILES, FaceDetectionMode,
-                              FaceDetectionModel, SegmentationModel)
+                              FaceDetectionModel, SegmentationConfig,
+                              SegmentationModel)
 from .pipeline.detector import FaceDetector, resolve_model_dir
 from .pipeline.geometry import eye_rois_from_mesh, face_detection_to_roi
 from .pipeline.programs import PipelineModels, build_pipeline_program
@@ -52,7 +53,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "FaceDetector", "FaceDetectionMode", "FaceDetectionModel",
-    "SegmentationModel", "Face", "Detection", "FaceMesh", "Eye", "EyePair",
+    "SegmentationModel", "SegmentationConfig", "Face", "Detection", "FaceMesh", "Eye", "EyePair",
     "FaceLandmarks", "FaceLandmarkType", "FaceContourType", "Blendshape",
     "FaceBlendshapes", "HeadEulerAngles", "RectF", "AlignedRoi",
     "FACE_CONTOUR_MESH_INDICES", "split_meshes_if_concatenated",

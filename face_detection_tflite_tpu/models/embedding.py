@@ -266,8 +266,8 @@ class FaceEmbedding:
         return np.asarray(prog(self.model.params, jnp.asarray(image),
                                cx, cy, size, theta))
 
-    def _batch_program(self, img_h: int, img_w: int, n: int):
-        key = ("batch", img_h, img_w, n)
+    def _batch_program(self, img_h: int, img_w: int, slab: int):
+        key = ("batch", img_h, img_w, slab)
         if key not in self._programs:
             one = self._raw_fn(img_h, img_w)
 
@@ -285,6 +285,12 @@ class FaceEmbedding:
         ``eye_pairs`` is a sequence of (left_eye, right_eye) pixel points;
         returns [N, 192].  The N crops warp and batch through MobileFaceNet
         together (vs. N dispatches from calling :meth:`embed` in a loop).
+
+        N is padded up to a power-of-two face slab (the detector pipeline's
+        own shape-bucketing pattern): a 1..16-face stream compiles at most
+        5 programs per image size instead of 16, at the cost of computing
+        a few dummy crops (centered unit ROIs) whose rows are sliced away
+        before returning.
         """
         if self.model is None:
             raise RuntimeError("FaceEmbedding has been disposed")
@@ -296,12 +302,18 @@ class FaceEmbedding:
         n = len(aligns)
         if n == 0:
             return np.zeros((0, EMBEDDING_DIM), np.float32)
-        prog = self._batch_program(h, w, n)
-        cxs, cys, sizes, thetas = (jnp.asarray([a[i] for a in aligns],
-                                               jnp.float32)
-                                   for i in range(4))
-        return np.asarray(prog(self.model.params, jnp.asarray(image),
-                               cxs, cys, sizes, thetas))
+        slab = 1 << (n - 1).bit_length()
+        prog = self._batch_program(h, w, slab)
+        pad = slab - n
+        # Padding rows use a benign in-frame ROI (unit square at origin);
+        # their embeddings are computed and discarded.
+        pads = [(0.0, 0.0, 1.0, 0.0)] * pad
+        cxs, cys, sizes, thetas = (jnp.asarray(
+            [a[i] for a in aligns] + [p[i] for p in pads], jnp.float32)
+            for i in range(4))
+        out = prog(self.model.params, jnp.asarray(image),
+                   cxs, cys, sizes, thetas)
+        return np.asarray(out)[:n]
 
     def dispose(self) -> None:
         """Frees programs/weights; later embeds raise

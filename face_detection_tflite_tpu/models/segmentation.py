@@ -102,19 +102,27 @@ class SegmentationMask:
 
     def __init__(self, data: np.ndarray, original_width: int,
                  original_height: int,
-                 padding: tuple[float, float, float, float]):
+                 padding: tuple[float, float, float, float],
+                 default_max_size: int = 2048):
         self.data = np.asarray(data)
         self.height, self.width = self.data.shape[:2]
         self.original_width = original_width
         self.original_height = original_height
         self.padding = padding
+        #: Default `max_size` cap for :meth:`upsample` — set from
+        #: `SegmentationConfig.max_output_size` (`face_types.dart:244`).
+        self.default_max_size = default_max_size
 
     def upsample(self, target_width: Optional[int] = None,
                  target_height: Optional[int] = None,
-                 max_size: int = 2048) -> "SegmentationMask":
+                 max_size: Optional[int] = None) -> "SegmentationMask":
         """Crops letterbox padding and bilinearly resizes to target size
         (default: original image size), capped at ``max_size`` on the longer
-        side (`face_types.dart:345-420`)."""
+        side (default: the mask's ``default_max_size``, i.e. the
+        SegmentationConfig.max_output_size it was produced under;
+        `face_types.dart:345-420`)."""
+        if max_size is None:
+            max_size = self.default_max_size
         tw = target_width or self.original_width
         th = target_height or self.original_height
         max_dim = max(tw, th)
@@ -201,8 +209,9 @@ class MulticlassSegmentationMask(SegmentationMask):
     """Adds per-class probabilities ([H, W, 6], softmaxed)."""
 
     def __init__(self, data, original_width, original_height, padding,
-                 class_data: np.ndarray):
-        super().__init__(data, original_width, original_height, padding)
+                 class_data: np.ndarray, default_max_size: int = 2048):
+        super().__init__(data, original_width, original_height, padding,
+                         default_max_size=default_max_size)
         self.class_data = np.asarray(class_data)
 
     def class_mask(self, cls: SegmentationClass) -> np.ndarray:
@@ -243,9 +252,20 @@ class SelfieSegmentation:
     if that matters for your workload.
     """
 
-    def __init__(self, model: ConvertedModel, multiclass: bool = False):
+    def __init__(self, model: ConvertedModel, multiclass: bool = False, *,
+                 mask_dtype: str = "float32", max_output_size: int = 2048):
         self.model = model
         self.multiclass = multiclass
+        if mask_dtype not in ("float32", "uint8"):
+            raise ValueError(f"mask_dtype must be 'float32' or 'uint8', "
+                             f"got {mask_dtype!r}")
+        #: Device->host mask encoding.  "uint8" quantizes probabilities to
+        #: 1/255 resolution ON DEVICE, cutting the D2H payload 4x — the
+        #: reference's own uint8 serialize format
+        #: (`face_detector.dart:1735-1771`); readback is the measured
+        #: pipeline bottleneck on relay-attached TPUs (docs/PERF.md).
+        self.mask_dtype = mask_dtype
+        self.max_output_size = max_output_size
         _, self.in_h, self.in_w, _ = model.input_shapes[0]
         self._programs: dict[tuple[int, int], object] = {}
         # Guards check-then-insert (same rationale as
@@ -266,11 +286,16 @@ class SelfieSegmentation:
                 x = letterbox_image(img, lbp)
                 (raw,) = self.model.fn(params, x[None])
                 raw = raw.reshape(self.in_h, self.in_w, -1)
-                if self.multiclass:
-                    probs = jax.nn.softmax(raw, axis=-1)
-                    person = 1.0 - probs[..., 0]
-                    return person, probs
-                return raw[..., 0], None
+                # ONE output plane set crosses to the host: binary ships
+                # the sigmoid plane, multiclass ships the 6 softmax planes
+                # (person = 1 - background is computed on host — shipping
+                # it too would be a 7th redundant plane).
+                out = (jax.nn.softmax(raw, axis=-1) if self.multiclass
+                       else raw[..., :1])
+                if self.mask_dtype == "uint8":
+                    out = jnp.round(
+                        jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                return out
 
             self._programs[key] = (
                 jax.jit(jax.vmap(one, in_axes=(None, 0))), lbp)
@@ -318,25 +343,35 @@ class SelfieSegmentation:
                 f"image {w}x{h} is smaller than minimum "
                 f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
         prog, lbp = self._program(h, w)
-        person, probs = prog(model.params, images)
-        return (person, probs, lbp, b, w, h)
+        planes = prog(model.params, images)
+        try:
+            # Overlap the D2H copy with whatever runs before materialize
+            # (the combined detect+segment path dispatches detection next).
+            planes.copy_to_host_async()
+        except Exception:
+            pass  # backends without async copy just block in materialize
+        return (planes, lbp, b, w, h)
 
     def materialize(self, handle) -> list[SegmentationMask]:
         """Blocks on a :meth:`dispatch` handle and builds the mask objects."""
-        person, probs, lbp, b, w, h = handle
-        person = np.asarray(person)
-        # ONE batched pull for the class planes: per-image np.asarray
-        # calls would pay a full device->host round trip each over
-        # remote-attached TPUs (see FaceDetector._fetch).
-        probs_np = np.asarray(probs) if self.multiclass else None
+        planes, lbp, b, w, h = handle
+        # ONE batched pull: per-image np.asarray calls would pay a full
+        # device->host round trip each over remote-attached TPUs (see
+        # FaceDetector._fetch).
+        planes = np.asarray(planes)
+        if planes.dtype == np.uint8:
+            planes = planes.astype(np.float32) * (1.0 / 255.0)
         masks: list[SegmentationMask] = []
         for i in range(b):
             if self.multiclass:
                 masks.append(MulticlassSegmentationMask(
-                    person[i], w, h, lbp.padding,
-                    class_data=probs_np[i]))
+                    1.0 - planes[i, ..., 0], w, h, lbp.padding,
+                    class_data=planes[i],
+                    default_max_size=self.max_output_size))
             else:
-                masks.append(SegmentationMask(person[i], w, h, lbp.padding))
+                masks.append(SegmentationMask(
+                    planes[i, ..., 0], w, h, lbp.padding,
+                    default_max_size=self.max_output_size))
         return masks
 
     def __call__(self, images) -> list[SegmentationMask]:

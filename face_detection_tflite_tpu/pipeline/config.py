@@ -7,6 +7,7 @@ file for provenance notes.
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 
 # `face_model_config.dart:49` — MediaPipe score_clipping_thresh.
@@ -63,6 +64,66 @@ class SegmentationModel(enum.Enum):
     GENERAL = "general"
     LANDSCAPE = "landscape"
     MULTICLASS = "multiclass"
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Segmentation configuration with presets (`face_types.dart:236-279`).
+
+    The reference's fields are re-interpreted for the TPU runtime (there
+    are no TFLite delegates or isolates here):
+
+    - ``model``: which segmentation network (same as the reference).
+    - ``max_output_size``: cap on the longer side of upsampled masks —
+      becomes the default ``max_size`` of :meth:`SegmentationMask.upsample`
+      (reference applies it in `face_types.dart:345-420`).
+    - ``precision``: MXU precision for the segmentation convs; stands in
+      for the reference's ``performanceConfig`` delegate choice
+      ("highest" = fp32-exact, "high" = bf16x3, "default" = bf16).
+    - ``mask_dtype``: device->host mask readback encoding — "float32"
+      (exact) or "uint8" (1/255 resolution, 4x smaller D2H payload; the
+      reference's own uint8 serialize format, `face_detector.dart:1735`).
+      Stands in for ``useIsolate`` as the knob that trades fidelity
+      against transfer overhead.
+    - ``validate_model``: validate converted-model output shapes on load
+      (`selfie_segmentation.dart:424-442`).
+
+    Presets mirror the reference's names: ``safe`` (exact numerics,
+    smaller outputs), ``performance`` (defaults), ``fast`` (uint8 mask
+    readback).
+    """
+
+    model: "SegmentationModel" = None  # type: ignore[assignment]
+    max_output_size: int = 2048
+    precision: str = "high"
+    mask_dtype: str = "float32"
+    validate_model: bool = True
+
+    def __post_init__(self):
+        if self.model is None:
+            object.__setattr__(self, "model", SegmentationModel.GENERAL)
+        if self.mask_dtype not in ("float32", "uint8"):
+            raise ValueError(
+                f"mask_dtype must be 'float32' or 'uint8', "
+                f"got {self.mask_dtype!r}")
+        if self.max_output_size <= 0:
+            raise ValueError("max_output_size must be positive")
+
+    @classmethod
+    def safe(cls) -> "SegmentationConfig":
+        """Exact numerics, smaller upsample cap (`face_types.dart:262`)."""
+        return cls(precision="highest", max_output_size=1024)
+
+    @classmethod
+    def performance(cls) -> "SegmentationConfig":
+        """The defaults (`face_types.dart:268`)."""
+        return cls()
+
+    @classmethod
+    def fast(cls) -> "SegmentationConfig":
+        """uint8 mask readback: 4x smaller device->host payload
+        (`face_types.dart:274`; readback dominates the TPU pipeline)."""
+        return cls(mask_dtype="uint8")
 
 
 # Model input resolutions (from the tflite graphs).

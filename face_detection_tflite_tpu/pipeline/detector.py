@@ -27,7 +27,7 @@ from ..models.segmentation import SegmentationMask, SelfieSegmentation
 from .config import (DEFAULT_MAX_MISSED_FRAMES,
                      DEFAULT_MIN_FACE_PRESENCE_CONFIDENCE, MIN_SCORE,
                      MODEL_FILES, FaceDetectionMode, FaceDetectionModel,
-                     SegmentationModel)
+                     SegmentationConfig, SegmentationModel)
 from .gates import validate_face_gates
 from .programs import PipelineModels, build_pipeline_program
 from .timings import DetectTimings
@@ -110,6 +110,7 @@ class FaceDetector:
                  with_segmentation: bool = False,
                  segmentation_model: SegmentationModel =
                  SegmentationModel.GENERAL,
+                 segmentation_config: Optional[SegmentationConfig] = None,
                  model_dir: Optional[str] = None,
                  precision: str = "highest",
                  adaptive: bool = True,
@@ -180,9 +181,14 @@ class FaceDetector:
             iris=load("iris_landmark", "iris"),
             blendshapes=load("face_blendshapes", "blendshapes"))
 
+        #: Segmentation preset (`SegmentationConfig`, face_types.dart:236).
+        #: When given, its ``model`` wins over ``segmentation_model``.
+        self._segmentation_config = segmentation_config
         self._segmentation: Optional[SelfieSegmentation] = None
-        if with_segmentation:
-            self._load_segmentation(segmentation_model)
+        if with_segmentation or segmentation_config is not None:
+            self._load_segmentation(segmentation_config.model
+                                    if segmentation_config is not None
+                                    else segmentation_model)
 
         self._embedding: Optional[FaceEmbedding] = None
         self._allow_untrained_embeddings = allow_untrained_embeddings
@@ -245,11 +251,28 @@ class FaceDetector:
                 f"segmentation model not found: {path} (the multiclass "
                 "model ships out-of-repo in the reference too, "
                 "pubspec.yaml:46)")
-        prec = (self._precision.get("segmentation", "high")
-                if isinstance(self._precision, dict) else self._precision)
+        cfg = self._segmentation_config
+        if cfg is not None:
+            prec = cfg.precision
+        else:
+            prec = (self._precision.get("segmentation", "high")
+                    if isinstance(self._precision, dict)
+                    else self._precision)
+        cm = convert_file(path, precision=prec)
+        multiclass = seg_model == SegmentationModel.MULTICLASS
+        if cfg is None or cfg.validate_model:
+            # `selfie_segmentation.dart:424-442`: the loaded graph must
+            # emit the channel count the chosen model family implies.
+            want = 6 if multiclass else 1
+            got = cm.output_shapes[0][-1]
+            if got != want:
+                raise ValueError(
+                    f"segmentation model {path} emits {got} channels; "
+                    f"{seg_model.value} expects {want}")
         self._segmentation = SelfieSegmentation(
-            convert_file(path, precision=prec),
-            multiclass=seg_model == SegmentationModel.MULTICLASS)
+            cm, multiclass=multiclass,
+            mask_dtype=cfg.mask_dtype if cfg else "float32",
+            max_output_size=cfg.max_output_size if cfg else 2048)
 
     @property
     def embedding_model(self) -> FaceEmbedding:
@@ -497,6 +520,16 @@ class FaceDetector:
         wider slab iff an image overflowed the speculated bucket."""
         bucket, det, fetch = handle
         _, h, w, _ = images.shape
+        # Two stages, honestly separated: "compute_wait" blocks until the
+        # device finishes the fused program (the round-2 report folded
+        # this into "readback", which mis-pointed a round of optimization
+        # at the transfer payload — docs/PERF.md "Readback attribution");
+        # "readback" is then the actual device->host pull.
+        with self.timings.stage("compute_wait"):
+            try:
+                jax.block_until_ready(fetch[0])
+            except Exception:
+                pass  # relay backends may not support host-side blocking
         with self.timings.stage("readback"):
             out = self._fetch_finish(fetch)
         if mode == FaceDetectionMode.FAST:
@@ -963,6 +996,21 @@ class FaceDetector:
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
         return self._segmentation(np.asarray(image)[None])[0]
+
+    def get_segmentation_mask_from_bytes(self, data: bytes
+                                         ) -> SegmentationMask:
+        """Segments encoded image bytes; shares the one-entry decode cache
+        with `detect_faces_from_bytes`, so detect-then-segment on the same
+        bytes decodes once (`getSegmentationMask` bytes form,
+        face_detector.dart:876; cache: face_detector.dart:1390-1430)."""
+        return self.get_segmentation_mask(self._decode_cached(data))
+
+    def get_segmentation_mask_from_filepath(self, path: str
+                                            ) -> SegmentationMask:
+        """Segments an image file (`getSegmentationMaskFromFilepath`,
+        face_detector.dart:876 area)."""
+        with open(path, "rb") as f:
+            return self.get_segmentation_mask_from_bytes(f.read())
 
     def get_segmentation_mask_from_camera_frame(self, frame
                                                 ) -> SegmentationMask:
