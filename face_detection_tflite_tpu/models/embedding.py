@@ -201,7 +201,8 @@ class FaceEmbedding:
     @classmethod
     def load(cls, tflite_path: Optional[str] = None, *,
              allow_untrained: bool = False) -> "FaceEmbedding":
-        """Loads from a mobilefacenet.tflite, or builds the seeded
+        """Loads from a mobilefacenet.tflite, an imported .npz checkpoint
+        (see ``tools/import_weights.py``), or builds the seeded
         random-weight architecture when ``tflite_path`` is None
         (embeddings are then structurally valid but NOT
         identity-discriminative — every embed call warns with
@@ -216,6 +217,19 @@ class FaceEmbedding:
                 raise FileNotFoundError(
                     f"embedding model not found: {tflite_path} (pass "
                     "tflite_path=None to use the random-init fallback)")
+            if tflite_path.endswith(".npz"):
+                # Trained weights imported onto the built architecture
+                # (produced by `tools/import_weights.py`); tree/shape
+                # validation via the checkpoint loader.
+                from ..convert.checkpoint import (load_params_npz,
+                                                  swap_params)
+                model = swap_params(build_mobilefacenet(),
+                                    load_params_npz(tflite_path))
+                model = ConvertedModel(
+                    model.params, model.fn, input_shapes=model.input_shapes,
+                    output_shapes=model.output_shapes,
+                    name="mobilefacenet-imported")
+                return cls(model)
             return cls(convert_file(tflite_path))
         return cls(build_mobilefacenet(), allow_untrained=allow_untrained)
 
