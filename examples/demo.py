@@ -23,11 +23,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from face_detection_tflite_tpu import (FaceDetectionModel, FaceDetector)
+    from face_detection_tflite_tpu import resolve_model_dir
     from face_detection_tflite_tpu.utils.image import load_image
     from face_detection_tflite_tpu.utils.render import annotate
 
     src = (sys.argv[1] if len(sys.argv) > 1 else
-           "/root/reference/assets/samples/group-shot-bounding-box-ex1.jpeg")
+           os.path.join(os.path.dirname(resolve_model_dir()),
+                        "samples", "group-shot-bounding-box-ex1.jpeg"))
     dst = sys.argv[2] if len(sys.argv) > 2 else "demo_out.png"
 
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,

@@ -31,13 +31,15 @@ def main():
 
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector)
+    from face_detection_tflite_tpu import resolve_model_dir
     from face_detection_tflite_tpu.utils.image import load_image
     from face_detection_tflite_tpu.utils.render import compose_camera_overlay
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     virtual_bg = "--virtual-bg" in sys.argv
     src = (args[0] if args else
-           "/root/reference/assets/samples/landmark-ex1.jpg")
+           os.path.join(os.path.dirname(resolve_model_dir()),
+                        "samples", "landmark-ex1.jpg"))
     dst = args[1] if len(args) > 1 else "live_overlay_out.gif"
 
     base = load_image(src)

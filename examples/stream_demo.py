@@ -27,10 +27,12 @@ def main():
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector,
                                            FpsCounter, FrameThrottle)
+    from face_detection_tflite_tpu import resolve_model_dir
     from face_detection_tflite_tpu.utils.image import load_image
 
     src = (sys.argv[1] if len(sys.argv) > 1 else
-           "/root/reference/assets/samples/landmark-ex1.jpg")
+           os.path.join(os.path.dirname(resolve_model_dir()),
+                        "samples", "landmark-ex1.jpg"))
     base = load_image(src)
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                        enable_tracking=True)

@@ -37,9 +37,14 @@ from .types import Detection, Face, FaceMesh, RectF
 __all__ = ["FaceDetector", "resolve_model_dir"]
 
 _DEFAULT_MODEL_DIRS = (
+    # Populated by `python tools/fetch_models.py` (SHA-256-pinned
+    # MediaPipe assets) — the standalone default.
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "assets", "models"),
-    "/root/reference/assets/models",
+    # Development-environment reference checkout: opt-in via env knob
+    # (a standalone framework must not silently depend on it).
+    *((os.environ.get("FDT_REFERENCE_MODEL_DIR"),)
+      if os.environ.get("FDT_REFERENCE_MODEL_DIR") else ()),
 )
 
 
@@ -81,7 +86,9 @@ def resolve_model_dir(model_dir: Optional[str] = None) -> str:
         if c and os.path.isdir(c):
             return c
     raise FileNotFoundError(
-        "No model directory found; set FDT_TPU_MODEL_DIR or pass model_dir")
+        "No model directory found; run `python tools/fetch_models.py` "
+        "(SHA-256-pinned download), or set FDT_TPU_MODEL_DIR / pass "
+        "model_dir")
 
 
 class FaceDetector:

@@ -17,7 +17,7 @@ from face_detection_tflite_tpu.utils.camera import (CameraFormat,
                                                     CameraRotation,
                                                     decode_camera_frame)
 
-MODELS_DIR = "/root/reference/assets/models"
+from .asset_paths import MODELS_DIR, SAMPLES
 
 
 def _rgb_to_i420(rgb):
@@ -100,7 +100,7 @@ class TestStress:
         det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                            enable_tracking=True, model_dir=MODELS_DIR)
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
         det.detect_faces(img, FaceDetectionMode.FAST)  # compile once
 
         results = []
@@ -137,7 +137,7 @@ class TestStress:
                                                FaceDetectionModel,
                                                FaceDetector)
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
         d1 = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                           model_dir=MODELS_DIR)
         d2 = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,

@@ -17,8 +17,7 @@ from PIL import Image
 from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
                                        FaceDetector)
 
-MODELS_DIR = "/root/reference/assets/models"
-SAMPLES = "/root/reference/assets/samples"
+from .asset_paths import MODELS_DIR, SAMPLES
 GROUP = os.path.join(SAMPLES, "group-shot-bounding-box-ex1.jpeg")
 
 pytestmark = pytest.mark.skipif(

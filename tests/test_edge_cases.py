@@ -11,7 +11,7 @@ import pytest
 from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
                                        FaceDetector)
 
-MODELS_DIR = "/root/reference/assets/models"
+from .asset_paths import MODELS_DIR, SAMPLES
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(MODELS_DIR), reason="reference assets not present")
@@ -44,7 +44,7 @@ class TestEdgeCases:
     def test_float_input_matches_uint8(self, det):
         from PIL import Image
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
         fu = det.detect_faces(img, FaceDetectionMode.FAST)
         ff = det.detect_faces(img.astype(np.float32), FaceDetectionMode.FAST)
         assert len(fu) == len(ff) == 1
@@ -56,7 +56,7 @@ class TestEdgeCases:
         with pytest.raises(Exception):
             det.detect_faces_from_bytes(b"garbage")
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
         assert len(det.detect_faces(img, FaceDetectionMode.FAST)) == 1
 
     def test_missing_model_dir(self, monkeypatch):
@@ -71,7 +71,7 @@ class TestEdgeCases:
         d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                          model_dir=MODELS_DIR, max_faces=1)
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/"
+            SAMPLES + "/"
             "group-shot-bounding-box-ex1.jpeg").convert("RGB"))
         faces = d.detect_faces(img, FaceDetectionMode.FAST)
         assert len(faces) == 1
@@ -82,7 +82,7 @@ class TestChannelTolerance:
     def test_rgba_and_grayscale_inputs(self, det):
         from PIL import Image
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
         rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
         f_rgb = det.detect_faces(img, FaceDetectionMode.FAST)
         f_rgba = det.detect_faces(rgba, FaceDetectionMode.FAST)
@@ -108,7 +108,7 @@ class TestVariantConsistency:
         other (they share no anchor code path parameters)."""
         from PIL import Image
         img = np.asarray(Image.open(
-            "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
         h, w = img.shape[:2]
         boxes = {}
         for variant in (FaceDetectionModel.SHORT_RANGE,

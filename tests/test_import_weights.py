@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 from import_weights import (fold_bn, import_mobilefacenet_npz,
                             import_mobilefacenet_state_dict)
 
-MODELS_DIR = "/root/reference/assets/models"
+from .asset_paths import MODELS_DIR
 
 
 def _synthetic_state_dict(seed=0, prelu_scalar=False):

@@ -21,7 +21,7 @@ import jax
 
 from face_detection_tflite_tpu.convert.executor import convert_file
 
-MODELS_DIR = "/root/reference/assets/models"
+from .asset_paths import MODELS_DIR
 tf = pytest.importorskip("tensorflow")
 
 INTERPRETABLE = [p for p in sorted(glob.glob(f"{MODELS_DIR}/*.tflite"))

@@ -14,8 +14,7 @@ from face_detection_tflite_tpu.models.embedding import (
 from face_detection_tflite_tpu.models.segmentation import (
     SegmentationMask, SelfieSegmentation)
 
-MODELS_DIR = "/root/reference/assets/models"
-SAMPLES = "/root/reference/assets/samples"
+from .asset_paths import MODELS_DIR, SAMPLES
 
 
 def _img(name):

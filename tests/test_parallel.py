@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from face_detection_tflite_tpu.parallel.sharding import (
     data_parallel, make_mesh, shard_batch, shard_params)
 
-MODELS_DIR = "/root/reference/assets/models"
+from .asset_paths import MODELS_DIR, SAMPLES
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(MODELS_DIR), reason="reference assets not present")
@@ -71,7 +71,7 @@ def test_detector_data_parallel_matches_single():
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector)
     img = np.asarray(Image.open(
-        "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+        os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
     img = img[::4, ::4]  # small for CPU speed
     single = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
                           model_dir=MODELS_DIR, adaptive=False)
@@ -96,7 +96,7 @@ def test_data_parallel_with_bucketing():
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector)
     img = np.asarray(Image.open(
-        "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+        os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
     img = img[:200, :300]  # 200x300 -> buckets to 256x512... (256 ladder)
     d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
                      model_dir=MODELS_DIR, data_parallel=True,
@@ -113,7 +113,7 @@ def test_stream_with_data_parallel():
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector)
     img = np.asarray(Image.open(
-        "/root/reference/assets/samples/landmark-ex1.jpg").convert("RGB"))
+        os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
     img = img[::4, ::4]
     det = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
                        data_parallel=True, adaptive=False,

@@ -14,8 +14,7 @@ from PIL import Image
 from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
                                        FaceDetector)
 
-MODELS_DIR = "/root/reference/assets/models"
-SAMPLES = "/root/reference/assets/samples"
+from .asset_paths import MODELS_DIR, SAMPLES
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(MODELS_DIR), reason="reference assets not present")

@@ -15,7 +15,7 @@ from face_detection_tflite_tpu.utils.image import (decode_image,
                                                    decode_images,
                                                    rgb_from_yuv420)
 
-SAMPLES = "/root/reference/assets/samples"
+from .asset_paths import MODELS_DIR, SAMPLES
 SAMPLE = os.path.join(SAMPLES, "landmark-ex1.jpg")
 
 
@@ -157,7 +157,7 @@ class TestVideo:
                                                FaceDetector)
         det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                            enable_tracking=True,
-                           model_dir="/root/reference/assets/models")
+                           model_dir=MODELS_DIR)
         results = list(det.detect_faces_from_video(
             video_path, FaceDetectionMode.FAST, batch_size=4))
         assert len(results) == 6
@@ -170,7 +170,7 @@ class TestVideo:
                                                FaceDetectionModel,
                                                FaceDetector)
         det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
-                           model_dir="/root/reference/assets/models")
+                           model_dir=MODELS_DIR)
         results = list(det.detect_faces_from_video(
             video_path, FaceDetectionMode.FAST, frame_stride=2,
             max_frames=2))
@@ -199,7 +199,7 @@ class TestMultiFaceVideo:
 
         det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                            enable_tracking=True,
-                           model_dir="/root/reference/assets/models")
+                           model_dir=MODELS_DIR)
         results = list(det.detect_faces_from_video(
             path, FaceDetectionMode.FAST, batch_size=3))
         assert len(results) == 5
@@ -228,7 +228,7 @@ class TestVideoPrefetch:
             vw.write(np.roll(img, i, axis=1))
         vw.release()
         det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
-                           model_dir="/root/reference/assets/models")
+                           model_dir=MODELS_DIR)
         it = det.detect_faces_from_video(path, FaceDetectionMode.FAST,
                                          batch_size=2)
         first = next(it)
@@ -243,7 +243,7 @@ class TestVideoPrefetch:
                                                FaceDetectionModel,
                                                FaceDetector)
         det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
-                           model_dir="/root/reference/assets/models")
+                           model_dir=MODELS_DIR)
         with pytest.raises(ValueError, match="cannot open video"):
             list(det.detect_faces_from_video("/nonexistent/clip.mp4",
                                              FaceDetectionMode.FAST))

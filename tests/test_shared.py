@@ -358,7 +358,8 @@ class TestFastModeDegenerateDrop:
         """Coincident eye/mouth keypoints -> alignment size rounds to 0 ->
         detection dropped even in fast mode (face_detector_core.dart:258)."""
         import os
-        if not os.path.isdir("/root/reference/assets/models"):
+        from .asset_paths import MODELS_DIR
+        if not os.path.isdir(MODELS_DIR):
             pytest.skip("no assets")
         from face_detection_tflite_tpu.convert.executor import convert_file
         from face_detection_tflite_tpu.pipeline.config import (
@@ -367,8 +368,8 @@ class TestFastModeDegenerateDrop:
             PipelineModels, build_pipeline_program)
 
         models = PipelineModels(
-            detector=convert_file("/root/reference/assets/models/"
-                                  "face_detection_short_range.tflite"),
+            detector=convert_file(os.path.join(
+                MODELS_DIR, "face_detection_short_range.tflite")),
             variant="short")
         prog = build_pipeline_program(
             models, 64, 64, FaceDetectionMode.FAST, from_detections=True,

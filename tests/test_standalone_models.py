@@ -13,8 +13,7 @@ from face_detection_tflite_tpu.models.standalone import (
 from face_detection_tflite_tpu.pipeline.config import (
     FaceDetectionModel as Variant)
 
-MODELS_DIR = "/root/reference/assets/models"
-SAMPLES = "/root/reference/assets/samples"
+from .asset_paths import MODELS_DIR, SAMPLES
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(MODELS_DIR), reason="reference assets not present")

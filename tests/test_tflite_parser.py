@@ -14,7 +14,7 @@ import pytest
 
 from face_detection_tflite_tpu.convert.tflite import parse_tflite
 
-MODELS_DIR = "/root/reference/assets/models"
+from .asset_paths import MODELS_DIR
 
 tf = pytest.importorskip("tensorflow")
 from tensorflow.lite.python import schema_py_generated as schema  # noqa: E402
