@@ -173,8 +173,19 @@ def convert_model(
     (fp32-exact, needed for ≤1px landmark parity with the TFLite reference),
     ``"high"`` (bf16x3) or ``"default"`` (bf16, fastest).  See
     ``tests/test_model_parity.py`` for the measured accuracy of each tier.
+    A callable ``(op_index, op_name) -> str`` assigns precision per op
+    (mixed-precision experiments, benchmarks/experiments/).
     """
-    prec = jax.lax.Precision(precision.lower()) if precision else None
+    if callable(precision):
+        def _prec_of(oi, nm, _f=precision):
+            p = _f(oi, nm)
+            return jax.lax.Precision(p.lower()) if p else None
+    else:
+        _const = jax.lax.Precision(precision.lower()) if precision else None
+
+        def _prec_of(oi, nm):
+            return _const
+    prec = _prec_of(0, "")
 
     const: dict[int, np.ndarray] = {}
     for t in ir.tensors:
@@ -340,6 +351,7 @@ def convert_model(
         for oi, op in enumerate(ops):
             o = op.options
             nm = op.name
+            prec = _prec_of(oi, nm)
             if nm == "CONV_2D":
                 x = get(op.inputs[0])
                 w = get(op.inputs[1])  # OHWI

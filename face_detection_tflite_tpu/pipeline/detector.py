@@ -126,7 +126,8 @@ class FaceDetector:
                  num_candidates: Optional[int] = None,
                  use_pallas_nms: Optional[bool] = None,
                  allow_untrained_embeddings: bool = False,
-                 quantized_readback: bool = True):
+                 quantized_readback: bool = True,
+                 detailed_timings: bool = False):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -245,6 +246,10 @@ class FaceDetector:
         #: Per-stage wall-clock timing accumulator (WebDetectTimings analog);
         #: always on — the overhead is two perf_counter() calls per stage.
         self.timings = DetectTimings()
+        #: `debugTimings` analog (face_detector_web.dart:33-57): split the
+        #: post-dispatch stage into compute_wait + readback.  Costs one
+        #: extra host-device sync per batch — keep off in production.
+        self.detailed_timings = detailed_timings
 
     # -- lazy submodels --------------------------------------------------------
 
@@ -527,18 +532,25 @@ class FaceDetector:
         wider slab iff an image overflowed the speculated bucket."""
         bucket, det, fetch = handle
         _, h, w, _ = images.shape
-        # Two stages, honestly separated: "compute_wait" blocks until the
-        # device finishes the fused program (the round-2 report folded
-        # this into "readback", which mis-pointed a round of optimization
-        # at the transfer payload — docs/PERF.md "Readback attribution");
-        # "readback" is then the actual device->host pull.
-        with self.timings.stage("compute_wait"):
-            try:
-                jax.block_until_ready(fetch[0])
-            except Exception:
-                pass  # relay backends may not support host-side blocking
-        with self.timings.stage("readback"):
-            out = self._fetch_finish(fetch)
+        # The wait on device compute and the device->host pull, timed as
+        # ONE stage by default.  Splitting them (detailed_timings=True,
+        # the reference's `debugTimings` analog) is honest attribution —
+        # round 2 labeled the whole thing "readback" and mis-pointed an
+        # optimization round at the transfer payload (docs/PERF.md) —
+        # but the extra block_until_ready sync costs a full host-device
+        # round trip (~20 ms on relay-attached TPUs, measured: pipelined
+        # stream 445 -> 263 img/s), so the default path must not pay it.
+        if self.detailed_timings:
+            with self.timings.stage("compute_wait"):
+                try:
+                    jax.block_until_ready(fetch[0])
+                except Exception:
+                    pass  # backends without host-side blocking
+            with self.timings.stage("readback"):
+                out = self._fetch_finish(fetch)
+        else:
+            with self.timings.stage("compute_readback"):
+                out = self._fetch_finish(fetch)
         if mode == FaceDetectionMode.FAST:
             return out
         if "det_count" in out:

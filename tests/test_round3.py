@@ -236,3 +236,27 @@ class TestSegmentationConfig:
         with pytest.raises((ValueError, FileNotFoundError)):
             FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                          model_dir=MODELS_DIR, segmentation_config=cfg)
+
+
+class TestTimingStageSplit:
+    """The compute_wait/readback split is opt-in (`detailed_timings`,
+    the reference's `debugTimings` analog): the extra block_until_ready
+    sync it needs costs a full host-device round trip per batch
+    (measured: pipelined stream 445 -> 263 img/s on the relay), so the
+    default path times one combined `compute_readback` stage."""
+
+    def test_default_single_stage_no_extra_sync(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        d.detect_faces(portrait, FaceDetectionMode.STANDARD)
+        stages = d.timings.report()
+        assert any(s.startswith("compute_readback") for s in stages), stages
+        assert not any(s.startswith("compute_wait") for s in stages)
+
+    def test_detailed_timings_splits(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, detailed_timings=True)
+        d.detect_faces(portrait, FaceDetectionMode.STANDARD)
+        stages = d.timings.report()
+        assert any(s.startswith("compute_wait") for s in stages), stages
+        assert any(s == "readback" for s in stages), stages
