@@ -52,10 +52,13 @@ def main():
     conv_ids = []
 
     def census(oi, nm):
-        if "CONV" in nm:
+        if "CONV" in nm and oi not in conv_ids:
             conv_ids.append(oi)
         return "highest"
-    convert_file(path, precision=census)
+    cm0 = convert_file(path, precision=census)
+    # The op loop runs at trace time — trace once to fill the census.
+    cm0(jnp.zeros(tuple(cm0.input_shapes[0]), jnp.float32))
+    conv_ids.sort()
     n_conv = len(conv_ids)
     print(f"{n_conv} conv ops, op-index range "
           f"{conv_ids[0]}..{conv_ids[-1]}", flush=True)

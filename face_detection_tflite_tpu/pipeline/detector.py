@@ -1074,17 +1074,22 @@ class FaceDetector:
     ) -> tuple[list[Face], SegmentationMask]:
         """Combined detect + segment.  The reference runs these in two
         isolates so the cost is max(detect, segment)
-        (`face_detector.dart:1297-1324`); here both programs are dispatched
-        back-to-back and XLA overlaps them on device streams."""
+        (`face_detector.dart:1297-1324`) — two OS threads genuinely
+        compute in parallel on a multicore CPU.  Here the mask program
+        dispatches async first and the HOST stages (dispatch, readback,
+        materialize) overlap, but one TPU chip executes programs
+        serially, so device compute is additive: measured 148 ms combined
+        vs 179 serial sum vs 119 max for a 16-image batch
+        (benchmarks/results.json `combined_detect_segment`).  Full max()
+        behavior needs a second chip (the data-parallel mesh path)."""
         self._check_disposed()
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
         gen0 = self._tracking_generation
         images = _normalize_channels(np.asarray(image)[None])
-        # Dispatch segmentation asynchronously FIRST; detection then runs
-        # while the mask program is in flight, so the combined call costs
-        # ~max(detect, segment) like the reference's dual isolates
-        # (face_detector.dart:1297-1324).
+        # Dispatch segmentation asynchronously FIRST so the host stages
+        # of both paths overlap (device compute itself serializes on one
+        # chip — see the class docstring's measured numbers).
         seg_handle = self._segmentation.dispatch(images)
         faces = self.detect_faces_batch(images, mode)[0]
         # The reference tracks combined calls too
@@ -1116,10 +1121,11 @@ class FaceDetector:
             self, images,
             mode: FaceDetectionMode = FaceDetectionMode.FULL
     ) -> list[tuple[list[Face], SegmentationMask]]:
-        """Combined detect + segment over an image batch: the mask program
-        dispatches first and overlaps the detection programs on device,
-        like the reference's dual isolates but batched (no reference
-        analog for the batch form)."""
+        """Combined detect + segment over an image batch: the mask
+        program dispatches async first so host stages overlap (device
+        compute serializes on one chip — see
+        :meth:`detect_faces_with_segmentation`).  No reference analog for
+        the batch form."""
         self._check_disposed()
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)

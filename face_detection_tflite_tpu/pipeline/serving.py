@@ -42,10 +42,20 @@ class ServingPipeline:
     """
 
     def __init__(self, detector, mode: FaceDetectionMode =
-                 FaceDetectionMode.STANDARD, depth: int = 2):
+                 FaceDetectionMode.STANDARD, depth: int = 2,
+                 with_segmentation: bool = False):
         self._det = detector
         self._mode = mode
         self._depth = depth
+        #: When set, each Future resolves to list[(faces, mask)] instead
+        #: of list[faces]: the mask program dispatches before detection
+        #: so both rides the same pipelined stream (the reference's
+        #: combined detect∥segment, `face_detector.dart:1297-1324`,
+        #: continuous-stream form).
+        self._with_segmentation = with_segmentation
+        if with_segmentation and detector._segmentation is None:
+            from .config import SegmentationModel
+            detector._load_segmentation(SegmentationModel.GENERAL)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._closed = False
         self._submit_lock = threading.Lock()
@@ -53,7 +63,8 @@ class ServingPipeline:
         self._worker.start()
 
     def submit(self, images) -> Future:
-        """Enqueues a batch; returns a Future of list[list[Face]].
+        """Enqueues a batch; returns a Future of list[list[Face]] (or
+        list[(list[Face], SegmentationMask)] with ``with_segmentation``).
 
         ``images`` may be encoded JPEG bytes (list[bytes]), a numpy
         [B, H, W, 3] batch, or an already device-resident jax array.
@@ -90,9 +101,12 @@ class ServingPipeline:
         pending: collections.deque = collections.deque()
 
         def finish_one():
-            fut, handle = pending.popleft()
+            fut, handle, seg_handle = pending.popleft()
             try:
                 result = self._det._stream_finish(handle, self._mode)
+                if seg_handle is not None:
+                    masks = self._det._segmentation.materialize(seg_handle)
+                    result = list(zip(result, masks))
             except Exception as e:
                 if not fut.cancelled():
                     fut.set_exception(e)
@@ -117,8 +131,15 @@ class ServingPipeline:
             if not fut.set_running_or_notify_cancel():
                 continue
             try:
+                # Mask program first: it is in flight while the fused
+                # detect program dispatches (host-stage overlap).
+                seg_handle = (
+                    self._det._segmentation.dispatch(images)
+                    if self._with_segmentation and images.shape[0]
+                    else None)
                 pending.append(
-                    (fut, self._det._stream_dispatch(images, self._mode)))
+                    (fut, self._det._stream_dispatch(images, self._mode),
+                     seg_handle))
             except Exception as e:
                 fut.set_exception(e)
             if len(pending) > self._depth:

@@ -160,6 +160,39 @@ class TestServingPipeline:
             assert len(r[0]) == len(direct[0]) == 1
             assert r[0][0].bounding_box == direct[0][0].bounding_box
 
+    def test_with_segmentation_stream(self):
+        """Segmentation rides the pipelined serving stream (VERDICT r2
+        next #3): each Future resolves to (faces, mask) pairs that match
+        the direct combined call."""
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        direct_faces, direct_mask = d.detect_faces_with_segmentation(
+            img, FaceDetectionMode.FAST)
+        with ServingPipeline(d, FaceDetectionMode.FAST, depth=2,
+                             with_segmentation=True) as pipe:
+            futs = [pipe.submit(img[None]) for _ in range(3)]
+            results = [f.result(timeout=300) for f in futs]
+        for r in results:
+            assert len(r) == 1
+            faces, mask = r[0]
+            assert len(faces) == len(direct_faces) == 1
+            assert faces[0].bounding_box == direct_faces[0].bounding_box
+            np.testing.assert_allclose(mask.data, direct_mask.data,
+                                       atol=1e-6)
+
+    def test_with_segmentation_lazy_loads(self):
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        assert d._segmentation is None
+        pipe = ServingPipeline(d, with_segmentation=True)
+        assert d._segmentation is not None
+        pipe.close()
+
     def test_submit_encoded_bytes(self):
         from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
         data = open(os.path.join(SAMPLES, "landmark-ex1.jpg"), "rb").read()
