@@ -192,3 +192,39 @@ class TestMulticlassDropIn:
         mask = det.get_segmentation_mask(img)
         assert mask.class_data.shape[-1] == 6
         assert np.allclose(mask.class_data.sum(-1), 1.0, atol=1e-4)
+
+
+class TestFetchModelsManifest:
+    """tools/fetch_models.py: the SHA-256 manifest is enforced (a silently
+    different model would shift every parity test)."""
+
+    def test_install_rejects_hash_mismatch(self, tmp_path):
+        import fetch_models
+        rel = "models/face_landmark.tflite"
+        with pytest.raises(RuntimeError, match="SHA-256 mismatch"):
+            fetch_models.install(rel, b"not the real model", str(tmp_path))
+        assert not (tmp_path / rel).exists()  # nothing written
+
+    def test_install_and_verify_roundtrip(self, tmp_path):
+        import hashlib
+        import fetch_models
+        rel = "models/face_landmark.tflite"
+        data = b"fake bytes"
+        fetch_models.MANIFEST[rel + ".test"] = hashlib.sha256(
+            data).hexdigest()
+        try:
+            fetch_models.install(rel + ".test", data, str(tmp_path))
+            ok, bad, missing = fetch_models._state(str(tmp_path))
+            assert rel + ".test" in ok and rel + ".test" not in missing
+        finally:
+            fetch_models.MANIFEST.pop(rel + ".test")
+
+    def test_manifest_matches_installed_assets(self):
+        """The locally installed package assets verify against the
+        manifest (guards accidental edits of the pinned files)."""
+        import fetch_models
+        dst = fetch_models.DEFAULT_DST
+        if not os.path.isdir(dst):
+            pytest.skip("assets not fetched")
+        ok, bad, missing = fetch_models._state(dst)
+        assert not bad, f"hash mismatches: {bad}"
