@@ -173,19 +173,12 @@ def convert_model(
     (fp32-exact, needed for ≤1px landmark parity with the TFLite reference),
     ``"high"`` (bf16x3) or ``"default"`` (bf16, fastest).  See
     ``tests/test_model_parity.py`` for the measured accuracy of each tier.
-    A callable ``(op_index, op_name) -> str`` assigns precision per op
-    (mixed-precision experiments, benchmarks/experiments/).
+    A callable ``(op_index, op_name) -> str`` assigns precision per op,
+    indexed over the PRUNED executable op list (constant folding removes
+    DEQUANTIZE/DENSIFY/static ops first); the string ``"mixed"`` resolves
+    to :func:`mixed_precision` over that list.
     """
-    if callable(precision):
-        def _prec_of(oi, nm, _f=precision):
-            p = _f(oi, nm)
-            return jax.lax.Precision(p.lower()) if p else None
-    else:
-        _const = jax.lax.Precision(precision.lower()) if precision else None
-
-        def _prec_of(oi, nm):
-            return _const
-    prec = _prec_of(0, "")
+    _precision_in = precision  # resolved after the op list is pruned
 
     const: dict[int, np.ndarray] = {}
     for t in ir.tensors:
@@ -284,6 +277,22 @@ def convert_model(
         if _fold_static(op):
             continue
         ops.append(op)
+
+    # Resolve precision now that the executable op list exists ("mixed"
+    # and per-op callables are indexed over THIS list, not ir.ops — the
+    # fp16 models' folded DEQUANTIZE ops shift indices by ~2x).
+    precision = _precision_in
+    if precision == "mixed":
+        precision = mixed_precision(ops)
+    if callable(precision):
+        def _prec_of(oi, nm, _f=precision):
+            p = _f(oi, nm)
+            return jax.lax.Precision(p.lower()) if p else None
+    else:
+        _const = jax.lax.Precision(precision.lower()) if precision else None
+
+        def _prec_of(oi, nm):
+            return _const
 
     # ---- pass 2: decide which constants are params vs static ---------------
     traced_const_idx: set[int] = set()
@@ -742,6 +751,34 @@ def convert_model(
     input_shapes = [tensor_shape[t] for t in ir.inputs]
     output_shapes = [tensor_shape[t] for t in ir.outputs]
     return ConvertedModel(params, fn, input_shapes, output_shapes, name=name)
+
+
+def mixed_precision(ops, frac: float = 0.5, low: str = "default",
+                    high: str = "high"):
+    """Per-op precision callable: the earliest ``frac`` of conv ops run
+    ``low`` (plain bf16), the rest — including the regression heads —
+    ``high`` (bf16x3).  Non-conv matmuls stay ``high``.
+
+    ``ops`` is the PRUNED executable op list (the index space the
+    converter calls precision callables with) — `convert_model` resolves
+    the ``"mixed"`` string against it.
+
+    Measured on BlazeFace-back (benchmarks/experiments/
+    detector_mixed_precision.py, TPU relay): the parity error of all-bf16
+    (~2.5 px) lives in the LATE layers; relaxing the early half costs
+    0.395 px max box error for a 29% conv speedup
+    (18.52 -> 13.09 ms/batch-16).
+    """
+    conv_ids = [i for i, op in enumerate(ops) if "CONV" in op.name]
+    if not conv_ids:
+        return high
+    cutoff = conv_ids[max(0, int(len(conv_ids) * frac) - 1)]
+
+    def spec(oi, nm):
+        if "CONV" in nm and oi <= cutoff:
+            return low
+        return high
+    return spec
 
 
 def convert_file(path: str, name: str = "",

@@ -273,11 +273,15 @@ class FaceEmbedding:
         if self.model is None:
             raise RuntimeError("FaceEmbedding has been disposed")
         self._check_trained()
-        image = np.asarray(image)
+        if not isinstance(image, jax.Array):
+            # Host arrays upload once here; device-resident inputs pass
+            # through untouched (np.asarray on a jax array would pull the
+            # whole frame D2H just to re-upload it).
+            image = jnp.asarray(np.asarray(image))
         h, w, _ = image.shape
         cx, cy, size, theta = compute_embedding_alignment(left_eye, right_eye)
         prog = self._program(h, w)
-        return np.asarray(prog(self.model.params, jnp.asarray(image),
+        return np.asarray(prog(self.model.params, image,
                                cx, cy, size, theta))
 
     def _batch_program(self, img_h: int, img_w: int, slab: int):
@@ -309,7 +313,8 @@ class FaceEmbedding:
         if self.model is None:
             raise RuntimeError("FaceEmbedding has been disposed")
         self._check_trained()
-        image = np.asarray(image)
+        if not isinstance(image, jax.Array):
+            image = jnp.asarray(np.asarray(image))  # see embed()
         h, w, _ = image.shape
         aligns = [compute_embedding_alignment(le, re)
                   for le, re in eye_pairs]
@@ -325,7 +330,7 @@ class FaceEmbedding:
         cxs, cys, sizes, thetas = (jnp.asarray(
             [a[i] for a in aligns] + [p[i] for p in pads], jnp.float32)
             for i in range(4))
-        out = prog(self.model.params, jnp.asarray(image),
+        out = prog(self.model.params, image,
                    cxs, cys, sizes, thetas)
         return np.asarray(out)[:n]
 

@@ -133,7 +133,8 @@ class SegmentationMask:
         out = crop_valid_and_resize(self.data, self.width, self.height,
                                     self.padding, fw, fh)
         return SegmentationMask(out.astype(np.float32), self.original_width,
-                                self.original_height, (0.0, 0.0, 0.0, 0.0))
+                                self.original_height, (0.0, 0.0, 0.0, 0.0),
+                                default_max_size=self.default_max_size)
 
     def confidence_at(self, x_norm: float, y_norm: float) -> float:
         x = min(max(int(x_norm * self.width), 0), self.width - 1)
@@ -166,7 +167,8 @@ class SegmentationMask:
         base = {"width": self.width, "height": self.height,
                 "original_width": self.original_width,
                 "original_height": self.original_height,
-                "padding": tuple(self.padding), "data_format": fmt}
+                "padding": tuple(self.padding), "data_format": fmt,
+                "default_max_size": self.default_max_size}
         if fmt == "float32":
             base["data"] = self.data.astype(np.float32).tobytes()
         elif fmt == "uint8":
@@ -195,14 +197,17 @@ class SegmentationMask:
                     ).astype(np.float32)
         else:
             raise ValueError(f"Unknown data format: {fmt}")
+        dms = d.get("default_max_size", 2048)
         if "class_data" in d:
             class_data = np.frombuffer(
                 d["class_data"], np.float32).reshape(h, w, 6).copy()
             return MulticlassSegmentationMask(
                 data, d["original_width"], d["original_height"],
-                tuple(d["padding"]), class_data=class_data)
+                tuple(d["padding"]), class_data=class_data,
+                default_max_size=dms)
         return SegmentationMask(data, d["original_width"],
-                                d["original_height"], tuple(d["padding"]))
+                                d["original_height"], tuple(d["padding"]),
+                                default_max_size=dms)
 
 
 class MulticlassSegmentationMask(SegmentationMask):

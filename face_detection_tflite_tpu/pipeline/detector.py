@@ -164,10 +164,14 @@ class FaceDetector:
         self._model_dir = resolve_model_dir(model_dir)
 
         if precision == "serving":
-            # Measured preset: detector at bf16 (boxes drift ~2-3 px on a
-            # 1280px frame, fine for ROI seeding), landmark-bearing models
-            # at bf16x3 (0.006 px mesh error).  ~40% faster fast mode.
-            precision = {"detector": "default", "mesh": "high",
+            # Measured preset: detector at "mixed" (early half of the
+            # convs plain bf16, heads bf16x3 — the all-bf16 error lives
+            # in the LATE layers: 2.5 px all-bf16 vs 0.06-1.4 px mixed
+            # worst-box across the 7 sample fixtures, keypoints <=0.3 px,
+            # at 13.1 vs 18.5 ms/batch conv cost), landmark-bearing
+            # models at bf16x3 (0.006 px mesh error).  See docs/PERF.md
+            # "Mixed-precision detector".
+            precision = {"detector": "mixed", "mesh": "high",
                          "iris": "high", "blendshapes": "high"}
         self._precision = precision
 
@@ -613,8 +617,11 @@ class FaceDetector:
                     (b, nf, 1, 1))
                 scores = jnp.full((b, nf), 0.9, jnp.float32)
                 valid = jnp.ones((b, nf), jnp.bool_)
+                # Use the PRODUCTION readback scale: warming the fp32
+                # packer while serving uses the quantized one would leave
+                # the first real overflow paying a cold packer compile.
                 self._fetch(prog(self._params, dummy, boxes, kp, scores,
-                                 valid))
+                                 valid), self._readback_scale(h, w))
             else:
                 self.detect_faces_batch(dummy, mode)
 

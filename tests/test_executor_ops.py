@@ -201,3 +201,48 @@ class TestTransposeConvValid:
                      ((1, 2, 3), None)])
         with pytest.raises(NotImplementedError, match="new_axis_mask"):
             convert_model(ir)(jnp.asarray(x))
+
+
+class TestMixedPrecision:
+    """The "mixed" precision tier: early-frac convs run bf16, the heads
+    bf16x3, indexed over the PRUNED executable op list (fp16 models'
+    folded DEQUANTIZE ops shift raw IR indices ~2x — docs/PERF.md)."""
+
+    def test_spec_splits_on_pruned_conv_ordinals(self):
+        from face_detection_tflite_tpu.convert.executor import (
+            mixed_precision)
+
+        class _Op:
+            def __init__(self, name):
+                self.name = name
+        ops = [_Op(n) for n in
+               ("RESHAPE", "CONV_2D", "DEPTHWISE_CONV_2D", "ADD",
+                "CONV_2D", "CONV_2D", "LOGISTIC")]
+        spec = mixed_precision(ops, frac=0.5)
+        got = [spec(i, op.name) for i, op in enumerate(ops)]
+        # 4 convs at indices 1,2,4,5 -> cutoff is the 2nd conv (index 2).
+        assert got == ["high", "default", "default", "high",
+                       "high", "high", "high"]
+
+    def test_mixed_string_resolves_and_runs(self):
+        from face_detection_tflite_tpu.convert.executor import convert_file
+        import os
+        from .asset_paths import MODELS_DIR
+        if not os.path.isdir(MODELS_DIR):
+            pytest.skip("no assets")
+        cm = convert_file(
+            os.path.join(MODELS_DIR, "face_detection_back.tflite"),
+            precision="mixed")
+        (rb, rs) = cm(np.zeros((1, 256, 256, 3), np.float32))
+        assert rb.shape == (1, 896, 16)
+
+    def test_serving_preset_uses_mixed_detector(self):
+        import os
+        from .asset_paths import MODELS_DIR
+        if not os.path.isdir(MODELS_DIR):
+            pytest.skip("no assets")
+        from face_detection_tflite_tpu import (FaceDetectionModel,
+                                               FaceDetector)
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, precision="serving")
+        assert d._precision["detector"] == "mixed"

@@ -260,3 +260,31 @@ class TestTimingStageSplit:
         stages = d.timings.report()
         assert any(s.startswith("compute_wait") for s in stages), stages
         assert any(s == "readback" for s in stages), stages
+
+
+class TestMaskMaxSizePropagation:
+    """SegmentationConfig.max_output_size survives upsample chains and
+    serialize round trips (code-review r3 finding #1)."""
+
+    def test_upsample_chain_keeps_cap(self):
+        from face_detection_tflite_tpu.models.segmentation import (
+            SegmentationMask)
+        m = SegmentationMask(np.zeros((64, 64), np.float32), 1280, 853,
+                             (0.0, 0.0, 0.0, 0.0), default_max_size=256)
+        up = m.upsample()
+        assert up.default_max_size == 256
+        assert max(up.data.shape) == 256
+        up2 = up.upsample()  # second hop still capped
+        assert max(up2.data.shape) == 256
+
+    def test_serialize_roundtrip_keeps_cap(self):
+        from face_detection_tflite_tpu.models.segmentation import (
+            SegmentationMask)
+        m = SegmentationMask(np.zeros((32, 32), np.float32), 640, 480,
+                             (0.0, 0.0, 0.0, 0.0), default_max_size=128)
+        r = SegmentationMask.deserialize(m.serialize())
+        assert r.default_max_size == 128
+        assert max(r.upsample().data.shape) == 128
+        # Legacy payloads without the field default to 2048.
+        d = m.serialize(); d.pop("default_max_size")
+        assert SegmentationMask.deserialize(d).default_max_size == 2048

@@ -31,9 +31,13 @@ DEFAULT_DST = os.path.join(REPO, "face_detection_tflite_tpu", "assets")
 
 # Upstream: the reference repo's vendored copies (byte-identical to the
 # MediaPipe releases it extracted them from — see its README.md:98 for the
-# blendshape provenance).  SHA-256 computed from reference v6.8.0.
+# blendshape provenance).  SHA-256 computed from reference v6.8.0, and the
+# fetch ref is PINNED to that tag (a mutable branch would let an upstream
+# rewrite 404/alter every fresh clone; override with FDT_ASSET_GIT_REF if
+# the tag scheme differs).
+_GIT_REF = os.environ.get("FDT_ASSET_GIT_REF", "v6.8.0")
 _RAW = ("https://raw.githubusercontent.com/hugocornellier/"
-        "face_detection_tflite/master/assets")
+        f"face_detection_tflite/{_GIT_REF}/assets")
 
 MANIFEST = {
     # models (Apache-2.0, Google MediaPipe)
