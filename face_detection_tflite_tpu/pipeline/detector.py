@@ -209,6 +209,9 @@ class FaceDetector:
         #: face_detector.dart:1390-1430 — saves ~16 ms at 12 MP there).
         self._decode_cache: Optional[tuple[bytes, np.ndarray]] = None
         self._decode_cache_lock = threading.Lock()
+        #: One-entry host->device upload cache (see _device_put_cached).
+        self._devput_cache = None
+        self._devput_lock = threading.Lock()
 
         self._tracking_enabled = enable_tracking
         self._tracker = TemporalFaceTracker(
@@ -635,7 +638,12 @@ class FaceDetector:
         `detect_faces_from_filepath` for encoded inputs.
         """
         gen0 = self._tracking_generation  # snapshot BEFORE the detection
-        faces_batch = self.detect_faces_batch(np.asarray(image)[None], mode)
+        arr = image if isinstance(image, jax.Array) else np.asarray(image)
+        if arr.ndim == 3 and arr.shape[-1] in (1, 3, 4):
+            # Upload-once path: a follow-up embed/segment on the same
+            # frame reuses the device copy (see _device_put_cached).
+            arr = self._device_put_cached(arr)
+        faces_batch = self.detect_faces_batch(arr[None], mode)
         return self._attach_tracking(faces_batch[0], gen0)
 
     def _attach_tracking(self, faces, gen_snapshot: int):
@@ -876,6 +884,32 @@ class FaceDetector:
             self._decode_cache = (data, img)
         return img
 
+    def _device_put_cached(self, arr: np.ndarray):
+        """One-entry host->device upload cache: detect + embed (or
+        + segment) on the SAME decoded frame uploads it once.
+
+        The TPU analog of the reference's decode-reuse cache
+        (face_detector.dart:1390-1430, "saves ~16 ms at 12 MP"): on
+        remote-attached devices a 1280x853 upload costs ~76 ms
+        (benchmarks/results.json `h2d_single_image`), and the
+        detect->embed flow otherwise pays it twice.  An adler32 checksum
+        guards against in-place mutation of a reused caller buffer
+        (camera ring buffers) — ~1 ms/ 3 MB, vs the upload it saves.
+        """
+        import zlib
+        if isinstance(arr, jax.Array):
+            return arr  # already device-resident
+        arr = np.ascontiguousarray(arr)
+        key = (arr.shape, str(arr.dtype), zlib.adler32(arr.view(np.uint8)))
+        with self._devput_lock:
+            cached = self._devput_cache
+            if cached is not None and cached[0] == key:
+                return cached[1]
+        dev = jnp.asarray(arr)
+        with self._devput_lock:
+            self._devput_cache = (key, dev)
+        return dev
+
     def detect_faces_from_bytes(self, data: bytes,
                                 mode: FaceDetectionMode =
                                 FaceDetectionMode.FULL) -> list[Face]:
@@ -968,14 +1002,16 @@ class FaceDetector:
         left, right = lm.left_eye, lm.right_eye
         if left is None or right is None:
             raise ValueError("Face must have left and right eye landmarks")
-        return self.embedding_model.embed(image, left[:2], right[:2])
+        return self.embedding_model.embed(
+            self._device_put_cached(image), left[:2], right[:2])
 
     def get_face_embedding_from_eyes(self, left_eye, right_eye,
                                      image: np.ndarray) -> np.ndarray:
         """Embedding from just the two eye centers in absolute pixels —
         the reference's minimal-payload path
         (`getFaceEmbeddingFromEyesDirect`, face_detector_core.dart:419)."""
-        return self.embedding_model.embed(image, left_eye, right_eye)
+        return self.embedding_model.embed(
+            self._device_put_cached(image), left_eye, right_eye)
 
     def get_face_embeddings(self, faces: Sequence[Face],
                             image: np.ndarray) -> list[np.ndarray]:
@@ -988,7 +1024,8 @@ class FaceDetector:
                 raise ValueError("Face must have left and right eye "
                                  "landmarks")
             pairs.append((lm.left_eye[:2], lm.right_eye[:2]))
-        out = self.embedding_model.embed_batch(image, pairs)
+        out = self.embedding_model.embed_batch(
+            self._device_put_cached(image), pairs)
         return [out[i] for i in range(len(pairs))]
 
     def get_face_embedding_from_bytes(self, face: Face,
@@ -1021,7 +1058,8 @@ class FaceDetector:
         self._check_disposed()
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
-        return self._segmentation(np.asarray(image)[None])[0]
+        return self._segmentation(
+            self._device_put_cached(np.asarray(image))[None])[0]
 
     def get_segmentation_mask_from_bytes(self, data: bytes
                                          ) -> SegmentationMask:

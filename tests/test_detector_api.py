@@ -322,7 +322,7 @@ class TestPrecisionPresets:
                          model_dir=MODELS_DIR, precision="serving")
         faces = d.detect_faces(img, FaceDetectionMode.STANDARD)
         assert len(faces) == 1
-        assert "default" in d.accelerator_report["precision"]
+        assert "mixed" in d.accelerator_report["precision"]
 
     def test_per_model_dict(self):
         img = _img("landmark-ex1.jpg")

@@ -288,3 +288,37 @@ class TestMaskMaxSizePropagation:
         # Legacy payloads without the field default to 2048.
         d = m.serialize(); d.pop("default_max_size")
         assert SegmentationMask.deserialize(d).default_max_size == 2048
+
+
+class TestDevicePutCache:
+    """detect -> embed/segment on the same frame uploads it ONCE (the TPU
+    analog of the reference's decode-reuse cache,
+    face_detector.dart:1390-1430; one 1280x853 upload costs ~76 ms on
+    relay-attached devices)."""
+
+    def test_same_frame_reuses_device_copy(self, portrait):
+        import jax.numpy as jnp
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        d.detect_faces(portrait, FaceDetectionMode.FAST)
+        assert d._devput_cache is not None
+        dev1 = d._devput_cache[1]
+        dev2 = d._device_put_cached(portrait)
+        assert dev2 is dev1  # cache hit: no second upload
+
+    def test_mutated_frame_reuploads(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        a = portrait.copy()
+        dev1 = d._device_put_cached(a)
+        a[0, 0, 0] ^= 0xFF  # in-place mutation (camera ring buffer)
+        dev2 = d._device_put_cached(a)
+        assert dev2 is not dev1  # checksum guard caught the new content
+        np.testing.assert_array_equal(np.asarray(dev2), a)
+
+    def test_device_arrays_pass_through(self, portrait):
+        import jax.numpy as jnp
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        dev = jnp.asarray(portrait)
+        assert d._device_put_cached(dev) is dev
