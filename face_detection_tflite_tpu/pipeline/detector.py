@@ -127,7 +127,8 @@ class FaceDetector:
                  use_pallas_nms: Optional[bool] = None,
                  allow_untrained_embeddings: bool = False,
                  quantized_readback: bool = True,
-                 detailed_timings: bool = False):
+                 detailed_timings: bool = False,
+                 embed_in_full: bool = False):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -187,11 +188,24 @@ class FaceDetector:
                                              MODEL_FILES[file_key]),
                                 precision=prec)
 
+        self._embedding: Optional[FaceEmbedding] = None
+        self._allow_untrained_embeddings = allow_untrained_embeddings
+        #: Fuse MobileFaceNet into the FULL program: every FULL-mode face
+        #: comes back with a 192-dim embedding from the SAME device call
+        #: (no separate dispatch, no frame re-upload).  TPU-native
+        #: extension of `getFaceEmbedding` (face_detector_core.dart:419).
+        self.embed_in_full = embed_in_full
         self.models = PipelineModels(
             detector=load(model.value, "detector"), variant=model.value,
             mesh=load("face_landmark", "mesh"),
             iris=load("iris_landmark", "iris"),
-            blendshapes=load("face_blendshapes", "blendshapes"))
+            blendshapes=load("face_blendshapes", "blendshapes"),
+            embedding=(self.embedding_model.model if embed_in_full
+                       else None))
+        if embed_in_full:
+            # The fused stage bypasses FaceEmbedding's per-call check, so
+            # surface the untrained-weights state once, at construction.
+            self.embedding_model._check_trained()
 
         #: Segmentation preset (`SegmentationConfig`, face_types.dart:236).
         #: When given, its ``model`` wins over ``segmentation_model``.
@@ -202,8 +216,6 @@ class FaceDetector:
                                     if segmentation_config is not None
                                     else segmentation_model)
 
-        self._embedding: Optional[FaceEmbedding] = None
-        self._allow_untrained_embeddings = allow_untrained_embeddings
         #: One-entry decoded-image cache so detect + embed on the same
         #: encoded bytes decodes once (`decodeSourceCached`,
         #: face_detector.dart:1390-1430 — saves ~16 ms at 12 MP there).
@@ -332,7 +344,9 @@ class FaceDetector:
                     min_score=self.min_score, min_face_size=mfs,
                     num_candidates=self.num_candidates,
                     use_pallas_nms=self._resolve_pallas_nms(),
-                    face_slab=face_slab)
+                    face_slab=face_slab,
+                    with_embeddings=(self.embed_in_full and
+                                     mode == FaceDetectionMode.FULL))
                 if self._mesh is not None:
                     from ..parallel.sharding import data_parallel as _dp
                     self._programs[key] = _dp(program, self._mesh)
@@ -463,7 +477,9 @@ class FaceDetector:
         with self._programs_lock:
             if key not in self._programs:
                 self._programs[key] = jax.jit(build_pipeline_program(
-                    self.models, img_h, img_w, mode, from_detections=True))
+                    self.models, img_h, img_w, mode, from_detections=True,
+                    with_embeddings=(self.embed_in_full and
+                                     mode == FaceDetectionMode.FULL)))
             return self._programs[key]
 
     # -- speculative single-call dispatch ---------------------------------
@@ -864,7 +880,9 @@ class FaceDetector:
             faces.append(Face(
                 detection=det, mesh=mesh,
                 irises=out["iris"][i, d] if full else np.zeros((0, 3)),
-                original_size=size_wh, blendshape_scores=bs))
+                original_size=size_wh, blendshape_scores=bs,
+                embedding=(np.asarray(out["embeddings"][i, d])
+                           if "embeddings" in out else None)))
         return faces
 
     # -- encoded / file inputs -------------------------------------------------

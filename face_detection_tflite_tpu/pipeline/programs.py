@@ -48,12 +48,14 @@ class PipelineModels:
     def __init__(self, detector: ConvertedModel, variant: str,
                  mesh: Optional[ConvertedModel] = None,
                  iris: Optional[ConvertedModel] = None,
-                 blendshapes: Optional[ConvertedModel] = None):
+                 blendshapes: Optional[ConvertedModel] = None,
+                 embedding: Optional[ConvertedModel] = None):
         self.detector = detector
         self.variant = variant
         self.mesh = mesh
         self.iris = iris
         self.blendshapes = blendshapes
+        self.embedding = embedding
         self.detector_input_size = detector.input_shapes[0][1]
         self.anchors = generate_anchors(anchor_options_for(variant))
 
@@ -66,6 +68,8 @@ class PipelineModels:
             p["iris"] = self.iris.params
         if self.blendshapes is not None:
             p["blendshapes"] = self.blendshapes.params
+        if self.embedding is not None:
+            p["embedding"] = self.embedding.params
         return p
 
 
@@ -114,7 +118,8 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
                            min_score: float = 0.0, min_face_size: float = 0.0,
                            batched: bool = True, from_detections: bool = False,
                            use_pallas_nms: bool = False,
-                           face_slab: Optional[int] = None):
+                           face_slab: Optional[int] = None,
+                           with_embeddings: bool = False):
     """Builds the single-program pipeline for one image bucket.
 
     Returns a traceable fn(params, images) -> dict of slab arrays.  With
@@ -151,6 +156,12 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         raise ValueError(f"mode {mode} requires the face mesh model")
     if compute_iris and (models.iris is None or models.blendshapes is None):
         raise ValueError(f"mode {mode} requires iris and blendshape models")
+    if with_embeddings and not compute_iris:
+        raise ValueError("with_embeddings requires FULL mode (embeddings "
+                         "align from iris-refined eye centers, "
+                         "face_detector_core.dart:419-451)")
+    if with_embeddings and models.embedding is None:
+        raise ValueError("with_embeddings requires the embedding model")
 
     def detect_stage(params, img):
         x = letterbox_image(img, lbp)
@@ -239,6 +250,42 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         # NaN-sanitize + clamp (face_blendshapes.dart:191-200).
         return jnp.clip(jnp.nan_to_num(raw), 0.0, 1.0), ok
 
+    def embedding_stage(params, img, refined_kp):
+        """MobileFaceNet embeddings as a fused FULL-mode stage (optional).
+
+        The per-face math is `computeEmbeddingAlignment`
+        (`face_embedding.dart:362-384`: size = 2.5 x eyeDist, center
+        offset 0.15 x size below the eye midpoint) on the IRIS-REFINED
+        eye centers (the reference's getFaceEmbedding path uses the
+        refined eyes too, face_detector.dart:703-711), then the same
+        negated-angle 112 px warp + L2 normalize as
+        `FaceEmbedding._raw_fn`.  One extra vmapped network in the single
+        program instead of a separate dispatch + 3.3 MB re-upload.
+        """
+        from .config import EMBEDDING_INPUT_SIZE
+        le_x = refined_kp[:, 0, 0] * img_w
+        le_y = refined_kp[:, 0, 1] * img_h
+        re_x = refined_kp[:, 1, 0] * img_w
+        re_y = refined_kp[:, 1, 1] * img_h
+        dx = re_x - le_x
+        dy = re_y - le_y
+        theta = jnp.arctan2(dy, dx)
+        esize = jnp.sqrt(dx * dx + dy * dy) * 2.5
+        off = esize * 0.15
+        cx = (le_x + re_x) * 0.5 - off * jnp.sin(theta)
+        cy = (le_y + re_y) * 0.5 + off * jnp.cos(theta)
+        crops = warp.extract_rois(img, cx, cy, esize, -theta,
+                                  out_size=EMBEDDING_INPUT_SIZE)
+        crops = crops * (1.0 / 127.5) - 1.0
+
+        def one(crop):
+            (emb,) = models.embedding.fn(params["embedding"], crop[None])
+            emb = emb.reshape(-1)
+            n = jnp.sqrt(jnp.sum(emb * emb))
+            return jnp.where(n > 0, emb / n, emb)
+
+        return jax.vmap(one)(crops)
+
     def refine_keypoints(kp, iris_abs):
         """Iris-refined eye keypoints (face_detector_core.dart:356-373)."""
         left = geometry.iris_center_from_points(iris_abs[:, 71:76])
@@ -278,6 +325,9 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
             head_angles=geometry.head_euler_angles_from_mesh(mesh_abs),
             keypoints=refine_keypoints(kp, iris_abs),
         )
+        if with_embeddings:
+            out["embeddings"] = embedding_stage(params, img,
+                                                out["keypoints"])
         return out
 
     if from_detections:

@@ -330,7 +330,8 @@ class Face:
     def __init__(self, detection: Detection, mesh: Optional[FaceMesh],
                  irises: np.ndarray, original_size: tuple[float, float],
                  blendshape_scores: Optional[np.ndarray] = None,
-                 tracking_id: Optional[int] = None):
+                 tracking_id: Optional[int] = None,
+                 embedding: Optional[np.ndarray] = None):
         self.detection_data = detection
         self.mesh = mesh
         self.iris_points = np.asarray(irises).reshape(-1, 3) \
@@ -338,13 +339,19 @@ class Face:
         self.original_size = original_size  # (width, height)
         self._blendshape_scores = blendshape_scores
         self.tracking_id = tracking_id
+        #: 192-dim L2-normalized embedding, present when the detector ran
+        #: with embed_in_full (fused MobileFaceNet stage — a TPU-native
+        #: extension; the reference computes embeddings via separate
+        #: getFaceEmbedding calls, face_detector.dart:685).
+        self.embedding = embedding
         self._eyes: Optional[EyePair] = None
         self._angles: Optional[HeadEulerAngles] = None
         self._bs: Optional[FaceBlendshapes] = None
 
     def with_tracking_id(self, tracking_id: int) -> "Face":
         f = Face(self.detection_data, self.mesh, self.iris_points,
-                 self.original_size, self._blendshape_scores, tracking_id)
+                 self.original_size, self._blendshape_scores, tracking_id,
+                 embedding=self.embedding)
         return f
 
     # -- detection-level -----------------------------------------------------

@@ -322,3 +322,66 @@ class TestDevicePutCache:
                          model_dir=MODELS_DIR)
         dev = jnp.asarray(portrait)
         assert d._device_put_cached(dev) is dev
+
+
+class TestEmbedInFull:
+    """Fused MobileFaceNet stage in the FULL program (VERDICT r2 next #4):
+    every FULL-mode face carries a 192-dim embedding from the SAME device
+    call, matching the separate getFaceEmbedding path."""
+
+    def test_full_mode_faces_carry_matching_embeddings(self, portrait):
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                             model_dir=MODELS_DIR, embed_in_full=True,
+                             allow_untrained_embeddings=True)
+            faces = d.detect_faces(portrait, FaceDetectionMode.FULL)
+            assert len(faces) == 1
+            emb = faces[0].embedding
+            assert emb is not None and emb.shape == (192,)
+            assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
+            # Parity with the separate embedding call (same refined eye
+            # centers, same weights; different XLA programs -> float noise).
+            sep = d.get_face_embedding(faces[0], portrait)
+            assert np.abs(emb - sep).max() < 1e-3
+            # Tracking preserves the embedding.
+            assert faces[0].with_tracking_id(7).embedding is emb
+
+    def test_standard_mode_has_no_embedding(self, portrait):
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                             model_dir=MODELS_DIR, embed_in_full=True,
+                             allow_untrained_embeddings=True)
+            faces = d.detect_faces(portrait, FaceDetectionMode.STANDARD)
+        assert faces[0].embedding is None
+
+    def test_default_detector_has_no_embedding(self, portrait):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        faces = d.detect_faces(portrait, FaceDetectionMode.FULL)
+        assert faces[0].embedding is None
+
+    def test_with_embeddings_requires_full_mode(self):
+        from face_detection_tflite_tpu.models.embedding import (
+            build_mobilefacenet)
+        from face_detection_tflite_tpu.convert.executor import convert_file
+        from face_detection_tflite_tpu.pipeline.programs import (
+            PipelineModels, build_pipeline_program)
+        models = PipelineModels(
+            detector=convert_file(os.path.join(
+                MODELS_DIR, "face_detection_short_range.tflite")),
+            variant="short", embedding=build_mobilefacenet())
+        with pytest.raises(ValueError, match="FULL|mesh"):
+            build_pipeline_program(models, 64, 64,
+                                   FaceDetectionMode.STANDARD,
+                                   with_embeddings=True)
+
+    def test_untrained_warns_at_construction(self):
+        from face_detection_tflite_tpu.models.embedding import (
+            UntrainedEmbeddingWarning)
+        with pytest.warns(UntrainedEmbeddingWarning):
+            FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, embed_in_full=True)
