@@ -109,6 +109,20 @@ def main():
         jax.block_until_ready(batches)
         return batches
 
+    # Keeping ~3 GB of device buffers live stalls the relay (CLAUDE.md);
+    # cap the pre-staged pool and fall back to chunked staging for
+    # non-default FDT_BENCH_BATCH/ITERS combinations that would blow it.
+    stage_budget = int(os.environ.get("FDT_BENCH_MAX_STAGE_MB", "700")) * 10**6
+
+    def stage_chunks(n, src=None):
+        per = int((src if src is not None else base).nbytes)
+        chunk = max(1, min(n, stage_budget // max(per, 1)))
+        done = 0
+        while done < n:
+            k = min(chunk, n - done)
+            yield prestage(k, src=src)
+            done += k
+
     modes = (FaceDetectionMode.FAST, FaceDetectionMode.STANDARD,
              FaceDetectionMode.FULL)
 
@@ -121,11 +135,13 @@ def main():
     det.timings.reset()  # drop compile/warm rounds from the stage report
 
     def time_mode(mode):
-        staged = prestage(iters)
-        t0 = time.perf_counter()
-        for imgs in staged:
-            det.detect_faces_batch(imgs, mode)
-        return (time.perf_counter() - t0) / iters
+        total = 0.0
+        for staged in stage_chunks(iters):
+            t0 = time.perf_counter()
+            for imgs in staged:
+                det.detect_faces_batch(imgs, mode)
+            total += time.perf_counter() - t0
+        return total / iters
 
     # Interleaved rounds -> per-mode median (robust to relay load drift).
     samples = {mode: [] for mode in modes}
@@ -150,12 +166,14 @@ def main():
         for _ in range(2):
             pipe.submit(next_images()).result()  # warm the pipelined path
         for _ in range(rounds):
-            staged = prestage(iters)
-            t0 = time.perf_counter()
-            futs = [pipe.submit(imgs) for imgs in staged]
-            for fu in futs:
-                fu.result()
-            serve_samples.append((time.perf_counter() - t0) / iters)
+            total = 0.0
+            for staged in stage_chunks(iters):
+                t0 = time.perf_counter()
+                futs = [pipe.submit(imgs) for imgs in staged]
+                for fu in futs:
+                    fu.result()
+                total += time.perf_counter() - t0
+            serve_samples.append(total / iters)
     dt_serve = float(np.median(serve_samples))
     log(f"serving : {dt_serve*1e3:7.2f} ms/batch  "
         f"{nf/dt_serve:7.1f} faces/sec  "
@@ -172,11 +190,13 @@ def main():
             for _ in range(2):
                 det.detect_faces_batch(next_images(src=src),
                                        FaceDetectionMode.STANDARD)
-            staged = prestage(iters * 2, src=src)
-            t0 = time.perf_counter()
-            for imgs in staged:
-                det.detect_faces_batch(imgs, FaceDetectionMode.STANDARD)
-            dt = (time.perf_counter() - t0) / (iters * 2)
+            total = 0.0
+            for staged in stage_chunks(iters * 2, src=src):
+                t0 = time.perf_counter()
+                for imgs in staged:
+                    det.detect_faces_batch(imgs, FaceDetectionMode.STANDARD)
+                total += time.perf_counter() - t0
+            dt = total / (iters * 2)
             log(f"batch curve standard b={b:3d}: {dt/b*1e3:6.2f} ms/img "
                 f"{b/dt:7.1f} img/s")
 

@@ -770,9 +770,10 @@ def mixed_precision(ops, frac: float = 0.5, low: str = "default",
     (18.52 -> 13.09 ms/batch-16).
     """
     conv_ids = [i for i, op in enumerate(ops) if "CONV" in op.name]
-    if not conv_ids:
+    n_low = int(len(conv_ids) * frac)
+    if n_low <= 0:  # frac too small to cover even one conv: demote none
         return high
-    cutoff = conv_ids[max(0, int(len(conv_ids) * frac) - 1)]
+    cutoff = conv_ids[n_low - 1]
 
     def spec(oi, nm):
         if "CONV" in nm and oi <= cutoff:

@@ -66,6 +66,47 @@ def compute_embedding_alignment(left_eye, right_eye):
     return cx, cy, size, theta
 
 
+def alignment_from_eyes(le_x, le_y, re_x, re_y):
+    """Traceable `computeEmbeddingAlignment` (face_embedding.dart:362-384)
+    over arrays of eye-center coordinates: returns (cx, cy, size, theta).
+
+    Same math as :func:`compute_embedding_alignment` (the host/scalar
+    form) expressed in jnp so fused programs can vectorize it; keep the
+    two in lockstep.
+    """
+    dx = re_x - le_x
+    dy = re_y - le_y
+    theta = jnp.arctan2(dy, dx)
+    size = jnp.sqrt(dx * dx + dy * dy) * 2.5
+    off = size * 0.15
+    cx = (le_x + re_x) * 0.5 - off * jnp.sin(theta)
+    cy = (le_y + re_y) * 0.5 + off * jnp.cos(theta)
+    return cx, cy, size, theta
+
+
+def embed_rois(model_fn, params, img, cxs, cys, sizes, thetas):
+    """THE embedding math for N ROIs of one image: negated-angle 112 px
+    warp (face_detector_core.dart:433-440) + [-1,1] normalize +
+    MobileFaceNet + L2 normalize (face_embedding.dart:386-400).
+
+    Shared by :class:`FaceEmbedding` (single-face and slab-batch
+    programs) and the fused ``embed_in_full`` pipeline stage
+    (pipeline/programs.py) so the alignment/warp/normalize semantics
+    cannot drift between the two paths.
+    """
+    crops = warp.extract_rois(img, cxs, cys, sizes, -thetas,
+                              out_size=EMBEDDING_INPUT_SIZE)
+    crops = crops * (1.0 / 127.5) - 1.0
+
+    def one(crop):
+        (emb,) = model_fn(params, crop[None])
+        emb = emb.reshape(-1)
+        norm = jnp.sqrt(jnp.sum(emb * emb))
+        return jnp.where(norm > 0, emb / norm, emb)
+
+    return jax.vmap(one)(crops)
+
+
 def cosine_similarity(a, b) -> float:
     """`face_embedding.dart:283-302`."""
     a = np.asarray(a, np.float64)
@@ -247,17 +288,12 @@ class FaceEmbedding:
         key = ("raw", img_h, img_w)
         if key not in self._programs:
             def one(params, img, cx, cy, size, theta):
-                # The core warps with the negated alignment angle
-                # (face_detector_core.dart:433-440).  The warp gathers in
-                # the source dtype (uint8 images stay uint8 until the tap).
-                crop = warp.extract_aligned_square(
-                    img, cx, cy, size, -theta,
-                    out_size=EMBEDDING_INPUT_SIZE)
-                crop = crop * (1.0 / 127.5) - 1.0
-                (emb,) = self.model.fn(params, crop[None])
-                emb = emb.reshape(-1)
-                norm = jnp.sqrt(jnp.sum(emb * emb))
-                return jnp.where(norm > 0, emb / norm, emb)
+                # Shared warp+net+L2 math (module-level embed_rois), as a
+                # batch of one.
+                return embed_rois(
+                    self.model.fn, params, img,
+                    *(jnp.reshape(jnp.asarray(v, jnp.float32), (1,))
+                      for v in (cx, cy, size, theta)))[0]
 
             self._programs[key] = one
         return self._programs[key]
@@ -287,12 +323,9 @@ class FaceEmbedding:
     def _batch_program(self, img_h: int, img_w: int, slab: int):
         key = ("batch", img_h, img_w, slab)
         if key not in self._programs:
-            one = self._raw_fn(img_h, img_w)
-
             def many(params, img, cxs, cys, sizes, thetas):
-                return jax.vmap(
-                    lambda cx, cy, s, t: one(params, img, cx, cy, s, t)
-                )(cxs, cys, sizes, thetas)
+                return embed_rois(self.model.fn, params, img,
+                                  cxs, cys, sizes, thetas)
 
             self._programs[key] = jax.jit(many)
         return self._programs[key]

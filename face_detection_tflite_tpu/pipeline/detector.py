@@ -41,10 +41,6 @@ _DEFAULT_MODEL_DIRS = (
     # MediaPipe assets) — the standalone default.
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "assets", "models"),
-    # Development-environment reference checkout: opt-in via env knob
-    # (a standalone framework must not silently depend on it).
-    *((os.environ.get("FDT_REFERENCE_MODEL_DIR"),)
-      if os.environ.get("FDT_REFERENCE_MODEL_DIR") else ()),
 )
 
 
@@ -81,7 +77,9 @@ from ..utils.image import normalize_channels as _normalize_channels
 def resolve_model_dir(model_dir: Optional[str] = None) -> str:
     """Finds the directory holding the .tflite model assets."""
     candidates = ([model_dir] if model_dir else []) + \
-        [os.environ.get("FDT_TPU_MODEL_DIR")] + list(_DEFAULT_MODEL_DIRS)
+        [os.environ.get("FDT_TPU_MODEL_DIR")] + list(_DEFAULT_MODEL_DIRS) + \
+        [os.environ.get("FDT_REFERENCE_MODEL_DIR")]  # dev-env opt-in;
+    # both env knobs are read per call so setting them after import works.
     for c in candidates:
         if c and os.path.isdir(c):
             return c
@@ -308,10 +306,19 @@ class FaceDetector:
     @property
     def embedding_model(self) -> FaceEmbedding:
         if self._embedding is None:
-            path = os.path.join(self._model_dir, MODEL_FILES["embedding"])
+            pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            candidates = (
+                os.path.join(self._model_dir, MODEL_FILES["embedding"]),
+                # `python tools/import_weights.py mobilefacenet` output —
+                # trained weights imported from a user-supplied checkpoint
+                # reach the detector with zero code.
+                os.path.join(self._model_dir, "mobilefacenet.npz"),
+                os.path.join(pkg, "assets", "checkpoints",
+                             "mobilefacenet.npz"),
+            )
+            path = next((c for c in candidates if os.path.exists(c)), None)
             self._embedding = FaceEmbedding.load(
-                path if os.path.exists(path) else None,
-                allow_untrained=self._allow_untrained_embeddings)
+                path, allow_untrained=self._allow_untrained_embeddings)
         return self._embedding
 
     # -- detection -------------------------------------------------------------
@@ -1077,7 +1084,7 @@ class FaceDetector:
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
         return self._segmentation(
-            self._device_put_cached(np.asarray(image))[None])[0]
+            self._device_put_cached(image)[None])[0]
 
     def get_segmentation_mask_from_bytes(self, data: bytes
                                          ) -> SegmentationMask:
@@ -1240,6 +1247,7 @@ class FaceDetector:
         self._programs.clear()
         self._spec_state.clear()
         self._decode_cache = None
+        self._devput_cache = None  # frees the cached device-resident frame
         if self._embedding is not None:
             self._embedding.dispose()
             self._embedding = None
@@ -1247,13 +1255,14 @@ class FaceDetector:
             self._segmentation.dispose()
             self._segmentation = None
         for m in (self.models.detector, self.models.mesh, self.models.iris,
-                  self.models.blendshapes):
+                  self.models.blendshapes, self.models.embedding):
             if m is not None:
                 m.params = {}
         self.models.detector = None
         self.models.mesh = None
         self.models.iris = None
         self.models.blendshapes = None
+        self.models.embedding = None
         self._params = None
 
     def _check_disposed(self):

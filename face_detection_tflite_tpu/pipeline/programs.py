@@ -253,38 +253,20 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
     def embedding_stage(params, img, refined_kp):
         """MobileFaceNet embeddings as a fused FULL-mode stage (optional).
 
-        The per-face math is `computeEmbeddingAlignment`
-        (`face_embedding.dart:362-384`: size = 2.5 x eyeDist, center
-        offset 0.15 x size below the eye midpoint) on the IRIS-REFINED
-        eye centers (the reference's getFaceEmbedding path uses the
-        refined eyes too, face_detector.dart:703-711), then the same
-        negated-angle 112 px warp + L2 normalize as
-        `FaceEmbedding._raw_fn`.  One extra vmapped network in the single
-        program instead of a separate dispatch + 3.3 MB re-upload.
+        Alignment is `computeEmbeddingAlignment`
+        (`face_embedding.dart:362-384`) on the IRIS-REFINED eye centers
+        (the reference's getFaceEmbedding path uses the refined eyes too,
+        face_detector.dart:703-711); warp+net+L2 is the module-level
+        `embed_rois` shared with `FaceEmbedding`, so the two paths cannot
+        drift.  One extra vmapped network in the single program instead
+        of a separate dispatch + 3.3 MB re-upload.
         """
-        from .config import EMBEDDING_INPUT_SIZE
-        le_x = refined_kp[:, 0, 0] * img_w
-        le_y = refined_kp[:, 0, 1] * img_h
-        re_x = refined_kp[:, 1, 0] * img_w
-        re_y = refined_kp[:, 1, 1] * img_h
-        dx = re_x - le_x
-        dy = re_y - le_y
-        theta = jnp.arctan2(dy, dx)
-        esize = jnp.sqrt(dx * dx + dy * dy) * 2.5
-        off = esize * 0.15
-        cx = (le_x + re_x) * 0.5 - off * jnp.sin(theta)
-        cy = (le_y + re_y) * 0.5 + off * jnp.cos(theta)
-        crops = warp.extract_rois(img, cx, cy, esize, -theta,
-                                  out_size=EMBEDDING_INPUT_SIZE)
-        crops = crops * (1.0 / 127.5) - 1.0
-
-        def one(crop):
-            (emb,) = models.embedding.fn(params["embedding"], crop[None])
-            emb = emb.reshape(-1)
-            n = jnp.sqrt(jnp.sum(emb * emb))
-            return jnp.where(n > 0, emb / n, emb)
-
-        return jax.vmap(one)(crops)
+        from ..models.embedding import alignment_from_eyes, embed_rois
+        cx, cy, esize, theta = alignment_from_eyes(
+            refined_kp[:, 0, 0] * img_w, refined_kp[:, 0, 1] * img_h,
+            refined_kp[:, 1, 0] * img_w, refined_kp[:, 1, 1] * img_h)
+        return embed_rois(models.embedding.fn, params["embedding"], img,
+                          cx, cy, esize, theta)
 
     def refine_keypoints(kp, iris_abs):
         """Iris-refined eye keypoints (face_detector_core.dart:356-373)."""

@@ -118,9 +118,11 @@ class TestSpeculativeLadderSaturation:
         # Warm-path results are stable vs the cold (overflow) path.  The
         # two are DIFFERENT XLA programs (slab-16 face-stage re-run vs
         # fused slab-16 speculative), so allow fusion-level float32 noise
-        # at ~1000 px coordinate magnitude (measured 0.06 px worst) —
-        # 0.1 px is 10x inside the 1 px parity budget.
+        # (measured 0.06 px worst) PLUS two independent int16 readback
+        # quantizations (quantized_readback=True default; a coordinate
+        # pair straddling a grid boundary can differ by 2 steps ≈ 0.12 px
+        # at this image size) — 0.2 px stays 5x inside the 1 px budget.
         for a, b in zip(faces, faces2):
             assert a.score == pytest.approx(b.score, abs=1e-6)
             np.testing.assert_allclose(np.asarray(a.mesh.points),
-                                       np.asarray(b.mesh.points), atol=0.1)
+                                       np.asarray(b.mesh.points), atol=0.2)

@@ -385,3 +385,83 @@ class TestEmbedInFull:
         with pytest.warns(UntrainedEmbeddingWarning):
             FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                          model_dir=MODELS_DIR, embed_in_full=True)
+
+
+class TestRound3ReviewFixes:
+    """Regression pins for the round-3 self-review findings."""
+
+    def test_dispose_frees_fused_embedding_and_upload_cache(self, portrait):
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                             model_dir=MODELS_DIR, embed_in_full=True,
+                             allow_untrained_embeddings=True)
+            d.detect_faces(portrait, FaceDetectionMode.FULL)
+        assert d._devput_cache is not None
+        emb_model = d.models.embedding
+        assert emb_model is not None and emb_model.params
+        d.dispose()
+        # The fused embedding weights and the cached device frame are the
+        # two references dispose() previously leaked.
+        assert d._devput_cache is None
+        assert emb_model.params == {}
+        assert d.models.embedding is None
+
+    def test_reference_model_dir_env_is_read_per_call(self, tmp_path,
+                                                      monkeypatch):
+        from face_detection_tflite_tpu.pipeline import detector as det_mod
+        # Simulate "package imported before the env knob was set": the
+        # default assets dir is hidden, then the knob is set post-import.
+        monkeypatch.setattr(det_mod, "_DEFAULT_MODEL_DIRS", ())
+        monkeypatch.delenv("FDT_TPU_MODEL_DIR", raising=False)
+        monkeypatch.delenv("FDT_REFERENCE_MODEL_DIR", raising=False)
+        with pytest.raises(FileNotFoundError):
+            det_mod.resolve_model_dir()
+        monkeypatch.setenv("FDT_REFERENCE_MODEL_DIR", str(tmp_path))
+        assert det_mod.resolve_model_dir() == str(tmp_path)
+
+    def test_imported_npz_reaches_face_detector(self, tmp_path):
+        from .test_import_weights import _synthetic_state_dict
+        from import_weights import import_mobilefacenet_state_dict
+        model_dir = tmp_path / "models"
+        model_dir.mkdir()
+        for name in os.listdir(MODELS_DIR):
+            if name.endswith(".tflite"):
+                os.symlink(os.path.join(MODELS_DIR, name),
+                           model_dir / name)
+        params = import_mobilefacenet_state_dict(_synthetic_state_dict())
+        np.savez_compressed(model_dir / "mobilefacenet.npz", **params)
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=str(model_dir))
+        # The imported checkpoint is picked up with zero code: embeddings
+        # count as trained (no UntrainedEmbeddingWarning path).
+        assert d.embedding_model.is_pretrained
+        d.dispose()
+
+    def test_segmentation_device_input_passes_through(self, portrait):
+        import jax.numpy as jnp
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        dev = jnp.asarray(portrait)
+        mask = d.get_segmentation_mask(dev)
+        assert mask.width and mask.height
+        # A device-resident frame must not round-trip through the host
+        # (np.asarray D2H + re-upload): the upload cache stays empty.
+        assert d._devput_cache is None
+        d.dispose()
+
+    def test_mixed_precision_small_frac_demotes_nothing(self):
+        from face_detection_tflite_tpu.convert.executor import (
+            mixed_precision)
+
+        class _Op:
+            def __init__(self, name):
+                self.name = name
+
+        # frac*n_convs < 1 must NOT demote the stem conv to bf16.
+        ops = [_Op("CONV_2D"), _Op("RESHAPE")]
+        assert mixed_precision(ops, frac=0.4) == "high"
+        assert mixed_precision([_Op("RESHAPE")], frac=0.5) == "high"
+        spec = mixed_precision(ops, frac=1.0)
+        assert spec(0, "CONV_2D") == "default"
