@@ -1225,6 +1225,21 @@ class FaceDetector:
         report["precision"] = str(self._precision)
         return report
 
+    @staticmethod
+    def split_meshes_if_concatenated(mesh_pts) -> list[np.ndarray]:
+        """Splits a concatenated [N*468, ...] mesh point array into
+        per-face arrays (`splitMeshesIfConcatenated`,
+        face_detector.dart:1047-1056): multiples of 468 split; anything
+        else returns unchanged (wrapped in a list); empty -> []."""
+        from .types import MESH_POINTS
+        pts = np.asarray(mesh_pts)
+        if pts.size == 0:
+            return []
+        if len(pts) % MESH_POINTS != 0:
+            return [pts]
+        return [pts[i * MESH_POINTS:(i + 1) * MESH_POINTS]
+                for i in range(len(pts) // MESH_POINTS)]
+
     # -- tracking / lifecycle -----------------------------------------------------
 
     def reset_tracking(self) -> None:

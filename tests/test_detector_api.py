@@ -577,3 +577,22 @@ class TestBatchStream:
                          model_dir=MODELS_DIR)
         with pytest.raises(ValueError, match="depth"):
             list(d.detect_faces_batch_stream([], depth=0))
+
+
+class TestSplitMeshes:
+    """`splitMeshesIfConcatenated` (face_detector.dart:1047-1056)."""
+
+    def test_multiple_of_468_splits(self):
+        pts = np.arange(936 * 3, dtype=np.float32).reshape(936, 3)
+        out = FaceDetector.split_meshes_if_concatenated(pts)
+        assert len(out) == 2
+        np.testing.assert_array_equal(out[0], pts[:468])
+        np.testing.assert_array_equal(out[1], pts[468:])
+
+    def test_non_multiple_returns_wrapped(self):
+        pts = np.zeros((469, 3), np.float32)
+        out = FaceDetector.split_meshes_if_concatenated(pts)
+        assert len(out) == 1 and out[0] is pts
+
+    def test_empty_returns_empty(self):
+        assert FaceDetector.split_meshes_if_concatenated([]) == []
