@@ -741,12 +741,14 @@ def convert_model(
         for pos, tix in enumerate(op.inputs):
             if tix >= 0 and tix in const and pos in statics:
                 static_needed.add(tix)
+    # Copy retained statics so fn's closure holds no views into the
+    # source flatbuffer (params are jnp device copies already): once the
+    # caller drops its ModelIR, the blob is freed.  The IR itself is NOT
+    # mutated — converting the same parsed IR at several precisions is
+    # supported (benchmarks/experiments/mixed_frac_sweep.py does this).
     pruned = {tix: np.array(const[tix]) for tix in static_needed}
     const.clear()
     const.update(pruned)
-    for t in ir.tensors:
-        t.data = None
-        t.sparsity = None
 
     input_shapes = [tensor_shape[t] for t in ir.inputs]
     output_shapes = [tensor_shape[t] for t in ir.outputs]

@@ -164,12 +164,14 @@ class FaceDetector:
 
         if precision == "serving":
             # Measured preset: detector at "mixed" (early half of the
-            # convs plain bf16, heads bf16x3 — the all-bf16 error lives
-            # in the LATE layers: 2.5 px all-bf16 vs 0.06-1.4 px mixed
-            # worst-box across the 7 sample fixtures, keypoints <=0.3 px,
-            # at 13.1 vs 18.5 ms/batch conv cost), landmark-bearing
-            # models at bf16x3 (0.006 px mesh error).  See docs/PERF.md
-            # "Mixed-precision detector".
+            # convs plain bf16, heads bf16x3; 13.1 vs 18.5 ms/batch conv
+            # cost), landmark-bearing models at bf16x3 (0.006 px mesh
+            # error).  The mixed tier's contract is KEYPOINT-grade
+            # (<=0.5 px across the widened 33-face validation set — what
+            # seeds the mesh ROI), not box-corner-grade: blended NMS
+            # boxes can move a few px when a borderline candidate flips
+            # cluster membership.  See docs/PERF.md "Mixed-precision
+            # detector" incl. the frac sweep + bf16x3 control.
             precision = {"detector": "mixed", "mesh": "high",
                          "iris": "high", "blendshapes": "high"}
         self._precision = precision

@@ -465,3 +465,21 @@ class TestRound3ReviewFixes:
         assert mixed_precision([_Op("RESHAPE")], frac=0.5) == "high"
         spec = mixed_precision(ops, frac=1.0)
         assert spec(0, "CONV_2D") == "default"
+
+    def test_convert_model_does_not_consume_ir(self):
+        """convert_model must not mutate its ModelIR: converting the same
+        parsed IR at several precisions (mixed_frac_sweep) must work."""
+        import jax.numpy as jnp
+        from face_detection_tflite_tpu.convert.executor import convert_model
+        from face_detection_tflite_tpu.convert.tflite import parse_tflite
+        with open(os.path.join(MODELS_DIR,
+                               "face_detection_short_range.tflite"),
+                  "rb") as f:
+            ir = parse_tflite(f.read())
+        m1 = convert_model(ir, precision="highest")
+        m2 = convert_model(ir, precision="default")  # was KeyError
+        x = jnp.zeros(m1.input_shapes[0], jnp.float32)
+        a = np.asarray(m1.fn(m1.params, x)[0])
+        b = np.asarray(m2.fn(m2.params, x)[0])
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert a.shape == b.shape
