@@ -33,9 +33,12 @@ def load_params_npz(path: str) -> dict:
                 if not k.startswith(_META_PREFIX)}
 
 
-def swap_params(model: ConvertedModel, params: dict) -> ConvertedModel:
-    """Returns the model with ``params`` substituted, after validating that
-    every key/shape matches the converted graph."""
+def swap_params(model: ConvertedModel, params: dict,
+                name: str = None) -> ConvertedModel:
+    """Returns the model with ``params`` substituted (and optionally a
+    new ``name`` — it is load-bearing for FaceEmbedding's trained-weights
+    detection), after validating that every key/shape matches the
+    converted graph."""
     missing = set(model.params) - set(params)
     extra = set(params) - set(model.params)
     if missing or extra:
@@ -54,4 +57,5 @@ def swap_params(model: ConvertedModel, params: dict) -> ConvertedModel:
                 f"dtype mismatch for {k}: checkpoint "
                 f"{np.dtype(params[k].dtype)} vs graph {np.dtype(v.dtype)}")
     return ConvertedModel(dict(params), model.fn, model.input_shapes,
-                          model.output_shapes, name=model.name)
+                          model.output_shapes,
+                          name=model.name if name is None else name)

@@ -328,17 +328,28 @@ def convert_model(
             resize_mats[i] = (f"rs{i}_h", f"rs{i}_w")
 
     tensor_shape = {t.index: t.shape for t in ir.tensors}
+    tensor_dtype = {t.index: t.dtype for t in ir.tensors}
 
     expected_inputs = [tuple(ir.tensors[t].shape) for t in ir.inputs]
+    # fn must NOT close over `ir`: TensorIR.data entries are views into
+    # the source flatbuffer blob, and a ConvertedModel lives for the
+    # detector's lifetime — capturing the IR would pin tens of MB of dead
+    # weight bytes per model.  Everything fn needs is hoisted into these
+    # small locals (and `ir` itself stays unmutated, so converting one
+    # parsed IR at several precisions works).
+    input_ixs = tuple(ir.inputs)
+    output_ixs = tuple(ir.outputs)
+    input_names = [ir.tensors[t].name for t in ir.inputs]
 
     def fn(p, *inputs):
         env: dict[int, Any] = {}
         for tix, key in param_key.items():
             env[tix] = p[key]
-        for tix, x, want in zip(ir.inputs, inputs, expected_inputs):
+        for tix, x, want, in_name in zip(input_ixs, inputs,
+                                         expected_inputs, input_names):
             if tuple(x.shape) != want:
                 raise ValueError(
-                    f"input tensor {ir.tensors[tix].name!r} expects shape "
+                    f"input tensor {in_name!r} expects shape "
                     f"{want}, got {tuple(x.shape)}")
             if tix in act_quant:
                 # Quantized graph input: accept the model's integer dtype
@@ -419,7 +430,7 @@ def convert_model(
                 kh, kw = w.shape[1], w.shape[2]
                 # Output spatial size comes from the graph's declared output
                 # tensor: SAME -> in*stride, VALID -> (in-1)*stride + k.
-                out_shape = ir.tensors[op.outputs[0]].shape
+                out_shape = tensor_shape[op.outputs[0]]
                 out_h = int(out_shape[1])
                 out_w = int(out_shape[2])
                 if o["padding"] == PADDING_SAME:
@@ -669,7 +680,7 @@ def convert_model(
                 env[op.outputs[0]] = get(op.inputs[0]).astype(jnp.float32)
             elif nm == "CAST":
                 x = get(op.inputs[0])
-                out_dtype = ir.tensors[op.outputs[0]].dtype
+                out_dtype = tensor_dtype[op.outputs[0]]
                 env[op.outputs[0]] = x.astype(out_dtype)
             elif nm == "FLOOR":
                 env[op.outputs[0]] = jnp.floor(get(op.inputs[0]))
@@ -689,7 +700,7 @@ def convert_model(
             elif nm == "ARG_MAX":
                 x = get(op.inputs[0])
                 axis = int(np.asarray(get_static(op.inputs[1])).reshape(()))
-                out_dtype = ir.tensors[op.outputs[0]].dtype
+                out_dtype = tensor_dtype[op.outputs[0]]
                 if np.dtype(out_dtype) == np.int64 and \
                         not jax.config.jax_enable_x64:
                     out_dtype = np.int32  # x64 disabled: avoid silent-trunc warn
@@ -726,15 +737,14 @@ def convert_model(
                 if tox in act_quant and tox in env:
                     env[tox] = _fake_quant(env[tox], *act_quant[tox])
 
-        return tuple(env[t] for t in ir.outputs)
+        return tuple(env[t] for t in output_ixs)
 
     # Host-memory hygiene: the traced constants now live in `params` as
     # device arrays, but fn's closure holds `const` (every weight as
-    # numpy) and `ir` (whose TensorIR.data entries are views into the
-    # original flatbuffer blob) — keeping them would roughly double the
-    # model's host footprint for its whole lifetime.  Runtime tracing only
-    # needs the small static-input entries; keep those as COPIES (views
-    # would pin the whole blob) and drop every tensor buffer.
+    # numpy) — keeping it would roughly double the model's host footprint
+    # for its whole lifetime.  Runtime tracing only needs the small
+    # static-input entries; keep those as COPIES (views would pin the
+    # whole blob) and drop the rest.
     static_needed: set[int] = set()
     for op in ops:
         statics = _STATIC_INPUTS.get(op.name, set())

@@ -264,13 +264,9 @@ class FaceEmbedding:
                 # validation via the checkpoint loader.
                 from ..convert.checkpoint import (load_params_npz,
                                                   swap_params)
-                model = swap_params(build_mobilefacenet(),
-                                    load_params_npz(tflite_path))
-                model = ConvertedModel(
-                    model.params, model.fn, input_shapes=model.input_shapes,
-                    output_shapes=model.output_shapes,
-                    name="mobilefacenet-imported")
-                return cls(model)
+                return cls(swap_params(build_mobilefacenet(),
+                                       load_params_npz(tflite_path),
+                                       name="mobilefacenet-imported"))
             return cls(convert_file(tflite_path))
         return cls(build_mobilefacenet(), allow_untrained=allow_untrained)
 

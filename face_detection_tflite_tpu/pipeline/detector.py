@@ -1158,7 +1158,11 @@ class FaceDetector:
         if self._segmentation is None:
             self._load_segmentation(SegmentationModel.GENERAL)
         gen0 = self._tracking_generation
-        images = _normalize_channels(np.asarray(image)[None])
+        # Device-resident frames pass through; host arrays upload once and
+        # share the one-entry cache with detect/embed (_device_put_cached).
+        arr = image if isinstance(image, jax.Array) \
+            else self._device_put_cached(np.asarray(image))
+        images = _normalize_channels(arr[None])
         # Dispatch segmentation asynchronously FIRST so the host stages
         # of both paths overlap (device compute itself serializes on one
         # chip — see the class docstring's measured numbers).
@@ -1231,16 +1235,10 @@ class FaceDetector:
     def split_meshes_if_concatenated(mesh_pts) -> list[np.ndarray]:
         """Splits a concatenated [N*468, ...] mesh point array into
         per-face arrays (`splitMeshesIfConcatenated`,
-        face_detector.dart:1047-1056): multiples of 468 split; anything
-        else returns unchanged (wrapped in a list); empty -> []."""
-        from .types import MESH_POINTS
-        pts = np.asarray(mesh_pts)
-        if pts.size == 0:
-            return []
-        if len(pts) % MESH_POINTS != 0:
-            return [pts]
-        return [pts[i * MESH_POINTS:(i + 1) * MESH_POINTS]
-                for i in range(len(pts) // MESH_POINTS)]
+        face_detector.dart:1047-1056).  Delegates to the canonical
+        helper in pipeline/types.py."""
+        from .types import split_meshes_if_concatenated as _split
+        return _split(np.asarray(mesh_pts))
 
     # -- tracking / lifecycle -----------------------------------------------------
 

@@ -194,7 +194,7 @@ class FaceSmoother:
                 original_size=f.original_size,
                 blendshape_scores=(f.blendshapes.scores
                                    if f.blendshapes is not None else None),
-                tracking_id=tid))
+                tracking_id=tid, embedding=f.embedding))
 
         for tid in list(self._state):
             if tid not in seen:
@@ -261,7 +261,7 @@ class FaceSmoother:
             original_size=face.original_size,
             blendshape_scores=(face.blendshapes.scores
                                if face.blendshapes is not None else None),
-            tracking_id=face.tracking_id)
+            tracking_id=face.tracking_id, embedding=face.embedding)
 
     def reset(self) -> None:
         self._state.clear()

@@ -483,3 +483,46 @@ class TestRound3ReviewFixes:
         b = np.asarray(m2.fn(m2.params, x)[0])
         assert np.isfinite(a).all() and np.isfinite(b).all()
         assert a.shape == b.shape
+
+    def test_smoother_preserves_embeddings(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        from face_detection_tflite_tpu.pipeline.types import (Detection, Face,
+                                                              FaceMesh, RectF)
+        emb = np.random.default_rng(0).normal(size=192).astype(np.float32)
+        face = Face(
+            detection=Detection(RectF(0.1, 0.1, 0.5, 0.5), 0.9,
+                                np.zeros((6, 2), np.float32)),
+            mesh=FaceMesh(np.zeros((468, 3), np.float32), score=0.9),
+            irises=np.zeros((0, 3)), original_size=(100.0, 100.0),
+            embedding=emb)
+        for method in ("ema", "one_euro"):
+            sm = FaceSmoother(method=method)
+            out = sm.smooth([face], t_sec=0.0)
+            assert out[0].embedding is emb, method
+
+    def test_converted_fn_does_not_capture_ir(self):
+        """fn closing over the ModelIR would pin the flatbuffer blob
+        (every tensor .data is a view into it) for the model's life."""
+        import gc
+        import weakref
+        from face_detection_tflite_tpu.convert.executor import convert_model
+        from face_detection_tflite_tpu.convert.tflite import parse_tflite
+        with open(os.path.join(MODELS_DIR,
+                               "face_detection_short_range.tflite"),
+                  "rb") as f:
+            ir = parse_tflite(f.read())
+        cm = convert_model(ir)
+        assert "ir" not in cm.fn.__code__.co_freevars
+        wr = weakref.ref(ir)
+        del ir
+        gc.collect()
+        assert wr() is None, "ConvertedModel retains the parsed IR"
+
+    def test_combined_call_accepts_device_frame(self, portrait):
+        import jax.numpy as jnp
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        faces, mask = d.detect_faces_with_segmentation(jnp.asarray(portrait))
+        assert len(faces) == 1 and mask.width
+        assert d._devput_cache is None  # no host round trip happened
+        d.dispose()
