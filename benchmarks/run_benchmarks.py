@@ -198,6 +198,53 @@ def main():
             "pretrained": det.embedding_model.is_pretrained,
         }
 
+    # Fused embeddings (embed_in_full=True): MobileFaceNet rides the FULL
+    # program (iris-refined eye alignment on device) vs the separate path
+    # paying one embed_batch dispatch+sync per image.  Reproduces the
+    # results.json `embed_in_full_fused` entry (docs/PERF.md).
+    if faces:
+        det_f = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                             model_dir=d, precision="high",
+                             embed_in_full=True)
+        emb = det.embedding_model
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            n_fused = max(2, iters // 2)
+            t_fused = bench(lambda: det_f.detect_faces_batch(
+                fresh(), FaceDetectionMode.FULL), n=n_fused)
+            t_plain = bench(lambda: det.detect_faces_batch(
+                fresh(), FaceDetectionMode.FULL), n=n_fused)
+
+            def separate():
+                fs = det.detect_faces_batch(fresh(), FaceDetectionMode.FULL)
+                out = []
+                for i, faces_i in enumerate(fs):
+                    pairs_i = [(tuple(f.landmarks.left_eye[:2]),
+                                tuple(f.landmarks.right_eye[:2]))
+                               for f in faces_i]
+                    if pairs_i:
+                        out.append(emb.embed_batch(images[i], pairs_i))
+                return out
+            t_sep = bench(separate, n=2, warm=1)
+        n_faces = sum(len(fs) for fs in det_f.detect_faces_batch(
+            fresh(), FaceDetectionMode.FULL))
+        det_f.dispose()
+        results["configs"]["embed_in_full_fused"] = {
+            f"full_plus_fused_embeddings_ms_batch{batch}":
+                round(t_fused * 1e3, 1),
+            f"full_only_ms_batch{batch}": round(t_plain * 1e3, 1),
+            f"full_plus_separate_embed_batch_per_image_ms_batch{batch}":
+                round(t_sep * 1e3, 1),
+            f"fused_stage_overhead_ms_batch{batch}":
+                round((t_fused - t_plain) * 1e3, 1),
+            "fused_ms_per_face":
+                round((t_fused - t_plain) * 1e3 / max(n_faces, 1), 2),
+            "note": "embed_in_full=True: MobileFaceNet rides the fused "
+                    "FULL program (iris-refined eye alignment on device). "
+                    "Separate path pays one embed_batch dispatch+sync per "
+                    "image (~30 ms relay RTT each).",
+        }
+
     # NMS micro (XLA fixpoint vs Pallas kernel), at the capped and the
     # parity-default (all 896 anchors) candidate counts, interleaved.
     # This is the measurement behind FaceDetector._resolve_pallas_nms.
