@@ -41,7 +41,7 @@ from .pipeline.timings import DetectTimings, FpsCounter
 from .pipeline.tracker import TemporalFaceTracker
 from .pipeline.video import FrameThrottle, VideoFrameResult, process_video
 from .utils.camera import (CameraFormat, CameraFrame, CameraRotation,
-                           camera_frame_from_image,
+                           camera_frame_from_image, camera_frame_from_planes,
                            decode_camera_frame)
 from .pipeline.types import (Blendshape, Detection, Eye, EyePair, Face,
                              FaceBlendshapes, FaceContourType, FaceLandmarks,
@@ -65,7 +65,8 @@ __all__ = [
     "build_pipeline_program", "convert_file", "convert_model",
     "parse_tflite", "ConvertedModel", "resolve_model_dir",
     "ServingPipeline", "DetectTimings", "FpsCounter", "FrameThrottle",
-    "VideoFrameResult", "process_video", "CameraFormat", "camera_frame_from_image", "CameraFrame",
+    "VideoFrameResult", "process_video", "CameraFormat",
+    "camera_frame_from_image", "camera_frame_from_planes", "CameraFrame",
     "CameraRotation", "decode_camera_frame", "load_params_npz",
     "save_params_npz", "swap_params", "FaceDetection", "FaceLandmark",
     "FaceSmoother",

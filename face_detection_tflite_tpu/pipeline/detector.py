@@ -999,12 +999,48 @@ class FaceDetector:
         return results
 
     def detect_faces_from_camera_frame(
-            self, frame, mode: FaceDetectionMode = FaceDetectionMode.FULL
-    ) -> list[Face]:
+            self, frame, mode: FaceDetectionMode = FaceDetectionMode.FULL,
+            *, max_dim: Optional[int] = None) -> list[Face]:
         """Decodes a packed camera frame (NV12/NV21/I420/BGRA/RGBA with
-        rotation) and detects — `detectFacesFromCameraFrame` analog."""
+        rotation) and detects — `detectFacesFromCameraFrame` analog
+        (`face_detector.dart:620-633`).  ``max_dim`` downscales the longer
+        side before detection (the reference's ``maxDim`` live-camera
+        throughput knob); results are in the downscaled frame's
+        coordinates, as in the reference."""
         from ..utils.camera import decode_camera_frame
-        return self.detect_faces(decode_camera_frame(frame), mode)
+        return self.detect_faces(decode_camera_frame(frame, max_dim), mode)
+
+    def detect_faces_from_camera_image(
+            self, camera_image, mode: FaceDetectionMode =
+            FaceDetectionMode.FULL, *, rotation=None, is_bgra: bool = False,
+            max_dim: Optional[int] = None) -> list[Face]:
+        """One-call wrapper for live camera streams — the
+        `detectFacesFromCameraImage` analog (`face_detector.dart:651-666`).
+
+        ``camera_image`` is duck-typed: any object or mapping exposing
+        ``width``, ``height`` and ``planes`` (each plane with ``bytes``
+        plus optional ``bytes_per_row``/``bytesPerRow``,
+        ``bytes_per_pixel``/``bytesPerPixel`` — Flutter's `CameraImage`
+        shape).  YUV plane packing, color conversion, rotation and the
+        ``max_dim`` downscale all run here.  Returns an empty list (not an
+        error) when the plane shape can't be decoded, matching the
+        reference's contract.  ``is_bgra`` selects BGRA vs RGBA for the
+        single-plane desktop path.
+        """
+        from ..utils.camera import (CameraRotation, _plane_field,
+                                    camera_frame_from_planes)
+        width = _plane_field(camera_image, "width")
+        height = _plane_field(camera_image, "height")
+        planes = _plane_field(camera_image, "planes")
+        if width is None or height is None or planes is None:
+            return []
+        frame = camera_frame_from_planes(
+            width, height, planes,
+            rotation=rotation or CameraRotation.NONE, is_bgra=is_bgra)
+        if frame is None:
+            return []
+        return self.detect_faces_from_camera_frame(frame, mode,
+                                                   max_dim=max_dim)
 
     def detect_faces_from_video(self, path: str,
                                 mode: FaceDetectionMode =
@@ -1103,12 +1139,15 @@ class FaceDetector:
         with open(path, "rb") as f:
             return self.get_segmentation_mask_from_bytes(f.read())
 
-    def get_segmentation_mask_from_camera_frame(self, frame
-                                                ) -> SegmentationMask:
+    def get_segmentation_mask_from_camera_frame(
+            self, frame, *, max_dim: Optional[int] = None
+    ) -> SegmentationMask:
         """Decodes a packed camera frame and segments it
-        (`getSegmentationMaskFromCameraFrame`, face_detector.dart:970)."""
+        (`getSegmentationMaskFromCameraFrame`, face_detector.dart:970,
+        incl. its ``maxDim`` downscale knob)."""
         from ..utils.camera import decode_camera_frame
-        return self.get_segmentation_mask(decode_camera_frame(frame))
+        return self.get_segmentation_mask(decode_camera_frame(frame,
+                                                              max_dim))
 
     def detect_faces_from_packed_bytes(
             self, data, *, width: int, height: int, channels: int = 3,
@@ -1184,14 +1223,15 @@ class FaceDetector:
             self._decode_cached(data), mode)
 
     def detect_faces_with_segmentation_from_camera_frame(
-            self, frame, mode: FaceDetectionMode = FaceDetectionMode.FULL
+            self, frame, mode: FaceDetectionMode = FaceDetectionMode.FULL,
+            *, max_dim: Optional[int] = None
     ) -> tuple[list[Face], SegmentationMask]:
         """Combined detect + segment from a packed camera frame
         (`detectFacesWithSegmentationFromCameraFrame`,
-        face_detector.dart:932)."""
+        face_detector.dart:998, incl. its ``maxDim`` knob)."""
         from ..utils.camera import decode_camera_frame
         return self.detect_faces_with_segmentation(
-            decode_camera_frame(frame), mode)
+            decode_camera_frame(frame, max_dim), mode)
 
     def detect_faces_with_segmentation_batch(
             self, images,

@@ -19,7 +19,7 @@ import numpy as np
 from .image import rgb_from_yuv420
 
 __all__ = ["CameraFormat", "CameraRotation", "CameraFrame",
-           "camera_frame_from_image",
+           "camera_frame_from_image", "camera_frame_from_planes",
            "decode_camera_frame"]
 
 
@@ -63,8 +63,15 @@ def _strip_stride(plane: np.ndarray, width: int, stride: Optional[int],
     return plane.reshape(-1, stride)[:, :width * bpp]
 
 
-def decode_camera_frame(frame: CameraFrame) -> np.ndarray:
-    """CameraFrame -> RGB uint8 [H, W, 3] (rotation applied)."""
+def decode_camera_frame(frame: CameraFrame,
+                        max_dim: Optional[int] = None) -> np.ndarray:
+    """CameraFrame -> RGB uint8 [H, W, 3] (rotation applied).
+
+    ``max_dim`` downscales so the longer side fits (INTER_LINEAR, applied
+    before rotation) — the reference's ``maxDim`` knob for live-camera
+    throughput (`helpers.dart:488-493`).  Results are then in the
+    downscaled frame's coordinate system, exactly as the reference's.
+    """
     w, h = frame.width, frame.height
     raw = np.frombuffer(frame.data, np.uint8)
 
@@ -101,6 +108,14 @@ def decode_camera_frame(frame: CameraFrame) -> np.ndarray:
                 v, u = inter[..., 0], inter[..., 1]
         rgb = rgb_from_yuv420(y, u, v)
 
+    rh, rw = rgb.shape[:2]
+    if max_dim is not None and (rw > max_dim or rh > max_dim):
+        import cv2
+        scale = max_dim / max(rw, rh)
+        rgb = cv2.resize(np.ascontiguousarray(rgb),
+                         (int(rw * scale), int(rh * scale)),
+                         interpolation=cv2.INTER_LINEAR)
+
     k = {CameraRotation.NONE: 0, CameraRotation.CW90: 3,
          CameraRotation.CW180: 2, CameraRotation.CW270: 1}[frame.rotation]
     if k:
@@ -125,3 +140,103 @@ def camera_frame_from_image(image: np.ndarray,
     h, w, _ = img.shape
     return CameraFrame(data=img.tobytes(), width=w, height=h,
                        format=CameraFormat.RGBA, rotation=rotation)
+
+
+def _plane_field(plane, *names, default=None):
+    for n in names:
+        if isinstance(plane, dict):
+            if n in plane:
+                return plane[n]
+        elif hasattr(plane, n):
+            return getattr(plane, n)
+    return default
+
+
+def _plane_rows(plane, width_bytes: int, rows: int) -> Optional[np.ndarray]:
+    """[rows, width_bytes] view of a camera plane, honoring row stride.
+
+    The last row of a strided plane is commonly delivered short (HALs pad
+    rows, not the buffer tail), so it is sliced leniently.
+    """
+    data = _plane_field(plane, "bytes", "data")
+    if data is None:
+        return None
+    raw = np.frombuffer(bytes(data), np.uint8)
+    stride = int(_plane_field(plane, "bytes_per_row", "bytesPerRow",
+                              default=width_bytes) or width_bytes)
+    if stride < width_bytes or raw.size < stride * (rows - 1) + width_bytes:
+        return None
+    if raw.size >= stride * rows:
+        return raw[:stride * rows].reshape(rows, stride)[:, :width_bytes]
+    # Short-tail buffer (HAL padded rows, unpadded final row).
+    out = np.empty((rows, width_bytes), np.uint8)
+    for r in range(rows):
+        out[r] = raw[r * stride:r * stride + width_bytes]
+    return out
+
+
+def camera_frame_from_planes(width: int, height: int, planes,
+                             rotation: CameraRotation = CameraRotation.NONE,
+                             is_bgra: bool = False
+                             ) -> Optional[CameraFrame]:
+    """Builds a CameraFrame from CameraImage-shaped planes (duck-typed).
+
+    Analog of flutter_litert's `prepareCameraFrameFromImage`
+    (`face_detector.dart:651-666`): each plane is any object or mapping
+    exposing ``bytes`` plus optional ``bytes_per_row``/``bytesPerRow`` and
+    ``bytes_per_pixel``/``bytesPerPixel``.  Layouts handled:
+
+    * 1 plane, 4 bytes/pixel — desktop BGRA (``is_bgra=True``) or RGBA;
+    * 2 planes — Y + interleaved UV (NV12, the iOS/AVFoundation shape);
+    * 3 planes, chroma pixel stride 1 — planar I420;
+    * 3 planes, chroma pixel stride 2 — Android's interleaved U/V views,
+      de-interleaved here to planar I420.
+
+    Returns None when the plane shape can't be decoded (the reference's
+    contract: callers turn that into an empty face list, not an error).
+    """
+    try:
+        w, h = int(width), int(height)
+        planes = list(planes)
+    except (TypeError, ValueError):
+        return None
+    if w <= 0 or h <= 0 or not planes:
+        return None
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+
+    if len(planes) == 1:
+        px = _plane_rows(planes[0], w * 4, h)
+        if px is None:
+            return None
+        fmt = CameraFormat.BGRA if is_bgra else CameraFormat.RGBA
+        return CameraFrame(data=px.tobytes(), width=w, height=h,
+                           format=fmt, rotation=rotation)
+
+    y = _plane_rows(planes[0], w, h)
+    if y is None:
+        return None
+
+    if len(planes) == 2:
+        uv = _plane_rows(planes[1], 2 * cw, ch)
+        if uv is None:
+            return None
+        return CameraFrame(data=y.tobytes() + uv.tobytes(), width=w,
+                           height=h, format=CameraFormat.NV12,
+                           rotation=rotation)
+
+    if len(planes) == 3:
+        bpp = int(_plane_field(planes[1], "bytes_per_pixel", "bytesPerPixel",
+                               default=1) or 1)
+        if bpp not in (1, 2):
+            return None
+        chroma = []
+        for p in planes[1:]:
+            rows = _plane_rows(p, (cw - 1) * bpp + 1, ch)
+            if rows is None:
+                return None
+            chroma.append(np.ascontiguousarray(rows[:, ::bpp]))
+        u, v = chroma
+        return CameraFrame(data=y.tobytes() + u.tobytes() + v.tobytes(),
+                           width=w, height=h, format=CameraFormat.I420,
+                           rotation=rotation)
+    return None

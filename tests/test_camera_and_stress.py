@@ -187,3 +187,173 @@ def test_camera_frame_from_image_roundtrip():
     assert camera_frame_from_image(rgba).data == rgba.tobytes()
     with pytest.raises(ValueError, match="expected"):
         camera_frame_from_image(np.zeros((4, 4), np.uint8))
+
+
+class _Plane:
+    """Duck-typed CameraImage plane (Flutter shape, snake/camel agnostic)."""
+
+    def __init__(self, data, bytes_per_row=None, bytes_per_pixel=None):
+        self.bytes = data
+        if bytes_per_row is not None:
+            self.bytesPerRow = bytes_per_row
+        if bytes_per_pixel is not None:
+            self.bytesPerPixel = bytes_per_pixel
+
+
+class _CameraImage:
+    def __init__(self, width, height, planes):
+        self.width = width
+        self.height = height
+        self.planes = planes
+
+
+class TestCameraFrameFromPlanes:
+    """`prepareCameraFrameFromImage` analog: duck-typed CameraImage planes
+    (face_detector.dart:651-666)."""
+
+    def _pattern(self, h=64, w=96):
+        x = np.broadcast_to(np.linspace(0, 1, w)[None, :], (h, w))
+        y = np.broadcast_to(np.linspace(0, 1, h)[:, None], (h, w))
+        img = np.stack([x, y, 1 - x], axis=2) * 200 + 20
+        return img.astype(np.uint8)
+
+    def test_three_planes_i420(self):
+        from face_detection_tflite_tpu import camera_frame_from_planes
+        img = self._pattern()
+        y, u, v = _rgb_to_i420(img)
+        h, w = img.shape[:2]
+        frame = camera_frame_from_planes(
+            w, h, [_Plane(y.tobytes()), _Plane(u.tobytes(), bytes_per_pixel=1),
+                   _Plane(v.tobytes(), bytes_per_pixel=1)])
+        assert frame is not None and frame.format == CameraFormat.I420
+        ref = decode_camera_frame(CameraFrame(
+            data=y.tobytes() + u.tobytes() + v.tobytes(), width=w, height=h,
+            format=CameraFormat.I420))
+        assert np.array_equal(decode_camera_frame(frame), ref)
+
+    def test_three_planes_pixel_stride2_android(self):
+        """Android's interleaved U/V views (pixel stride 2, short tail)."""
+        from face_detection_tflite_tpu import camera_frame_from_planes
+        img = self._pattern()
+        y, u, v = _rgb_to_i420(img)
+        h, w = img.shape[:2]
+        ch, cw = u.shape
+        # UVUV... view starting at U and VUVU... starting at V; the final
+        # interleaved byte of the last row is absent (the classic HAL tail).
+        inter = np.empty((ch, 2 * cw), np.uint8)
+        inter[:, 0::2], inter[:, 1::2] = u, v
+        u_view = inter.reshape(-1)[:-1].tobytes()
+        inter_v = np.empty((ch, 2 * cw), np.uint8)
+        inter_v[:, 0::2], inter_v[:, 1::2] = v, u
+        v_view = inter_v.reshape(-1)[:-1].tobytes()
+        frame = camera_frame_from_planes(
+            w, h, [_Plane(y.tobytes()),
+                   _Plane(u_view, bytes_per_row=2 * cw, bytes_per_pixel=2),
+                   _Plane(v_view, bytes_per_row=2 * cw, bytes_per_pixel=2)])
+        assert frame is not None
+        ref = decode_camera_frame(CameraFrame(
+            data=y.tobytes() + u.tobytes() + v.tobytes(), width=w, height=h,
+            format=CameraFormat.I420))
+        assert np.array_equal(decode_camera_frame(frame), ref)
+
+    def test_two_planes_nv12(self):
+        from face_detection_tflite_tpu import camera_frame_from_planes
+        img = self._pattern()
+        y, u, v = _rgb_to_i420(img)
+        h, w = img.shape[:2]
+        ch, cw = u.shape
+        uv = np.empty((ch, 2 * cw), np.uint8)
+        uv[:, 0::2], uv[:, 1::2] = u, v
+        frame = camera_frame_from_planes(
+            w, h, [_Plane(y.tobytes()), _Plane(uv.tobytes())])
+        assert frame is not None and frame.format == CameraFormat.NV12
+        ref = decode_camera_frame(CameraFrame(
+            data=y.tobytes() + uv.tobytes(), width=w, height=h,
+            format=CameraFormat.NV12))
+        assert np.array_equal(decode_camera_frame(frame), ref)
+
+    def test_single_plane_rgba_and_bgra(self):
+        from face_detection_tflite_tpu import camera_frame_from_planes
+        img = self._pattern()
+        h, w = img.shape[:2]
+        rgba = np.dstack([img, np.full((h, w), 255, np.uint8)])
+        for is_bgra in (False, True):
+            px = rgba[..., [2, 1, 0, 3]] if is_bgra else rgba
+            # Strided rows (8 bytes of padding per row), dict-shaped plane.
+            stride = w * 4 + 8
+            padded = np.zeros((h, stride), np.uint8)
+            padded[:, :w * 4] = px.reshape(h, w * 4)
+            frame = camera_frame_from_planes(
+                w, h, [{"bytes": padded.tobytes(), "bytes_per_row": stride,
+                        "bytes_per_pixel": 4}], is_bgra=is_bgra)
+            assert frame is not None
+            assert np.array_equal(decode_camera_frame(frame), img)
+
+    def test_undecodable_shapes_return_none(self):
+        from face_detection_tflite_tpu import camera_frame_from_planes
+        y = np.zeros((8, 8), np.uint8)
+        assert camera_frame_from_planes(8, 8, []) is None
+        assert camera_frame_from_planes(0, 8, [_Plane(b"")]) is None
+        assert camera_frame_from_planes(  # 4 planes: unknown layout
+            8, 8, [_Plane(y.tobytes())] * 4) is None
+        assert camera_frame_from_planes(  # truncated Y buffer
+            8, 8, [_Plane(y.tobytes()[:-9]), _Plane(b"\0" * 32),
+                   _Plane(b"\0" * 32)]) is None
+        assert camera_frame_from_planes(  # bad chroma pixel stride
+            8, 8, [_Plane(y.tobytes()),
+                   _Plane(b"\0" * 16, bytes_per_pixel=3),
+                   _Plane(b"\0" * 16, bytes_per_pixel=3)]) is None
+        assert camera_frame_from_planes(8, 8, None) is None
+
+
+def test_decode_camera_frame_max_dim():
+    """maxDim downscale: INTER_LINEAR to fit the longer side, applied
+    before rotation (helpers.dart:488-493)."""
+    import cv2
+    from face_detection_tflite_tpu import camera_frame_from_image
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (60, 90, 3), dtype=np.uint8)
+    frame = camera_frame_from_image(img)
+    out = decode_camera_frame(frame, max_dim=45)
+    ref = cv2.resize(img, (45, 30), interpolation=cv2.INTER_LINEAR)
+    assert np.array_equal(out, ref)
+    # No-op when the frame already fits.
+    assert np.array_equal(decode_camera_frame(frame, max_dim=90), img)
+    # Pre-rotation: CW90 swaps dims after the downscale.
+    rot = camera_frame_from_image(img, rotation=CameraRotation.CW90)
+    assert decode_camera_frame(rot, max_dim=45).shape == (45, 30, 3)
+
+
+def test_detect_faces_from_camera_image():
+    """One-call CameraImage wrapper: duck-typed planes in, faces out;
+    undecodable shapes yield an empty list (face_detector.dart:651-666)."""
+    from PIL import Image
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector)
+    det = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                       model_dir=MODELS_DIR)
+    img = np.asarray(Image.open(
+        os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+    h, w = img.shape[:2]
+    rgba = np.dstack([img, np.full((h, w), 255, np.uint8)])
+    cam = _CameraImage(w, h, [_Plane(rgba.tobytes(), bytes_per_row=w * 4,
+                                     bytes_per_pixel=4)])
+    faces = det.detect_faces_from_camera_image(cam,
+                                               FaceDetectionMode.FAST)
+    ref = det.detect_faces(img, FaceDetectionMode.FAST)
+    assert len(faces) == len(ref) == 1
+    bb, rb = faces[0].bounding_box, ref[0].bounding_box
+    np.testing.assert_allclose(
+        [bb.xmin, bb.ymin, bb.xmax, bb.ymax],
+        [rb.xmin, rb.ymin, rb.xmax, rb.ymax], atol=1e-5)
+    # max_dim halves the coordinate space (results live in the downscaled
+    # frame, as in the reference).
+    small = det.detect_faces_from_camera_image(
+        cam, FaceDetectionMode.FAST, max_dim=w // 2)
+    assert len(small) == 1
+    assert small[0].original_size == (w // 2, int(h * (w // 2) / w))
+    # Undecodable inputs -> empty list, not an error.
+    assert det.detect_faces_from_camera_image(object()) == []
+    assert det.detect_faces_from_camera_image(
+        _CameraImage(w, h, [_Plane(b"short")])) == []
+    det.dispose()
