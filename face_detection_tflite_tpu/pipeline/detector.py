@@ -74,6 +74,29 @@ def _enable_compilation_cache() -> None:
 from ..utils.image import normalize_channels as _normalize_channels
 
 
+def _image_from_packed_bytes(data, width: int, height: int, channels: int,
+                             channel_order: str) -> np.ndarray:
+    """Raw packed pixel buffer -> RGB(A) array (Mat-bytes convention)."""
+    buf = np.frombuffer(bytes(data), np.uint8)
+    expected = width * height * channels
+    if buf.size != expected:
+        raise ValueError(
+            f"packed buffer holds {buf.size} bytes; {width}x{height}x"
+            f"{channels} needs {expected}")
+    img = buf.reshape(height, width, channels)
+    order = channel_order.lower()
+    if order not in ("bgr", "rgb", "bgra", "rgba"):
+        raise ValueError(f"unknown channel_order {channel_order!r}")
+    if len(order) != channels:
+        raise ValueError(
+            f"channel_order {channel_order!r} does not match "
+            f"channels={channels}")
+    if order.startswith("bgr"):
+        img = (np.concatenate([img[..., 2::-1], img[..., 3:]], axis=-1)
+               if channels == 4 else img[..., ::-1])
+    return img
+
+
 def resolve_model_dir(model_dir: Optional[str] = None) -> str:
     """Finds the directory holding the .tflite model assets."""
     candidates = ([model_dir] if model_dir else []) + \
@@ -1160,24 +1183,18 @@ class FaceDetector:
         BGR).  ``channels`` is 3 (BGR/RGB) or 4 (BGRA/RGBA);
         ``channel_order`` names the layout ("bgr"/"rgb"/"bgra"/"rgba").
         """
-        buf = np.frombuffer(bytes(data), np.uint8)
-        expected = width * height * channels
-        if buf.size != expected:
-            raise ValueError(
-                f"packed buffer holds {buf.size} bytes; {width}x{height}x"
-                f"{channels} needs {expected}")
-        img = buf.reshape(height, width, channels)
-        order = channel_order.lower()
-        if order not in ("bgr", "rgb", "bgra", "rgba"):
-            raise ValueError(f"unknown channel_order {channel_order!r}")
-        if len(order) != channels:
-            raise ValueError(
-                f"channel_order {channel_order!r} does not match "
-                f"channels={channels}")
-        if order.startswith("bgr"):
-            img = (np.concatenate([img[..., 2::-1], img[..., 3:]], axis=-1)
-                   if channels == 4 else img[..., ::-1])
-        return self.detect_faces(img, mode)
+        return self.detect_faces(_image_from_packed_bytes(
+            data, width, height, channels, channel_order), mode)
+
+    def get_face_embedding_from_packed_bytes(
+            self, face: Face, data, *, width: int, height: int,
+            channels: int = 3, channel_order: str = "bgr") -> np.ndarray:
+        """Embedding from raw packed pixel bytes — the
+        `getFaceEmbeddingFromMatBytes` analog (face_detector.dart:735),
+        with the same buffer convention as
+        :meth:`detect_faces_from_packed_bytes`."""
+        return self.get_face_embedding(face, _image_from_packed_bytes(
+            data, width, height, channels, channel_order))
 
     def detect_faces_with_segmentation(
             self, image: np.ndarray,

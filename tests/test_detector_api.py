@@ -497,6 +497,22 @@ class TestMatBytesAndFrameMask:
             mode=FaceDetectionMode.FAST)
         assert len(faces) == 1
 
+    def test_embedding_from_packed_bytes(self):
+        """getFaceEmbeddingFromMatBytes analog (face_detector.dart:735):
+        same vector as the array path, same buffer validation."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        h, w, _ = img.shape
+        (face,) = d.detect_faces(img)
+        via_bytes = d.get_face_embedding_from_packed_bytes(
+            face, img[..., ::-1].tobytes(), width=w, height=h)
+        via_array = d.get_face_embedding(face, img)
+        np.testing.assert_allclose(via_bytes, via_array, atol=1e-6)
+        with pytest.raises(ValueError, match="needs"):
+            d.get_face_embedding_from_packed_bytes(
+                face, b"\x00" * 10, width=w, height=h)
+
     def test_packed_bytes_size_mismatch(self):
         d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
                          model_dir=MODELS_DIR)
