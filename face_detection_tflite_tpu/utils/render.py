@@ -20,7 +20,9 @@ __all__ = ["draw_detections", "draw_mesh", "draw_contours", "draw_iris",
            "draw_multiclass_segmentation", "draw_virtual_background",
            "compose_camera_overlay", "performance_level",
            "mask_valid_region", "SEGMENTATION_CLASS_LABELS",
-           "SEGMENTATION_CLASS_COLORS", "LANDMARK_LABEL_NAMES"]
+           "SEGMENTATION_CLASS_COLORS", "LANDMARK_LABEL_NAMES",
+           "lip_ring", "ring_signed_area", "dilate_ring", "build_lip_rings",
+           "lipstick_mask", "draw_lipstick", "LIPSTICK_COLOR"]
 
 BOX_COLOR = (0, 255, 0)
 KP_COLOR = (255, 64, 64)
@@ -430,6 +432,183 @@ def performance_level(ms: float) -> tuple[str, tuple[int, int, int]]:
     if ms < 1000:
         return "Fair", (255, 152, 0)
     return "Slow", (244, 67, 54)
+
+
+#: Default lipstick shade — the reference demo's desaturated berry
+#: (0xFF8C3A4A, `example/lib/lipstick_painter.dart:32`).
+LIPSTICK_COLOR = (140, 58, 74)
+
+
+def lip_ring(top: np.ndarray, bottom: np.ndarray,
+             shared_endpoints: bool = True) -> np.ndarray:
+    """Joins two lip arcs into one closed ring ([N, 2], first != last).
+
+    The four lip contours pair into two rings sharing their endpoints
+    (mesh 61/291 outer, 78/308 inner), so the second arc is appended
+    reversed with its duplicated first/last vertices dropped
+    (`lipstick_painter.dart:40-50`)."""
+    top = np.asarray(top, np.float64)[:, :2]
+    rev = np.asarray(bottom, np.float64)[::-1, :2]
+    return np.concatenate([top, rev[1:-1] if shared_endpoints else rev])
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area; the sign encodes winding
+    (`lipstick_painter.dart:53-62`)."""
+    ring = np.asarray(ring, np.float64)
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * yn - xn * y) / 2)
+
+
+def dilate_ring(ring: np.ndarray, pixels: float) -> np.ndarray:
+    """Pushes every vertex outward by ``pixels`` along its vertex normal.
+
+    Outward depends on the ring's winding — which is NOT stable between
+    faces (a near-closed mouth inverts the inner ring) — so it is derived
+    from the signed area, not assumed (`lipstick_painter.dart:64-93`)."""
+    ring = np.asarray(ring, np.float64)
+    if pixels == 0 or len(ring) < 3:
+        return ring
+    orient = 1.0 if ring_signed_area(ring) >= 0 else -1.0
+
+    def unit(v):
+        n = np.linalg.norm(v, axis=-1, keepdims=True)
+        return np.where(n == 0, 0.0, v / np.where(n == 0, 1.0, n))
+
+    d1 = unit(ring - np.roll(ring, 1, axis=0))    # from prev to cur
+    d2 = unit(np.roll(ring, -1, axis=0) - ring)   # from cur to next
+    avg = d1 + d2
+    normal = unit(np.stack([avg[:, 1], -avg[:, 0]], axis=1) * orient)
+    return ring + normal * pixels
+
+
+def _catmull_rom_ring(ring: np.ndarray, tension: float = 1.0,
+                      samples: int = 8) -> np.ndarray:
+    """Densifies a closed ring as a Catmull-Rom spline (the painter's
+    `addSmoothRing`, `lipstick_painter.dart:106-132`).  tension 0 gives
+    the raw polygon."""
+    ring = np.asarray(ring, np.float64)
+    n = len(ring)
+    if n < 3 or tension == 0 or samples <= 1:
+        return ring
+    p0 = np.roll(ring, 1, axis=0)
+    p1 = ring
+    p2 = np.roll(ring, -1, axis=0)
+    p3 = np.roll(ring, -2, axis=0)
+    c1 = p1 + (p2 - p0) * (tension / 6.0)
+    c2 = p2 - (p3 - p1) * (tension / 6.0)
+    t = (np.arange(samples) / samples)[None, :, None]
+    seg = ((1 - t) ** 3 * p1[:, None] + 3 * (1 - t) ** 2 * t * c1[:, None]
+           + 3 * (1 - t) * t ** 2 * c2[:, None] + t ** 3 * p2[:, None])
+    return seg.reshape(-1, 2)
+
+
+def build_lip_rings(face: Face, dilate_pixels: float = 0.0,
+                    min_open_fraction: float = 0.06):
+    """(outer, inner|None) lip rings for a face, or None without a mesh.
+
+    The mouth opening (inner ring) is cut out only when its area is a
+    meaningful fraction of the mouth's — on a closed mouth the collapsed
+    inner ring can self-intersect and would speckle an even-odd fill
+    (`lipstick_painter.dart:134-180`; the gate is geometric because the
+    lip landmarks feeding `jawOpen` are unrefined coarse mesh)."""
+    if face.mesh is None:
+        return None
+    outer = dilate_ring(
+        lip_ring(face.mesh.contour(FaceContourType.UPPER_LIP_TOP),
+                 face.mesh.contour(FaceContourType.LOWER_LIP_BOTTOM)),
+        dilate_pixels)
+    inner = lip_ring(face.mesh.contour(FaceContourType.UPPER_LIP_BOTTOM),
+                     face.mesh.contour(FaceContourType.LOWER_LIP_TOP))
+    outer_area = abs(ring_signed_area(outer))
+    if outer_area <= 0:
+        return None
+    if abs(ring_signed_area(inner)) / outer_area < min_open_fraction:
+        inner = None
+    return outer, inner
+
+
+def _fill_even_odd(rings, shape) -> np.ndarray:
+    """Even-odd rasterization of closed rings -> bool [H, W] (the
+    painter's `PathFillType.evenOdd` — mandatory because the inner ring's
+    winding flips between faces)."""
+    h, w = shape[:2]
+    mask = np.zeros((h, w), bool)
+    pts = np.concatenate([np.asarray(r, np.float64) for r in rings])
+    x0 = max(int(np.floor(pts[:, 0].min())), 0)
+    x1 = min(int(np.ceil(pts[:, 0].max())) + 1, w)
+    y0 = max(int(np.floor(pts[:, 1].min())), 0)
+    y1 = min(int(np.ceil(pts[:, 1].max())) + 1, h)
+    if x0 >= x1 or y0 >= y1:
+        return mask
+    ys = np.arange(y0, y1, dtype=np.float64)[:, None] + 0.5
+    xs = np.arange(x0, x1, dtype=np.float64)[None, :] + 0.5
+    crossings = np.zeros((y1 - y0, x1 - x0), np.int32)
+    for ring in rings:
+        ring = np.asarray(ring, np.float64)
+        for (ax, ay), (bx, by) in zip(ring, np.roll(ring, -1, axis=0)):
+            if ay == by:
+                continue
+            spans = (ay <= ys) != (by <= ys)           # [rows, 1]
+            xi = ax + (ys - ay) / (by - ay) * (bx - ax)  # [rows, 1]
+            crossings += (spans & (xs < xi)).astype(np.int32)
+    mask[y0:y1, x0:x1] = (crossings % 2) == 1
+    return mask
+
+
+def lipstick_mask(faces, image_shape, dilate_pixels: float = 2.0,
+                  smoothing: float = 1.0,
+                  min_open_fraction: float = 0.06) -> np.ndarray:
+    """Bool [H, W] lip-region mask for all faces (even-odd union — lip
+    regions never overlap between faces, `lipstick_painter.dart:182-201`)."""
+    if isinstance(faces, Face):
+        faces = [faces]
+    mask = np.zeros(image_shape[:2], bool)
+    for face in faces:
+        built = build_lip_rings(face, dilate_pixels, min_open_fraction)
+        if built is None:
+            continue
+        outer, inner = built
+        rings = [_catmull_rom_ring(outer, smoothing)]
+        if inner is not None:
+            rings.append(_catmull_rom_ring(inner, smoothing))
+        mask |= _fill_even_odd(rings, image_shape)
+    return mask
+
+
+def _blend_color_mode(dst: np.ndarray, color) -> np.ndarray:
+    """Skia `BlendMode.color`: hue+saturation of the paint, luminosity of
+    the image (the PDF SetLum/ClipColor construction Flutter uses)."""
+    dst = dst.astype(np.float32) / 255.0
+    src = np.asarray(color, np.float32) / 255.0
+    lum_w = np.array([0.3, 0.59, 0.11], np.float32)
+    out = src[None, :] + (dst @ lum_w - float(src @ lum_w))[:, None]
+    # ClipColor: pull out-of-gamut channels back toward the luminosity.
+    lum = (out @ lum_w)[:, None]
+    mn = out.min(axis=1, keepdims=True)
+    mx = out.max(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        low = np.where(mn < 0, lum + (out - lum) * lum / (lum - mn), out)
+        out = np.where(mx > 1, lum + (low - lum) * (1 - lum) / (mx - lum),
+                       low)
+    return (np.clip(out, 0, 1) * 255 + 0.5).astype(np.uint8)
+
+
+def draw_lipstick(img: np.ndarray, faces, color=LIPSTICK_COLOR,
+                  dilate_pixels: float = 2.0, smoothing: float = 1.0,
+                  min_open_fraction: float = 0.06,
+                  copy: bool = True) -> np.ndarray:
+    """AR lipstick overlay from the named lip contours — the reference
+    demo's `LipstickPainter` (`example/lib/lipstick_painter.dart`,
+    geometry pinned by `lipstick_overlay_test.dart`) rendered on numpy
+    images with the same even-odd/dilation/open-fraction semantics."""
+    out = np.array(img, copy=True) if copy else img
+    region = lipstick_mask(faces, out.shape, dilate_pixels, smoothing,
+                           min_open_fraction)
+    if region.any():
+        out[region] = _blend_color_mode(out[region], color)
+    return out
 
 
 def annotate(img: np.ndarray, faces: list[Face], mask=None) -> np.ndarray:

@@ -208,3 +208,132 @@ class TestComposeCameraOverlay:
             show_segmentation=True)
         # prob==1 everywhere -> person everywhere -> original kept.
         assert (out == 200).all()
+
+
+class TestLipstickGeometry:
+    """Mirror of the reference's lipstick mask geometry tests
+    (`example/integration_test/lipstick_overlay_test.dart`): the filled
+    region covers lip flesh, excludes the mouth opening and surrounding
+    skin, and the gates/dilation behave as documented."""
+
+    @pytest.fixture(scope="class")
+    def face(self):
+        import os
+        from PIL import Image
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        from .asset_paths import MODELS_DIR, SAMPLES
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        (face,) = det.detect_faces(img, FaceDetectionMode.FULL)
+        det.dispose()
+        return face, img.shape
+
+    @staticmethod
+    def _arc_mid(face, ctype):
+        # Contour index 5 is the mid-line vertex of each lip arc (mesh 0,
+        # 13, 14, 17 respectively).
+        return face.mesh.contour(ctype)[5, :2]
+
+    def _mask(self, face, shape, **kw):
+        kw.setdefault("dilate_pixels", 0.0)
+        return render.lipstick_mask(face, shape, **kw)
+
+    @staticmethod
+    def _at(mask, pt):
+        x, y = int(round(pt[0])), int(round(pt[1]))
+        return bool(mask[y, x])
+
+    def test_covers_lip_flesh(self, face):
+        from face_detection_tflite_tpu.pipeline.types import FaceContourType
+        face, shape = face
+        m = self._mask(face, shape)
+        upper = (self._arc_mid(face, FaceContourType.UPPER_LIP_TOP)
+                 + self._arc_mid(face, FaceContourType.UPPER_LIP_BOTTOM)) / 2
+        lower = (self._arc_mid(face, FaceContourType.LOWER_LIP_TOP)
+                 + self._arc_mid(face, FaceContourType.LOWER_LIP_BOTTOM)) / 2
+        assert self._at(m, upper), "upper lip flesh must be painted"
+        assert self._at(m, lower), "lower lip flesh must be painted"
+
+    def test_excludes_surrounding_skin(self, face):
+        face, shape = face
+        m = self._mask(face, shape)
+        ys, xs = np.nonzero(m)
+        cx, cy = xs.mean(), ys.mean()
+        w, h = xs.max() - xs.min(), ys.max() - ys.min()
+        for px, py in [(xs.min() - 0.3 * w, cy), (xs.max() + 0.3 * w, cy),
+                       (cx, ys.min() - 0.8 * h), (cx, ys.max() + 0.8 * h)]:
+            assert not self._at(m, (px, py)), "skin must stay clean"
+
+    def test_open_fraction_gate(self, face):
+        from face_detection_tflite_tpu.pipeline.types import FaceContourType
+        face, shape = face
+        opening = (self._arc_mid(face, FaceContourType.UPPER_LIP_BOTTOM)
+                   + self._arc_mid(face, FaceContourType.LOWER_LIP_TOP)) / 2
+        cut = self._mask(face, shape, min_open_fraction=0.05)
+        filled = self._mask(face, shape, min_open_fraction=0.5)
+        assert not self._at(cut, opening), "mouth opening must be cut out"
+        assert self._at(filled, opening), "closed-mouth case fills solid"
+
+    def test_dilation_grows_without_moving_center(self, face):
+        face, shape = face
+        tight = self._mask(face, shape)
+        grown = self._mask(face, shape, dilate_pixels=3.0)
+        ty, tx = np.nonzero(tight)
+        gy, gx = np.nonzero(grown)
+        assert gx.max() - gx.min() > tx.max() - tx.min()
+        assert gy.max() - gy.min() > ty.max() - ty.min()
+        short = min(tx.max() - tx.min(), ty.max() - ty.min())
+        drift = np.hypot(gx.mean() - tx.mean(), gy.mean() - ty.mean())
+        assert drift < short * 0.25, "dilation must not translate the mask"
+
+    def test_draw_lipstick_preserves_luminance(self, face):
+        face, shape = face
+        rng = np.random.default_rng(0)
+        img = rng.integers(40, 220, (*shape[:2], 3), dtype=np.uint8)
+        out = render.draw_lipstick(img, [face])
+        m = render.lipstick_mask(face, shape)
+        assert (out[~m] == img[~m]).all()
+        lum = np.array([0.3, 0.59, 0.11])
+        before = (img[m] / 255.0) @ lum
+        after = (out[m] / 255.0) @ lum
+        assert np.abs(before - after).mean() < 0.02  # BlendMode.color
+        # And the painted region takes the paint's hue direction (red-ish).
+        assert (out[m][:, 0].astype(int) - out[m][:, 1].astype(int)).mean() \
+            > 10
+
+
+class TestLipRingPrimitives:
+    def test_signed_area_and_winding(self):
+        sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)
+        assert render.ring_signed_area(sq) == pytest.approx(4.0)
+        assert render.ring_signed_area(sq[::-1]) == pytest.approx(-4.0)
+
+    def test_dilate_is_winding_invariant(self):
+        sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+        for ring in (sq, sq[::-1]):
+            d = render.dilate_ring(ring, 1.0)
+            assert abs(render.ring_signed_area(d)) > \
+                abs(render.ring_signed_area(ring))
+        assert render.dilate_ring(sq, 0.0) is not None
+        np.testing.assert_allclose(render.dilate_ring(sq, 0.0), sq)
+
+    def test_lip_ring_drops_shared_endpoints(self):
+        top = np.array([[0, 0], [1, -1], [2, 0]], float)
+        bottom = np.array([[0, 0], [1, 1], [2, 0]], float)
+        ring = render.lip_ring(top, bottom)
+        assert ring.shape == (4, 2)  # 3 + 3 - 2 shared
+        # Unique vertices only.
+        assert len(np.unique(ring, axis=0)) == 4
+
+    def test_even_odd_fill_hole(self):
+        outer = np.array([[1, 1], [11, 1], [11, 11], [1, 11]], float)
+        inner = np.array([[4, 4], [8, 4], [8, 8], [4, 8]], float)
+        m = render._fill_even_odd([outer, inner], (14, 14))
+        assert m[2, 2] and not m[6, 6] and not m[0, 0]
+        # Winding of the hole must not matter (even-odd).
+        m2 = render._fill_even_odd([outer, inner[::-1]], (14, 14))
+        assert (m == m2).all()
