@@ -1046,9 +1046,11 @@ class FaceDetector:
         ``bytes_per_pixel``/``bytesPerPixel`` — Flutter's `CameraImage`
         shape).  YUV plane packing, color conversion, rotation and the
         ``max_dim`` downscale all run here.  Returns an empty list (not an
-        error) when the plane shape can't be decoded, matching the
-        reference's contract.  ``is_bgra`` selects BGRA vs RGBA for the
-        single-plane desktop path.
+        error) when the plane *layout* can't be decoded, but raises when
+        ``camera_image`` doesn't expose the expected shape at all — both
+        halves of the reference's contract (`face_detector.dart:641-643`).
+        ``is_bgra`` selects BGRA vs RGBA for the single-plane desktop
+        path.
         """
         from ..utils.camera import (CameraRotation, _plane_field,
                                     camera_frame_from_planes)
@@ -1056,7 +1058,9 @@ class FaceDetector:
         height = _plane_field(camera_image, "height")
         planes = _plane_field(camera_image, "planes")
         if width is None or height is None or planes is None:
-            return []
+            raise TypeError(
+                "camera_image must expose width, height and planes "
+                f"(got {type(camera_image).__name__})")
         frame = camera_frame_from_planes(
             width, height, planes,
             rotation=rotation or CameraRotation.NONE, is_bgra=is_bgra)

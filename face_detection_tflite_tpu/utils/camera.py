@@ -152,18 +152,25 @@ def _plane_field(plane, *names, default=None):
     return default
 
 
-def _plane_rows(plane, width_bytes: int, rows: int) -> Optional[np.ndarray]:
+def _plane_rows(plane, width_bytes: int, rows: int,
+                default_stride: Optional[int] = None
+                ) -> Optional[np.ndarray]:
     """[rows, width_bytes] view of a camera plane, honoring row stride.
 
-    The last row of a strided plane is commonly delivered short (HALs pad
-    rows, not the buffer tail), so it is sliced leniently.
+    ``default_stride`` is the row pitch assumed when the plane omits
+    ``bytes_per_row`` — it can exceed ``width_bytes`` (a pixel-stride-2
+    chroma row spans the full interleaved width but only its first
+    ``2*(cw-1)+1`` bytes are meaningful).  The last row of a strided plane
+    is commonly delivered short (HALs pad rows, not the buffer tail), so
+    it is sliced leniently.
     """
     data = _plane_field(plane, "bytes", "data")
     if data is None:
         return None
     raw = np.frombuffer(bytes(data), np.uint8)
     stride = int(_plane_field(plane, "bytes_per_row", "bytesPerRow",
-                              default=width_bytes) or width_bytes)
+                              default=default_stride or width_bytes)
+                 or width_bytes)
     if stride < width_bytes or raw.size < stride * (rows - 1) + width_bytes:
         return None
     if raw.size >= stride * rows:
@@ -231,7 +238,8 @@ def camera_frame_from_planes(width: int, height: int, planes,
             return None
         chroma = []
         for p in planes[1:]:
-            rows = _plane_rows(p, (cw - 1) * bpp + 1, ch)
+            rows = _plane_rows(p, (cw - 1) * bpp + 1, ch,
+                               default_stride=cw * bpp)
             if rows is None:
                 return None
             chroma.append(np.ascontiguousarray(rows[:, ::bpp]))

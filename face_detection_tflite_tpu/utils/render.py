@@ -557,7 +557,7 @@ def _fill_even_odd(rings, shape) -> np.ndarray:
     return mask
 
 
-def lipstick_mask(faces, image_shape, dilate_pixels: float = 2.0,
+def lipstick_mask(faces, image_shape, dilate_pixels: float = 0.0,
                   smoothing: float = 1.0,
                   min_open_fraction: float = 0.06) -> np.ndarray:
     """Bool [H, W] lip-region mask for all faces (even-odd union — lip
@@ -595,19 +595,54 @@ def _blend_color_mode(dst: np.ndarray, color) -> np.ndarray:
     return (np.clip(out, 0, 1) * 255 + 0.5).astype(np.uint8)
 
 
+def _gaussian_blur_2d(a: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur of a float array (no cv2 dependency)."""
+    r = max(1, int(np.ceil(3 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    pad = np.pad(a, ((r, r), (0, 0)), mode="edge")
+    a = sum(k[i] * pad[i:i + a.shape[0]] for i in range(2 * r + 1))
+    pad = np.pad(a, ((0, 0), (r, r)), mode="edge")
+    return sum(k[i] * pad[:, i:i + a.shape[1]] for i in range(2 * r + 1))
+
+
 def draw_lipstick(img: np.ndarray, faces, color=LIPSTICK_COLOR,
-                  dilate_pixels: float = 2.0, smoothing: float = 1.0,
+                  strength: float = 0.85, feather_pixels: float = 1.5,
+                  dilate_pixels: float = 1.0, smoothing: float = 1.0,
                   min_open_fraction: float = 0.06,
                   copy: bool = True) -> np.ndarray:
     """AR lipstick overlay from the named lip contours — the reference
-    demo's `LipstickPainter` (`example/lib/lipstick_painter.dart`,
+    demo's `LipstickPainter` (`example/lib/lipstick_painter.dart:213-233`,
     geometry pinned by `lipstick_overlay_test.dart`) rendered on numpy
-    images with the same even-odd/dilation/open-fraction semantics."""
+    images with the same even-odd/dilation/open-fraction semantics.
+
+    ``strength`` scales the paint's alpha (0.85 default) and
+    ``feather_pixels`` Gaussian-softens the mask edge — the coarse mesh
+    does not land exactly on the vermillion border, so a hard
+    full-strength fill exposes every landmark error."""
     out = np.array(img, copy=True) if copy else img
+    strength = float(np.clip(strength, 0.0, 1.0))
+    if strength <= 0:
+        return out
     region = lipstick_mask(faces, out.shape, dilate_pixels, smoothing,
                            min_open_fraction)
-    if region.any():
-        out[region] = _blend_color_mode(out[region], color)
+    if not region.any():
+        return out
+    ys, xs = np.nonzero(region)
+    r = max(1, int(np.ceil(3 * feather_pixels))) if feather_pixels > 0 else 0
+    y0 = max(ys.min() - r, 0)
+    y1 = min(ys.max() + r + 1, out.shape[0])
+    x0 = max(xs.min() - r, 0)
+    x1 = min(xs.max() + r + 1, out.shape[1])
+    alpha = region[y0:y1, x0:x1].astype(np.float64)
+    if feather_pixels > 0:
+        alpha = _gaussian_blur_2d(alpha, feather_pixels)
+    alpha = (alpha * strength)[..., None]
+    box = out[y0:y1, x0:x1]
+    tinted = _blend_color_mode(box.reshape(-1, 3), color).reshape(box.shape)
+    out[y0:y1, x0:x1] = (box * (1 - alpha) + tinted * alpha
+                         + 0.5).astype(np.uint8)
     return out
 
 

@@ -255,6 +255,15 @@ class TestCameraFrameFromPlanes:
             data=y.tobytes() + u.tobytes() + v.tobytes(), width=w, height=h,
             format=CameraFormat.I420))
         assert np.array_equal(decode_camera_frame(frame), ref)
+        # Omitting the optional bytes_per_row must assume the full
+        # interleaved row pitch (cw*bpp), not the meaningful-span width —
+        # a 2*cw-1 default would shift every chroma row by one byte.
+        no_stride = camera_frame_from_planes(
+            w, h, [_Plane(y.tobytes()),
+                   _Plane(u_view, bytes_per_pixel=2),
+                   _Plane(v_view, bytes_per_pixel=2)])
+        assert no_stride is not None
+        assert np.array_equal(decode_camera_frame(no_stride), ref)
 
     def test_two_planes_nv12(self):
         from face_detection_tflite_tpu import camera_frame_from_planes
@@ -324,6 +333,8 @@ def test_decode_camera_frame_max_dim():
     assert decode_camera_frame(rot, max_dim=45).shape == (45, 30, 3)
 
 
+@pytest.mark.skipif(not os.path.isdir(MODELS_DIR),
+                    reason="model assets not fetched")
 def test_detect_faces_from_camera_image():
     """One-call CameraImage wrapper: duck-typed planes in, faces out;
     undecodable shapes yield an empty list (face_detector.dart:651-666)."""
@@ -352,8 +363,11 @@ def test_detect_faces_from_camera_image():
         cam, FaceDetectionMode.FAST, max_dim=w // 2)
     assert len(small) == 1
     assert small[0].original_size == (w // 2, int(h * (w // 2) / w))
-    # Undecodable inputs -> empty list, not an error.
-    assert det.detect_faces_from_camera_image(object()) == []
+    # Undecodable plane LAYOUT -> empty list; an object that doesn't
+    # expose the CameraImage shape at all raises (the reference's split
+    # contract, face_detector.dart:641-643).
     assert det.detect_faces_from_camera_image(
         _CameraImage(w, h, [_Plane(b"short")])) == []
+    with pytest.raises(TypeError, match="width"):
+        det.detect_faces_from_camera_image(object())
     det.dispose()
