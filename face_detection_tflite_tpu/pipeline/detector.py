@@ -1292,6 +1292,40 @@ class FaceDetector:
         report["precision"] = str(self._precision)
         return report
 
+    def memory_report(self) -> dict:
+        """Weight footprint in bytes per network, plus cache counters.
+
+        Analog of the reference's documented model-memory numbers
+        (~26-40 MB full pipeline in the isolate, +7-10 MB per extra
+        mesh-pool instance — README.md:1273, face_detector.dart:231-232).
+        Here there is no interpreter pool: each network's weights live
+        once as a device pytree shared by every compiled program, so the
+        footprint is the sum below regardless of batch or face count.
+        Sizes come from array metadata (no device sync)."""
+        self._check_disposed()
+
+        def nbytes(tree) -> int:
+            return int(sum(getattr(leaf, "nbytes", 0)
+                           for leaf in jax.tree_util.tree_leaves(tree)))
+
+        report: dict = {}
+        for name in ("detector", "mesh", "iris", "blendshapes",
+                     "embedding"):
+            m = getattr(self.models, name, None)
+            if m is not None:
+                report[name] = nbytes(m.params)
+        if "embedding" not in report and self._embedding is not None \
+                and self._embedding.model is not None:
+            # Lazily-loaded standalone embedding (embed_in_full puts the
+            # same weights in models.embedding instead).
+            report["embedding"] = nbytes(self._embedding.model.params)
+        if self._segmentation is not None and \
+                self._segmentation.model is not None:
+            report["segmentation"] = nbytes(self._segmentation.model.params)
+        report["total_weights"] = sum(v for v in report.values())
+        report["compiled_programs"] = len(self._programs)
+        return report
+
     @staticmethod
     def split_meshes_if_concatenated(mesh_pts) -> list[np.ndarray]:
         """Splits a concatenated [N*468, ...] mesh point array into

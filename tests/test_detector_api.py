@@ -4,6 +4,7 @@ detect+segment.  Mirrors `test/face_detector_test.dart` /
 """
 
 import os
+import warnings
 
 import numpy as np
 import pytest
@@ -313,6 +314,33 @@ class TestImageBucketing:
                          model_dir=MODELS_DIR, bucket_images=True,
                          min_face_size=0.2)
         assert d.detect_faces(img, FaceDetectionMode.FAST) == []
+
+
+class TestMemoryReport:
+    def test_weight_footprint_and_dispose(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        assert "embedding" not in d.memory_report()  # lazy until used
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            d.embedding_model
+        r = d.memory_report()
+        # Every loaded network reports a real footprint; the five face
+        # models sum to the same ballpark as the reference's documented
+        # ~26-40 MB pipeline (README.md:1273) minus interpreter overhead.
+        for name in ("detector", "mesh", "iris", "blendshapes",
+                     "embedding", "segmentation"):
+            assert r[name] > 10_000, name
+        assert r["total_weights"] == sum(
+            v for k, v in r.items()
+            if k not in ("total_weights", "compiled_programs"))
+        assert 4_000_000 < r["total_weights"] < 100_000_000
+        img = _img("landmark-ex1.jpg")
+        d.detect_faces(img, FaceDetectionMode.FAST)
+        assert d.memory_report()["compiled_programs"] >= 1
+        d.dispose()
+        with pytest.raises(RuntimeError):
+            d.memory_report()
 
 
 class TestPrecisionPresets:
