@@ -277,6 +277,23 @@ class SelfieSegmentation:
         # FaceDetector._programs_lock: a race costs a duplicated
         # 20-240 s first compile).
         self._programs_lock = threading.Lock()
+        self._device = None
+        self._placed_params = None
+
+    def place_on(self, device) -> None:
+        """Pins this pipeline's weights and execution to ``device``.
+
+        The multi-chip analog of the reference's separate segmentation
+        isolate (`face_detector.dart:1297-1324`): with segmentation on its
+        own chip, the combined detect+segment call genuinely computes in
+        parallel and costs ≈ max(detect, segment) — on one chip the device
+        programs serialize and only host stages overlap (docs/PERF.md).
+        Inputs are transferred to ``device`` at dispatch (the analog of
+        the reference shipping bytes into the isolate)."""
+        if self.model is None:
+            raise RuntimeError("SelfieSegmentation has been disposed")
+        self._device = device
+        self._placed_params = jax.device_put(self.model.params, device)
 
     def _program(self, img_h: int, img_w: int):
         key = (img_h, img_w)
@@ -318,6 +335,7 @@ class SelfieSegmentation:
         there is no isolate to wind down here."""
         self._programs = {}
         self.model = None
+        self._placed_params = None
 
     def dispose_async(self) -> None:
         self.dispose()
@@ -348,7 +366,11 @@ class SelfieSegmentation:
                 f"image {w}x{h} is smaller than minimum "
                 f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
         prog, lbp = self._program(h, w)
-        planes = prog(model.params, images)
+        params = model.params
+        if self._device is not None:
+            params = self._placed_params
+            images = jax.device_put(images, self._device)
+        planes = prog(params, images)
         try:
             # Overlap the D2H copy with whatever runs before materialize
             # (the combined detect+segment path dispatches detection next).

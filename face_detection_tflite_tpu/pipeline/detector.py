@@ -149,7 +149,8 @@ class FaceDetector:
                  allow_untrained_embeddings: bool = False,
                  quantized_readback: bool = True,
                  detailed_timings: bool = False,
-                 embed_in_full: bool = False):
+                 embed_in_full: bool = False,
+                 seg_device=None):
         validate_face_gates(min_score, min_face_size,
                             min_face_presence_confidence)
         validate_tracking_config(max_missed_frames)
@@ -233,6 +234,17 @@ class FaceDetector:
         #: Segmentation preset (`SegmentationConfig`, face_types.dart:236).
         #: When given, its ``model`` wins over ``segmentation_model``.
         self._segmentation_config = segmentation_config
+        #: Chip placement for the segmentation programs — the multi-chip
+        #: analog of the reference's dedicated segmentation isolate.
+        #: None = same chip (host stages overlap, device compute
+        #: serializes); "auto" = the second visible device when one
+        #: exists; or an explicit `jax.Device`.  With its own chip the
+        #: combined call costs ≈ max(detect, segment), the reference's
+        #: dual-isolate behavior (face_detector.dart:1297-1324).
+        if seg_device == "auto":
+            devs = jax.devices()
+            seg_device = devs[1] if len(devs) > 1 else None
+        self._seg_device = seg_device
         self._segmentation: Optional[SelfieSegmentation] = None
         if with_segmentation or segmentation_config is not None:
             self._load_segmentation(segmentation_config.model
@@ -327,6 +339,8 @@ class FaceDetector:
             cm, multiclass=multiclass,
             mask_dtype=cfg.mask_dtype if cfg else "float32",
             max_output_size=cfg.max_output_size if cfg else 2048)
+        if self._seg_device is not None:
+            self._segmentation.place_on(self._seg_device)
 
     @property
     def embedding_model(self) -> FaceEmbedding:
@@ -1286,7 +1300,10 @@ class FaceDetector:
         report = {"detector": backend, "mesh": backend, "iris": backend,
                   "blendshapes": backend}
         if self._segmentation is not None:
-            report["segmentation"] = backend
+            sd = self._seg_device
+            report["segmentation"] = (
+                f"{sd.platform}:{sd.device_kind}#{sd.id}" if sd is not None
+                else backend)
         if self._embedding is not None:
             report["embedding"] = backend
         report["precision"] = str(self._precision)

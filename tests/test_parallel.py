@@ -124,3 +124,51 @@ def test_stream_with_data_parallel():
         [batch, batch], FaceDetectionMode.FAST, depth=2))
     assert [len(f) for f in streamed[0]] == [len(f) for f in direct]
     assert len(streamed) == 2
+
+
+class TestSegDevicePlacement:
+    """Second-chip segmentation (`seg_device`): the multi-chip analog of
+    the reference's dedicated segmentation isolate
+    (face_detector.dart:1297-1324) — combined detect+segment computes in
+    genuine parallel across chips instead of serializing on one."""
+
+    def test_combined_on_second_device_matches_single(self):
+        from PIL import Image
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        d0 = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                          model_dir=MODELS_DIR, with_segmentation=True)
+        d1 = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                          model_dir=MODELS_DIR, with_segmentation=True,
+                          seg_device="auto")
+        assert d1._seg_device == jax.devices()[1]
+        f0, m0 = d0.detect_faces_with_segmentation(img)
+        f1, m1 = d1.detect_faces_with_segmentation(img)
+        assert len(f0) == len(f1) == 1
+        assert f0[0].bounding_box == f1[0].bounding_box
+        np.testing.assert_allclose(np.asarray(m0.data),
+                                   np.asarray(m1.data), atol=1e-6)
+        # The segmentation buffers genuinely live on the second device.
+        handle = d1._segmentation.dispatch(img[None])
+        assert set(handle[0].devices()) == {jax.devices()[1]}
+        d1._segmentation.materialize(handle)
+        assert "#1" in d1.accelerator_report["segmentation"]
+        d0.dispose()
+        d1.dispose()
+
+    def test_explicit_device_and_dispose(self):
+        from face_detection_tflite_tpu.models.segmentation import (
+            SelfieSegmentation)
+        from face_detection_tflite_tpu.convert.executor import convert_file
+        cm = convert_file(f"{MODELS_DIR}/selfie_segmenter.tflite")
+        seg = SelfieSegmentation(cm)
+        seg.place_on(jax.devices()[2])
+        img = np.full((256, 256, 3), 128, np.uint8)
+        (mask,) = seg.materialize(seg.dispatch(img[None]))
+        assert mask.data.shape[0] > 0
+        seg.dispose()
+        with pytest.raises(RuntimeError):
+            seg.place_on(jax.devices()[2])
