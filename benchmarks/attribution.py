@@ -39,6 +39,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 ITERS = int(os.environ.get("FDT_ATTR_ITERS", "15"))
 BATCH = int(os.environ.get("FDT_ATTR_BATCH", "16"))
 

@@ -45,7 +45,7 @@ def main():
     print(f"{len(faces)} face(s) in {src}; painting lips "
           f"#{color[0]:02X}{color[1]:02X}{color[2]:02X}")
 
-    out = draw_lipstick(img, faces, color=color, dilate_pixels=2.0)
+    out = draw_lipstick(img, faces, color=color)
 
     from PIL import Image
     Image.fromarray(out).save(dst)
