@@ -246,10 +246,14 @@ class FaceDetector:
             seg_device = devs[1] if len(devs) > 1 else None
         self._seg_device = seg_device
         self._segmentation: Optional[SelfieSegmentation] = None
-        if with_segmentation or segmentation_config is not None:
-            self._load_segmentation(segmentation_config.model
+        #: Remembered for lazy loads too: a detector built with
+        #: segmentation_model=LANDSCAPE but with_segmentation=False must
+        #: still get LANDSCAPE when the first mask call triggers the load.
+        self._segmentation_model = (segmentation_config.model
                                     if segmentation_config is not None
                                     else segmentation_model)
+        if with_segmentation or segmentation_config is not None:
+            self._load_segmentation(self._segmentation_model)
 
         #: One-entry decoded-image cache so detect + embed on the same
         #: encoded bytes decodes once (`decodeSourceCached`,
@@ -1161,7 +1165,7 @@ class FaceDetector:
     def get_segmentation_mask(self, image: np.ndarray) -> SegmentationMask:
         self._check_disposed()
         if self._segmentation is None:
-            self._load_segmentation(SegmentationModel.GENERAL)
+            self._load_segmentation(self._segmentation_model)
         return self._segmentation(
             self._device_put_cached(image)[None])[0]
 
@@ -1230,7 +1234,7 @@ class FaceDetector:
         behavior needs a second chip (the data-parallel mesh path)."""
         self._check_disposed()
         if self._segmentation is None:
-            self._load_segmentation(SegmentationModel.GENERAL)
+            self._load_segmentation(self._segmentation_model)
         gen0 = self._tracking_generation
         # Device-resident frames pass through; host arrays upload once and
         # share the one-entry cache with detect/embed (_device_put_cached).
@@ -1279,7 +1283,7 @@ class FaceDetector:
         the batch form."""
         self._check_disposed()
         if self._segmentation is None:
-            self._load_segmentation(SegmentationModel.GENERAL)
+            self._load_segmentation(self._segmentation_model)
         images = _normalize_channels(images)
         seg_handle = self._segmentation.dispatch(images)
         faces = self.detect_faces_batch(images, mode)

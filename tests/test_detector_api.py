@@ -525,6 +525,19 @@ class TestMatBytesAndFrameMask:
             mode=FaceDetectionMode.FAST)
         assert len(faces) == 1
 
+    def test_lazy_load_honors_ctor_segmentation_model(self):
+        """A detector built with segmentation_model=LANDSCAPE but
+        with_segmentation=False must still load LANDSCAPE (not GENERAL)
+        when the first mask call triggers the lazy load."""
+        from face_detection_tflite_tpu import SegmentationModel
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR,
+                         segmentation_model=SegmentationModel.LANDSCAPE)
+        assert d._segmentation is None
+        d.get_segmentation_mask(np.full((256, 256, 3), 128, np.uint8))
+        assert d._segmentation.in_h == 144  # landscape model is 144x256
+        d.dispose()
+
     def test_embedding_from_packed_bytes(self):
         """getFaceEmbeddingFromMatBytes analog (face_detector.dart:735):
         same vector as the array path, same buffer validation."""
