@@ -218,7 +218,10 @@ class FaceDetector:
         #: comes back with a 192-dim embedding from the SAME device call
         #: (no separate dispatch, no frame re-upload).  TPU-native
         #: extension of `getFaceEmbedding` (face_detector_core.dart:419).
-        self.embed_in_full = embed_in_full
+        #: Constructor-only (read-only property): the compiled-program
+        #: cache and models.embedding are built from it, so a
+        #: post-construction flip would desync cached vs new image sizes.
+        self._embed_in_full = embed_in_full
         self.models = PipelineModels(
             detector=load(model.value, "detector"), variant=model.value,
             mesh=load("face_landmark", "mesh"),
@@ -347,6 +350,14 @@ class FaceDetector:
             self._segmentation.place_on(self._seg_device)
 
     @property
+    def embed_in_full(self) -> bool:
+        """Whether MobileFaceNet rides the fused FULL program (read-only:
+        compiled programs and models.embedding are built from the
+        constructor value, so flipping it afterwards would desync cached
+        image sizes from new ones)."""
+        return self._embed_in_full
+
+    @property
     def embedding_model(self) -> FaceEmbedding:
         if self._embedding is None:
             pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -395,7 +406,7 @@ class FaceDetector:
                     num_candidates=self.num_candidates,
                     use_pallas_nms=self._resolve_pallas_nms(),
                     face_slab=face_slab,
-                    with_embeddings=(self.embed_in_full and
+                    with_embeddings=(self._embed_in_full and
                                      mode == FaceDetectionMode.FULL))
                 if self._mesh is not None:
                     from ..parallel.sharding import data_parallel as _dp
@@ -528,7 +539,7 @@ class FaceDetector:
             if key not in self._programs:
                 self._programs[key] = jax.jit(build_pipeline_program(
                     self.models, img_h, img_w, mode, from_detections=True,
-                    with_embeddings=(self.embed_in_full and
+                    with_embeddings=(self._embed_in_full and
                                      mode == FaceDetectionMode.FULL)))
             return self._programs[key]
 

@@ -54,8 +54,9 @@ class ServingPipeline:
         #: continuous-stream form).
         self._with_segmentation = with_segmentation
         if with_segmentation and detector._segmentation is None:
-            from .config import SegmentationModel
-            detector._load_segmentation(SegmentationModel.GENERAL)
+            # Honor the detector's configured model/preset, exactly like
+            # its own lazy-load sites.
+            detector._load_segmentation(detector._segmentation_model)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._closed = False
         self._submit_lock = threading.Lock()

@@ -525,6 +525,27 @@ class TestMatBytesAndFrameMask:
             mode=FaceDetectionMode.FAST)
         assert len(faces) == 1
 
+    def test_serving_lazy_load_honors_ctor_segmentation_model(self):
+        """ServingPipeline(with_segmentation=True) must load the
+        detector's configured model, not hard-code GENERAL."""
+        from face_detection_tflite_tpu import (SegmentationModel,
+                                               ServingPipeline)
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR,
+                         segmentation_model=SegmentationModel.LANDSCAPE)
+        with ServingPipeline(d, FaceDetectionMode.FAST,
+                             with_segmentation=True):
+            assert d._segmentation.in_h == 144
+        d.dispose()
+
+    def test_embed_in_full_is_constructor_only(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        assert d.embed_in_full is False
+        with pytest.raises(AttributeError):
+            d.embed_in_full = True
+        d.dispose()
+
     def test_lazy_load_honors_ctor_segmentation_model(self):
         """A detector built with segmentation_model=LANDSCAPE but
         with_segmentation=False must still load LANDSCAPE (not GENERAL)
