@@ -311,6 +311,24 @@ class FaceDetector:
         #: post-dispatch stage into compute_wait + readback.  Costs one
         #: extra host-device sync per batch — keep off in production.
         self.detailed_timings = detailed_timings
+        self._init_done = True
+
+    #: Attributes baked into compiled programs at first use.  Mutating
+    #: them post-construction would silently desync already-cached
+    #: programs from new image sizes (the embed_in_full bug class), so
+    #: writes are rejected after __init__ — the reference exposes these
+    #: as getters over final fields too (`face_detector.dart:138-158`).
+    _PROGRAM_BAKED = frozenset({
+        "max_faces", "min_score", "min_face_size", "num_candidates",
+        "use_pallas_nms", "bucket_images"})
+
+    def __setattr__(self, name, value):
+        if name in self._PROGRAM_BAKED and getattr(self, "_init_done",
+                                                   False):
+            raise AttributeError(
+                f"{name} is fixed at construction (compiled programs are "
+                "built from it); create a new FaceDetector instead")
+        super().__setattr__(name, value)
 
     # -- lazy submodels --------------------------------------------------------
 

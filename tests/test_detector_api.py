@@ -546,6 +546,21 @@ class TestMatBytesAndFrameMask:
             d.embed_in_full = True
         d.dispose()
 
+    def test_program_baked_attributes_frozen(self):
+        """Attributes baked into compiled programs reject mutation — a
+        post-construction flip would desync cached programs from new
+        image sizes (the reference's equivalents are final fields)."""
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR, max_faces=4)
+        for name, val in [("max_faces", 8), ("min_score", 0.1),
+                          ("min_face_size", 0.2), ("num_candidates", 64),
+                          ("use_pallas_nms", True),
+                          ("bucket_images", True)]:
+            with pytest.raises(AttributeError, match="fixed at"):
+                setattr(d, name, val)
+        d.detailed_timings = True  # host-only knobs stay mutable
+        d.dispose()
+
     def test_lazy_load_honors_ctor_segmentation_model(self):
         """A detector built with segmentation_model=LANDSCAPE but
         with_segmentation=False must still load LANDSCAPE (not GENERAL)
