@@ -35,6 +35,21 @@ def main():
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                        with_segmentation=True)
     img = load_image(src)
+    # Fit very large photos before detection, like the reference example
+    # app (images are detected at display size there; the API analog is
+    # the camera paths' maxDim knob).  Keeps the one-program-per-size
+    # compile cost sane for 4K+ inputs: the bundled group shot is
+    # 2160x3840, whose full-resolution fused program takes the relay's
+    # compile service tens of minutes.
+    max_dim = int(os.environ.get("FDT_DEMO_MAX_DIM", "1536"))
+    h, w = img.shape[:2]
+    if max(h, w) > max_dim:
+        import cv2
+        s = max_dim / max(h, w)
+        img = cv2.resize(img, (int(w * s), int(h * s)),
+                         interpolation=cv2.INTER_LINEAR)
+        print(f"downscaled {w}x{h} -> {img.shape[1]}x{img.shape[0]} "
+              f"(FDT_DEMO_MAX_DIM={max_dim})")
     faces, mask = det.detect_faces_with_segmentation(img)
 
     print(f"{len(faces)} face(s) in {src} "
