@@ -1191,6 +1191,32 @@ class FaceDetector:
 
     # -- segmentation ------------------------------------------------------------
 
+    def initialize_segmentation(
+            self, config: Optional[SegmentationConfig] = None) -> None:
+        """Eagerly loads the segmentation model on an already-created
+        detector (`initializeSegmentation`, face_detector.dart:434-462).
+
+        Idempotent like the reference: a no-op once segmentation is
+        loaded (whether by the constructor or a previous call).  The
+        optional ``config`` (reference default: ``SegmentationConfig.safe``
+        there; here ``None`` keeps the constructor's model/precision
+        choices) selects model family, precision, and mask format for the
+        load.  Without calling this, the first mask request lazy-loads
+        with the constructor's settings."""
+        self._check_disposed()
+        if self._segmentation is not None:
+            return
+        if config is not None:
+            self._segmentation_config = config
+            self._segmentation_model = config.model
+        self._load_segmentation(self._segmentation_model)
+
+    @property
+    def is_segmentation_ready(self) -> bool:
+        """True once the segmentation model is loaded
+        (`isSegmentationReady`, face_detector.dart:217)."""
+        return self._segmentation is not None and not self._disposed
+
     def get_segmentation_mask(self, image: np.ndarray) -> SegmentationMask:
         self._check_disposed()
         if self._segmentation is None:
@@ -1397,6 +1423,12 @@ class FaceDetector:
     @property
     def is_ready(self) -> bool:
         return not self._disposed
+
+    @property
+    def is_embedding_ready(self) -> bool:
+        """All models load together, so this mirrors :attr:`is_ready`
+        (`isEmbeddingReady`, face_detector.dart:215)."""
+        return self.is_ready
 
     def dispose(self) -> None:
         """Releases compiled programs AND model weights (the reference's

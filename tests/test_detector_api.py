@@ -574,6 +574,37 @@ class TestMatBytesAndFrameMask:
         assert d._segmentation.in_h == 144  # landscape model is 144x256
         d.dispose()
 
+    def test_initialize_segmentation_eager_and_idempotent(self):
+        """`initializeSegmentation` analog (face_detector.dart:434-462):
+        eager post-create load, config honored, idempotent after load."""
+        from face_detection_tflite_tpu import (SegmentationConfig,
+                                               SegmentationModel)
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        assert not d.is_segmentation_ready
+        d.initialize_segmentation(
+            SegmentationConfig(model=SegmentationModel.LANDSCAPE,
+                               mask_dtype="uint8"))
+        assert d.is_segmentation_ready
+        assert d._segmentation.in_h == 144  # landscape model is 144x256
+        first = d._segmentation
+        # Second call (even with a different config) is a no-op like the
+        # reference's `if (_segmentationInitialized) return`.
+        d.initialize_segmentation(SegmentationConfig.safe())
+        assert d._segmentation is first
+        d.dispose()
+        assert not d.is_segmentation_ready
+
+    def test_ready_properties(self):
+        """isReady / isEmbeddingReady / isSegmentationReady
+        (face_detector.dart:210-218)."""
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR, with_segmentation=True)
+        assert d.is_ready and d.is_embedding_ready
+        assert d.is_segmentation_ready
+        d.dispose()
+        assert not d.is_ready and not d.is_embedding_ready
+
     def test_embedding_from_packed_bytes(self):
         """getFaceEmbeddingFromMatBytes analog (face_detector.dart:735):
         same vector as the array path, same buffer validation."""
