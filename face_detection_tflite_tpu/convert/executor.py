@@ -134,6 +134,7 @@ _STATIC_INPUTS = {
     "TILE": {1},
     "SLICE": {1, 2},
     "TRANSPOSE_CONV": {0},
+    "MIRROR_PAD": {1},
 }
 
 
@@ -667,6 +668,20 @@ def convert_model(
                 reps = tuple(int(v) for v in
                              np.atleast_1d(get_static(op.inputs[1])))
                 env[op.outputs[0]] = jnp.tile(x, reps)
+            elif nm == "GATHER":
+                x = get(op.inputs[0])
+                idx = get(op.inputs[1])
+                if o.get("batch_dims", 0):
+                    raise ValueError(
+                        "GATHER with batch_dims != 0 is not supported")
+                env[op.outputs[0]] = jnp.take(x, idx.astype(jnp.int32),
+                                              axis=o.get("axis", 0))
+            elif nm == "MIRROR_PAD":
+                x = get(op.inputs[0])
+                padv = get_static(op.inputs[1]).reshape(-1, 2)
+                env[op.outputs[0]] = jnp.pad(
+                    x, [(int(a), int(b)) for a, b in padv],
+                    mode="reflect" if o.get("mode", 0) == 0 else "symmetric")
             elif nm == "L2_NORMALIZATION":
                 x = get(op.inputs[0])
                 env[op.outputs[0]] = x * jax.lax.rsqrt(

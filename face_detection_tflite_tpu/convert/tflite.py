@@ -63,6 +63,7 @@ OPNAMES = {
     28: "TANH",
     32: "CUSTOM",
     34: "PAD",
+    36: "GATHER",
     39: "TRANSPOSE",
     40: "MEAN",
     41: "SUB",
@@ -96,6 +97,7 @@ OPNAMES = {
     97: "RESIZE_NEAREST_NEIGHBOR",
     98: "LEAKY_RELU",
     99: "SQUARED_DIFFERENCE",
+    100: "MIRROR_PAD",
     101: "ABS",
     111: "ELU",
     117: "HARD_SWISH",
@@ -249,6 +251,12 @@ def _decode_options(opname: str, op: Table) -> dict:
                 "adj_y": scalar(1, "bool", False)}
     if opname == "GELU":
         return {"approximate": scalar(0, "bool", False)}
+    if opname == "GATHER":
+        return {"axis": scalar(0, "int32", 0),
+                "batch_dims": scalar(1, "int32", 0)}
+    if opname == "MIRROR_PAD":
+        # MirrorPadMode: REFLECT = 0, SYMMETRIC = 1.
+        return {"mode": scalar(0, "int8", 0)}
     return {}
 
 

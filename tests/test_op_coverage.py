@@ -105,6 +105,9 @@ BUILDERS = {
     "UNPACK": (lambda x: tf.unstack(x, axis=1)[0] * 2.0
                + tf.unstack(x, axis=1)[3], SPEC3),
     "BATCH_MATMUL": (lambda x: tf.matmul(x, _const([2, 6, 5])), SPEC3),
+    "GATHER": (lambda x: tf.gather(x, [3, 0, 2, 2], axis=2), SPEC4),
+    "MIRROR_PAD": (lambda x: tf.pad(x, [[0, 0], [1, 2], [2, 1], [0, 0]],
+                                    mode="REFLECT"), SPEC4),
 }
 
 # Ops the modern converter never (or only circuitously) emits, proven by a
@@ -208,6 +211,20 @@ def test_expand_dims_direct_ir():
     cm = convert_model(ir, name="cov-EXPAND_DIMS")
     np.testing.assert_array_equal(np.asarray(cm.fn(cm.params, x)[0]),
                                   x[:, None])
+
+
+def test_mirror_pad_symmetric():
+    """The SYMMETRIC mode (the builder covers REFLECT)."""
+    fn = lambda x: tf.pad(x, [[0, 0], [2, 1], [1, 2], [0, 0]],
+                          mode="SYMMETRIC")  # noqa: E731
+    cf = tf.function(fn).get_concrete_function(SPEC4)
+    blob = tf.lite.TFLiteConverter.from_concrete_functions([cf]).convert()
+    ir = parse_tflite(blob)
+    assert any(op.name == "MIRROR_PAD" for op in ir.ops)
+    cm = convert_model(ir, name="cov-MIRROR_PAD-sym")
+    x = _rng.uniform(-1, 1, (1, 8, 8, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(cm.fn(cm.params, x)[0]),
+                               _interp_run(blob, x), rtol=1e-6, atol=1e-6)
 
 
 def test_advertised_ops_covered():
