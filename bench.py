@@ -42,39 +42,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _devices_or_die(jax, timeout_s: float):
-    """First device query with a hang watchdog.
-
-    A wedged TPU relay makes ``jax.devices()`` block forever (no exception
-    to catch), which would stall the whole benchmark harness.  Probe it on
-    a daemon thread; fail loudly after ``timeout_s`` instead of hanging.
-    An init *error* (relay absent) still falls back to CPU as before.
-    """
-    import threading
-
-    box = {}
-
-    def probe():
-        try:
-            box["devices"] = jax.devices()
-        except RuntimeError as e:
-            box["error"] = e
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if th.is_alive():
-        log(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s "
-            "(TPU relay hung?). Set FDT_DEVICE_TIMEOUT to adjust.")
-        os._exit(1)
-    if "error" in box:
-        jax.config.update("jax_platforms", "cpu")
-
-
 def main():
-    import jax
+    import jax  # noqa: F401  (backend init below)
 
-    _devices_or_die(jax, float(os.environ.get("FDT_DEVICE_TIMEOUT", "300")))
+    # Hang watchdog + error->CPU fallback + FDT_FORCE_CPU (a wedged TPU
+    # relay makes jax.devices() block forever — no exception to catch).
+    from face_detection_tflite_tpu.utils.backend import ensure_backend
+    ensure_backend()
     import jax.numpy as jnp
 
     from face_detection_tflite_tpu import (FaceDetectionMode,

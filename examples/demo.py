@@ -15,16 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import jax
-
-    try:
-        jax.devices()
-    except RuntimeError:
-        jax.config.update("jax_platforms", "cpu")
+    from face_detection_tflite_tpu.utils.backend import ensure_backend
+    ensure_backend()
 
     from face_detection_tflite_tpu import (FaceDetectionModel, FaceDetector)
     from face_detection_tflite_tpu import resolve_model_dir
-    from face_detection_tflite_tpu.utils.image import load_image
+    from face_detection_tflite_tpu.utils.image import fit_max_dim, load_image
     from face_detection_tflite_tpu.utils.render import annotate
 
     src = (sys.argv[1] if len(sys.argv) > 1 else
@@ -43,11 +39,8 @@ def main():
     # compile service tens of minutes.
     max_dim = int(os.environ.get("FDT_DEMO_MAX_DIM", "1536"))
     h, w = img.shape[:2]
-    if max(h, w) > max_dim:
-        import cv2
-        s = max_dim / max(h, w)
-        img = cv2.resize(img, (int(w * s), int(h * s)),
-                         interpolation=cv2.INTER_LINEAR)
+    img = fit_max_dim(img, max_dim)
+    if img.shape[:2] != (h, w):
         print(f"downscaled {w}x{h} -> {img.shape[1]}x{img.shape[0]} "
               f"(FDT_DEMO_MAX_DIM={max_dim})")
     faces, mask = det.detect_faces_with_segmentation(img)

@@ -18,12 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import jax
-
-    try:
-        jax.devices()
-    except RuntimeError:
-        jax.config.update("jax_platforms", "cpu")
+    from face_detection_tflite_tpu.utils.backend import ensure_backend
+    ensure_backend()
 
     from face_detection_tflite_tpu import (FaceDetectionMode,
                                            FaceDetectionModel, FaceDetector,
@@ -40,7 +36,10 @@ def main():
              if len(sys.argv) > 3 else LIPSTICK_COLOR)
 
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA)
-    img = load_image(src)
+    # Same display-size fit as demo.py (bounds per-size compile cost).
+    from face_detection_tflite_tpu.utils.image import fit_max_dim
+    img = fit_max_dim(load_image(src),
+                      int(os.environ.get("FDT_DEMO_MAX_DIM", "1536")))
     faces = det.detect_faces(img, FaceDetectionMode.FULL)
     print(f"{len(faces)} face(s) in {src}; painting lips "
           f"#{color[0]:02X}{color[1]:02X}{color[2]:02X}")

@@ -18,12 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
+from face_detection_tflite_tpu.utils.backend import ensure_backend  # noqa: E402
 
-try:
-    jax.devices()
-except RuntimeError:  # background shells: fall back to CPU
-    jax.config.update("jax_platforms", "cpu")
+ensure_backend()
 
 from face_detection_tflite_tpu import (  # noqa: E402
     FaceDetectionMode, FaceDetectionModel, FaceDetector, FaceSmoother)

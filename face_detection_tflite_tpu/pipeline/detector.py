@@ -989,22 +989,38 @@ class FaceDetector:
         (face_detector.dart:1390-1430, "saves ~16 ms at 12 MP"): on
         remote-attached devices a 1280x853 upload costs ~76 ms
         (benchmarks/results.json `h2d_single_image`), and the
-        detect->embed flow otherwise pays it twice.  An adler32 checksum
-        guards against in-place mutation of a reused caller buffer
-        (camera ring buffers) — ~1 ms/ 3 MB, vs the upload it saves.
+        detect->embed flow otherwise pays it twice.
+
+        A hit requires the SAME ndarray object (identity — the cache
+        entry holds a reference, so the id cannot be recycled) plus a
+        strided-sample adler32 sentinel (~64 KB of the frame, ~50 us)
+        guarding against in-place mutation of a reused caller buffer
+        (camera ring buffers).  The sentinel samples roughly every 50th
+        byte: an in-place edit confined to unsampled bytes is not
+        caught — reuse with strict semantics should pass a fresh array
+        or the encoded-bytes entry points (whose cache keys on the
+        immutable bytes).  A full-frame checksum was measured at
+        1-3 ms/frame — a real tax on pure-detection camera loops that
+        never embed/segment, which is why only a sample is hashed.
         """
         import zlib
         if isinstance(arr, jax.Array):
             return arr  # already device-resident
         arr = np.ascontiguousarray(arr)
-        key = (arr.shape, str(arr.dtype), zlib.adler32(arr.view(np.uint8)))
+
+        def sentinel(a: np.ndarray) -> int:
+            flat = a.reshape(-1).view(np.uint8)
+            step = max(1, flat.size // 65536)
+            return zlib.adler32(np.ascontiguousarray(flat[::step]))
+
         with self._devput_lock:
             cached = self._devput_cache
-            if cached is not None and cached[0] == key:
-                return cached[1]
+            if (cached is not None and cached[0] is arr
+                    and cached[1] == sentinel(arr)):
+                return cached[2]
         dev = jnp.asarray(arr)
         with self._devput_lock:
-            self._devput_cache = (key, dev)
+            self._devput_cache = (arr, sentinel(arr), dev)
         return dev
 
     def detect_faces_from_bytes(self, data: bytes,
@@ -1205,6 +1221,16 @@ class FaceDetector:
         with the constructor's settings."""
         self._check_disposed()
         if self._segmentation is not None:
+            if config is not None and config != self._segmentation_config:
+                # The reference no-ops silently here; warn instead of
+                # silently keeping the loaded model/mask format when the
+                # caller just asked for a different one.
+                import warnings
+                warnings.warn(
+                    "initialize_segmentation: segmentation is already "
+                    "loaded; the new config is ignored (create a new "
+                    "FaceDetector to switch model/precision/mask format)",
+                    UserWarning, stacklevel=2)
             return
         if config is not None:
             self._segmentation_config = config

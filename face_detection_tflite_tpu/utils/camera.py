@@ -108,13 +108,9 @@ def decode_camera_frame(frame: CameraFrame,
                 v, u = inter[..., 0], inter[..., 1]
         rgb = rgb_from_yuv420(y, u, v)
 
-    rh, rw = rgb.shape[:2]
-    if max_dim is not None and (rw > max_dim or rh > max_dim):
-        import cv2
-        scale = max_dim / max(rw, rh)
-        rgb = cv2.resize(np.ascontiguousarray(rgb),
-                         (int(rw * scale), int(rh * scale)),
-                         interpolation=cv2.INTER_LINEAR)
+    if max_dim is not None:
+        from .image import fit_max_dim
+        rgb = fit_max_dim(rgb, max_dim)
 
     k = {CameraRotation.NONE: 0, CameraRotation.CW90: 3,
          CameraRotation.CW180: 2, CameraRotation.CW270: 1}[frame.rotation]

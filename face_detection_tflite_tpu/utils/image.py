@@ -15,7 +15,26 @@ import threading
 import numpy as np
 
 __all__ = ["decode_image", "decode_images", "load_image", "rgb_from_yuv420",
-           "normalize_channels"]
+           "normalize_channels", "fit_max_dim"]
+
+
+def fit_max_dim(image: np.ndarray, max_dim: int) -> np.ndarray:
+    """Downscales so the longer side fits ``max_dim`` (INTER_LINEAR);
+    returns the input unchanged when it already fits.
+
+    The reference's ``maxDim`` knob (`helpers.dart:488-493`) — shared by
+    the camera decode paths and the example scripts so the two copies of
+    the scale math can't drift.  One program compiles per image-size
+    bucket, so bounding 4K+ inputs also bounds first-call compile cost.
+    """
+    h, w = image.shape[:2]
+    if max(h, w) <= max_dim:
+        return image
+    import cv2
+    scale = max_dim / max(h, w)
+    return cv2.resize(np.ascontiguousarray(image),
+                      (int(w * scale), int(h * scale)),
+                      interpolation=cv2.INTER_LINEAR)
 
 
 def normalize_channels(images):

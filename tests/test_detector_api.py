@@ -588,10 +588,15 @@ class TestMatBytesAndFrameMask:
         assert d.is_segmentation_ready
         assert d._segmentation.in_h == 144  # landscape model is 144x256
         first = d._segmentation
-        # Second call (even with a different config) is a no-op like the
-        # reference's `if (_segmentationInitialized) return`.
-        d.initialize_segmentation(SegmentationConfig.safe())
+        # Second call is a no-op like the reference's
+        # `if (_segmentationInitialized) return` — but a CONFLICTING
+        # config warns instead of being silently ignored.
+        with pytest.warns(UserWarning, match="already.*loaded"):
+            d.initialize_segmentation(SegmentationConfig.safe())
         assert d._segmentation is first
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # same/absent config: no warning
+            d.initialize_segmentation()
         d.dispose()
         assert not d.is_segmentation_ready
 

@@ -282,8 +282,11 @@ class TestBatchedDetection:
         assert len(per_image) == 2
         # One int16 readback-quantization step (0.08 px at 1280 px) is the
         # equality resolution between separately-compiled programs: fp32
-        # diffs of ~1e-4 can round to adjacent grid points.
-        step = 1.0 / detector._readback_scale(*img.shape[:2])
+        # diffs of ~1e-4 can round to adjacent grid points.  Scale is None
+        # when quantized readback is off for this size (fp32 path): fall
+        # back to the raw fp32 tolerance instead of dividing by None.
+        scale = detector._readback_scale(*img.shape[:2])
+        step = 1.0 / scale if scale else 1e-3
         for faces in per_image:
             assert len(faces) == len(single) == 1
             assert np.allclose(faces[0].mesh.points, single[0].mesh.points,

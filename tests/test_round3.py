@@ -302,7 +302,7 @@ class TestDevicePutCache:
                          model_dir=MODELS_DIR)
         d.detect_faces(portrait, FaceDetectionMode.FAST)
         assert d._devput_cache is not None
-        dev1 = d._devput_cache[1]
+        dev1 = d._devput_cache[2]
         dev2 = d._device_put_cached(portrait)
         assert dev2 is dev1  # cache hit: no second upload
 
