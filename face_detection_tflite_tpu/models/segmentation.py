@@ -33,6 +33,16 @@ __all__ = ["SegmentationClass", "SegmentationMask",
 MIN_SEGMENTATION_INPUT_SIZE = 16  # selfie_segmentation.dart:4
 
 
+def _dart_round(x: float) -> int:
+    """Dart ``.round()`` = half AWAY FROM ZERO for the non-negative values
+    here; Python's ``round`` is banker's (round-half-even), which differs
+    at exact .5 — e.g. (1500.5).round() == 1501 vs round(1500.5) == 1500,
+    a 1-px mask-size/crop mismatch.  Same divergence ops/letterbox.py
+    documents for letterbox sizing."""
+    import math
+    return int(math.floor(x + 0.5))
+
+
 def mask_valid_region(width: int, height: int,
                       padding: tuple[float, float, float, float]
                       ) -> tuple[int, int, int, int]:
@@ -42,8 +52,8 @@ def mask_valid_region(width: int, height: int,
     overlay painters (utils/render.py) must agree on it exactly or masks
     shift against the image."""
     pt, pb, pl, pr = padding
-    return (round(pl * width), round(pt * height),
-            round((1.0 - pr) * width), round((1.0 - pb) * height))
+    return (_dart_round(pl * width), _dart_round(pt * height),
+            _dart_round((1.0 - pr) * width), _dart_round((1.0 - pb) * height))
 
 
 def corner_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
@@ -128,7 +138,7 @@ class SegmentationMask:
         max_dim = max(tw, th)
         scale = max_size / max_dim if (max_size > 0 and max_dim > max_size) \
             else 1.0
-        fw, fh = round(tw * scale), round(th * scale)
+        fw, fh = _dart_round(tw * scale), _dart_round(th * scale)
 
         out = crop_valid_and_resize(self.data, self.width, self.height,
                                     self.padding, fw, fh)
@@ -295,18 +305,23 @@ class SelfieSegmentation:
         self._device = device
         self._placed_params = jax.device_put(self.model.params, device)
 
-    def _program(self, img_h: int, img_w: int):
+    def _program(self, model: ConvertedModel, img_h: int, img_w: int):
         key = (img_h, img_w)
         with self._programs_lock:
-            return self._program_locked(key, img_h, img_w)
+            return self._program_locked(model, key, img_h, img_w)
 
-    def _program_locked(self, key, img_h: int, img_w: int):
+    def _program_locked(self, model: ConvertedModel, key,
+                        img_h: int, img_w: int):
         if key not in self._programs:
             lbp = letterbox_params(img_h, img_w, self.in_h, self.in_w)
 
             def one(params, img):
+                # Close over the caller's MODEL SNAPSHOT, not self.model:
+                # the jit traces lazily at the first program call, by
+                # which time a concurrent dispose() may have nulled
+                # self.model (dispatch's documented race guard).
                 x = letterbox_image(img, lbp)
-                (raw,) = self.model.fn(params, x[None])
+                (raw,) = model.fn(params, x[None])
                 raw = raw.reshape(self.in_h, self.in_w, -1)
                 # ONE output plane set crosses to the host: binary ships
                 # the sigmoid plane, multiclass ships the 6 softmax planes
@@ -353,11 +368,24 @@ class SelfieSegmentation:
         if model is None:   # the documented RuntimeError, not AttributeError
             raise RuntimeError("SelfieSegmentation has been disposed")
         if not isinstance(images, jax.Array):
-            images = jnp.asarray(np.asarray(images))
-        if images.ndim == 3:  # single [H, W, C] image
+            images = np.asarray(images)
+        # Single [H, W, C] convenience ONLY for channel-shaped last dims;
+        # a 3-D array with any other trailing extent is a [B, H, W]
+        # grayscale batch (normalize_channels' documented input).  The
+        # genuinely ambiguous [B, H, 3] grayscale batch reads as one RGB
+        # image — add an explicit channel axis for that shape.
+        if images.ndim == 3 and images.shape[-1] in (1, 3, 4):
             images = images[None]
+        if self._device is not None:
+            # ONE upload, straight to the pinned chip: converting first
+            # (jnp.asarray -> default device) and device_put-ing after
+            # would transfer every frame twice.
+            images = jax.device_put(images, self._device)
+        elif not isinstance(images, jax.Array):
+            images = jnp.asarray(images)
         # Same channel tolerance as the detector path (RGBA drops alpha,
-        # grayscale replicates — `bgrMatToSignedFloat32`).
+        # grayscale replicates — `bgrMatToSignedFloat32`).  Runs on the
+        # device `images` is committed to.
         from ..utils.image import normalize_channels
         images = normalize_channels(images)
         b, h, w, _ = images.shape
@@ -365,11 +393,10 @@ class SelfieSegmentation:
             raise ValueError(
                 f"image {w}x{h} is smaller than minimum "
                 f"{MIN_SEGMENTATION_INPUT_SIZE}x{MIN_SEGMENTATION_INPUT_SIZE}")
-        prog, lbp = self._program(h, w)
+        prog, lbp = self._program(model, h, w)
         params = model.params
         if self._device is not None:
             params = self._placed_params
-            images = jax.device_put(images, self._device)
         planes = prog(params, images)
         try:
             # Overlap the D2H copy with whatever runs before materialize

@@ -46,6 +46,10 @@ class ServingPipeline:
                  with_segmentation: bool = False):
         self._det = detector
         self._mode = mode
+        if depth < 1:
+            # queue.Queue(maxsize=0) would mean UNBOUNDED, silently
+            # voiding the documented 2*depth+1 memory bound.
+            raise ValueError(f"depth must be >= 1, got {depth}")
         self._depth = depth
         #: When set, each Future resolves to list[(faces, mask)] instead
         #: of list[faces]: the mask program dispatches before detection
@@ -79,9 +83,11 @@ class ServingPipeline:
         if not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))  # H2D now, async
         # Validate shape eagerly so a malformed batch raises HERE rather
-        # than poisoning the worker's pipelined stream.
-        from .detector import _normalize_channels
-        _normalize_channels(images)
+        # than poisoning the worker's pipelined stream (shape-only: the
+        # worker's _prepare_batch does the actual normalization; running
+        # it here too would dispatch discarded device ops per batch).
+        from ..utils.image import validate_batch_shape
+        validate_batch_shape(images.shape)
         fut: Future = Future()
         # The closed check and enqueue are atomic w.r.t. close(), so a
         # batch can never land behind the shutdown sentinel (which would

@@ -15,7 +15,22 @@ import threading
 import numpy as np
 
 __all__ = ["decode_image", "decode_images", "load_image", "rgb_from_yuv420",
-           "normalize_channels", "fit_max_dim"]
+           "normalize_channels", "validate_batch_shape", "fit_max_dim"]
+
+
+def validate_batch_shape(shape) -> None:
+    """Raises the same ValueError :func:`normalize_channels` would, from
+    the shape alone — for eager validation on hot paths where dispatching
+    the (discarded) normalization device ops per batch is pure waste
+    (ServingPipeline.submit)."""
+    if len(shape) == 3:  # [B, H, W] grayscale
+        return
+    if len(shape) != 4:
+        raise ValueError(
+            f"expected [B, H, W, C] image batch, got shape {tuple(shape)}")
+    c = shape[-1]
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {c} (want 1, 3 or 4)")
 
 
 def fit_max_dim(image: np.ndarray, max_dim: int) -> np.ndarray:

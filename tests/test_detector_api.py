@@ -146,6 +146,36 @@ class TestCombined:
 
 
 class TestServingPipeline:
+    def test_depth_must_be_positive(self):
+        """depth=0 would make queue.Queue UNBOUNDED (maxsize=0 means
+        infinite), silently voiding the documented 2*depth+1 memory
+        bound; validated like detect_faces_batch_stream's depth."""
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        for bad in (0, -1):
+            with pytest.raises(ValueError, match="depth"):
+                ServingPipeline(d, FaceDetectionMode.FAST, depth=bad)
+        d.dispose()
+
+    def test_submit_shape_validation_is_eager(self):
+        """Malformed batches raise in submit(), not in the worker; good
+        shapes pass the shape-only validator (no device ops on submit)."""
+        from face_detection_tflite_tpu.utils.image import validate_batch_shape
+        for ok in ((2, 8, 8, 3), (2, 8, 8, 4), (2, 8, 8, 1), (2, 8, 8)):
+            validate_batch_shape(ok)
+        with pytest.raises(ValueError, match="channel count"):
+            validate_batch_shape((2, 8, 8, 7))
+        with pytest.raises(ValueError, match="batch"):
+            validate_batch_shape((8, 8))
+        from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        with ServingPipeline(d, FaceDetectionMode.FAST, depth=1) as pipe:
+            with pytest.raises(ValueError, match="channel count"):
+                pipe.submit(np.zeros((1, 64, 64, 7), np.uint8))
+        d.dispose()
+
     def test_pipelined_batches_match_direct(self):
         from face_detection_tflite_tpu.pipeline.serving import ServingPipeline
         from PIL import Image

@@ -98,6 +98,51 @@ class TestSegmentation:
         (mask,) = seg(img[None])
         assert mask.data.shape == (144, 256)
 
+    def test_upsample_rounds_half_away_from_zero(self, seg):
+        """Dart .round() rounds half AWAY FROM ZERO; Python's banker's
+        round would make (1500.5).round() land on 1500 instead of the
+        reference's 1501 (`face_types.dart:355-356`)."""
+        from face_detection_tflite_tpu.models.segmentation import (
+            SegmentationMask, mask_valid_region)
+        mask = SegmentationMask(np.zeros((256, 256), np.float32),
+                                original_width=4096, original_height=3001,
+                                padding=(0.0, 0.0, 0.0, 0.0))
+        up = mask.upsample(max_size=2048)  # scale 0.5 -> 3001*0.5 = 1500.5
+        assert up.data.shape == (1501, 2048)
+        # Valid-region crop rounding too: 0.123046875 * 256 = 31.5 ->
+        # Dart 32 (Python's round() gives 32 here but 30 for 30.5; pin
+        # the odd case that diverges).
+        region = mask_valid_region(256, 256, (30.5 / 256, 0.0, 0.0, 0.0))
+        assert region[1] == 31  # floor(30.5 + 0.5); banker's gives 30
+
+    def test_grayscale_batch_dispatch(self, seg):
+        """[B, H, W] grayscale batches segment like their RGB-replicated
+        form (normalize_channels' documented input; a 3-D array is a
+        single image only when its last dim is channel-shaped)."""
+        img = _img("landmark-ex1.jpg")
+        gray = img.mean(axis=-1).astype(np.uint8)
+        (m_gray,) = seg(gray[None])  # [1, H, W] batch
+        (m_rgb,) = seg(np.repeat(gray[None, ..., None], 3, axis=-1))
+        np.testing.assert_allclose(m_gray.data, m_rgb.data, atol=1e-6)
+
+    def test_program_survives_concurrent_dispose(self, seg):
+        """The compiled program closes over a model SNAPSHOT: tracing
+        after a dispose() must not hit self.model=None (the dispatch
+        dispose-race guard's actual failure mode)."""
+        from face_detection_tflite_tpu.models.segmentation import (
+            SelfieSegmentation)
+        from face_detection_tflite_tpu.convert.executor import convert_file
+        s = SelfieSegmentation(convert_file(
+            os.path.join(MODELS_DIR, "selfie_segmenter.tflite")))
+        model = s.model
+        prog, lbp = s._program(model, 64, 64)  # built, not yet traced
+        s.dispose()  # concurrent dispose between dispatch() and tracing
+        import jax.numpy as jnp
+        out = prog(model.params, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        assert np.asarray(out).shape == (1, 256, 256, 1)
+        with pytest.raises(RuntimeError, match="disposed"):
+            s.dispatch(np.zeros((64, 64, 3), np.uint8))
+
     def test_too_small_image_rejected(self, seg):
         # kMinSegmentationInputSize = 16 (selfie_segmentation.dart:4);
         # 16x16 itself is accepted, below is rejected.
