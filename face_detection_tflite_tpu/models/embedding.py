@@ -27,6 +27,7 @@ import numpy as np
 
 from ..convert.executor import ConvertedModel, convert_file
 from ..ops import warp
+from ..ops.letterbox import normalize_image
 from ..pipeline.config import EMBEDDING_DIM, EMBEDDING_INPUT_SIZE
 
 __all__ = ["compute_embedding_alignment", "FaceEmbedding",
@@ -96,7 +97,7 @@ def embed_rois(model_fn, params, img, cxs, cys, sizes, thetas):
     """
     crops = warp.extract_rois(img, cxs, cys, sizes, -thetas,
                               out_size=EMBEDDING_INPUT_SIZE)
-    crops = crops * (1.0 / 127.5) - 1.0
+    crops = normalize_image(crops)
 
     def one(crop):
         (emb,) = model_fn(params, crop[None])
@@ -134,7 +135,6 @@ def euclidean_distance(a, b) -> float:
 
 def _conv(p, name, x, stride=1, groups=1, prelu=True, precision=None):
     w = p[f"{name}_w"]  # HWIO
-    c_in = x.shape[-1]
     y = jax.lax.conv_general_dilated(
         x, w, (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -163,12 +163,16 @@ _MFN_BLOCKS = [(2, 64, 5, 2), (4, 128, 1, 2), (2, 128, 6, 1),
                (4, 128, 1, 2), (2, 128, 2, 1)]
 
 
-def build_mobilefacenet(seed: int = 0, embedding_dim: int = EMBEDDING_DIM
-                        ) -> ConvertedModel:
+def build_mobilefacenet(seed: int = 0, embedding_dim: int = EMBEDDING_DIM,
+                        precision: str = "highest") -> ConvertedModel:
     """MobileFaceNet-112 with seeded He-init weights (BN folded away).
 
     Returns a :class:`ConvertedModel`-shaped object so the pipeline treats
-    it exactly like a converted tflite graph.
+    it exactly like a converted tflite graph.  ``precision`` matches the
+    converter's MXU tiers ("highest" default, like converted models —
+    without it the convs would run plain bf16 on TPU, drifting imported
+    trained-weight embeddings ~0.4% vs CPU and flipping borderline
+    compare_faces verdicts between backends).
     """
     rng = np.random.default_rng(seed)
     params: dict[str, jnp.ndarray] = {}
@@ -197,29 +201,30 @@ def build_mobilefacenet(seed: int = 0, embedding_dim: int = EMBEDDING_DIM
     add_conv("gdconv", 7, 7, 512, 512, groups=512, prelu=False)
     add_conv("out", 1, 1, 512, embedding_dim, prelu=False)
 
+    prec = jax.lax.Precision(precision.lower()) if precision else None
+
     def fn(p, x):
         if tuple(x.shape) != (1, EMBEDDING_INPUT_SIZE, EMBEDDING_INPUT_SIZE, 3):
             raise ValueError(
                 f"embedding input expects shape "
                 f"(1, {EMBEDDING_INPUT_SIZE}, {EMBEDDING_INPUT_SIZE}, 3), "
                 f"got {tuple(x.shape)}")
-        h = _conv(p, "stem", x, stride=2)
-        h = _conv(p, "stem_dw", h, groups=64)
-        c = 64
+        h = _conv(p, "stem", x, stride=2, precision=prec)
+        h = _conv(p, "stem_dw", h, groups=64, precision=prec)
         for bi, (t, ch, n, s) in enumerate(_MFN_BLOCKS):
             for ri in range(n):
                 h = _bottleneck(p, f"b{bi}_{ri}", h, t, ch,
-                                s if ri == 0 else 1)
-                c = ch
-        h = _conv(p, "head", h)
+                                s if ri == 0 else 1, precision=prec)
+        h = _conv(p, "head", h, precision=prec)
         # Global depthwise 7x7 VALID collapses spatial dims.
         w = p["gdconv_w"]
         h = jax.lax.conv_general_dilated(
             h, w, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=512, preferred_element_type=jnp.float32)
+            feature_group_count=512, preferred_element_type=jnp.float32,
+            precision=prec)
         h = h + p["gdconv_b"]
-        h = _conv(p, "out", h, prelu=False)
+        h = _conv(p, "out", h, prelu=False, precision=prec)
         return (h.reshape(1, -1),)
 
     return ConvertedModel(
@@ -237,7 +242,7 @@ class FaceEmbedding:
         self.model = model
         self.is_pretrained = "random-init" not in model.name
         self.allow_untrained = allow_untrained
-        self._programs: dict[tuple[int, int], object] = {}
+        self._programs: dict[str, object] = {}
 
     @classmethod
     def load(cls, tflite_path: Optional[str] = None, *,
@@ -280,25 +285,39 @@ class FaceEmbedding:
                 "allow_untrained=True to acknowledge.",
                 UntrainedEmbeddingWarning, stacklevel=3)
 
-    def _raw_fn(self, img_h: int, img_w: int):
-        key = ("raw", img_h, img_w)
-        if key not in self._programs:
-            def one(params, img, cx, cy, size, theta):
-                # Shared warp+net+L2 math (module-level embed_rois), as a
-                # batch of one.
-                return embed_rois(
-                    self.model.fn, params, img,
-                    *(jnp.reshape(jnp.asarray(v, jnp.float32), (1,))
-                      for v in (cx, cy, size, theta)))[0]
+    def _batch_program(self):
+        """The one jitted crop+net+L2 program ([N] ROIs of one image).
 
-            self._programs[key] = one
-        return self._programs[key]
+        Shape-independent: jax.jit itself re-traces per (image size, slab)
+        — keying a wrapper dict by shape as well just duplicated identical
+        programs.  Closes over a MODEL SNAPSHOT, not self.model: tracing
+        happens lazily at the first call, by which time a concurrent
+        dispose() may have nulled the attribute (the segmentation
+        dispatch race, same class).
+        """
+        if self._programs.get("many") is None:
+            model = self.model
 
-    def _program(self, img_h: int, img_w: int):
-        key = (img_h, img_w)
-        if key not in self._programs:
-            self._programs[key] = jax.jit(self._raw_fn(img_h, img_w))
-        return self._programs[key]
+            def many(params, img, cxs, cys, sizes, thetas):
+                return embed_rois(model.fn, params, img,
+                                  cxs, cys, sizes, thetas)
+
+            self._programs["many"] = jax.jit(many)
+        return self._programs["many"]
+
+    @staticmethod
+    def _check_roi(size: float) -> None:
+        """Degenerate eye geometry (coincident/near-coincident eyes) makes
+        the aligned crop round to 0 px; the reference's
+        extractAlignedSquare returns null there and getFaceEmbedding
+        throws (`face_detector_core.dart:433-440`).  Silently embedding a
+        1-px clamp would hand compare_faces a structurally valid but
+        meaningless vector."""
+        if not (size > 0) or int(math.floor(size + 0.5)) < 1:
+            raise ValueError(
+                "Failed to extract aligned face crop for embedding: eye "
+                "points are coincident or too close (crop size rounds "
+                "to 0)")
 
     def embed(self, image: np.ndarray, left_eye, right_eye) -> np.ndarray:
         """L2-normalized embedding from an RGB image + eye centers (px)."""
@@ -310,21 +329,12 @@ class FaceEmbedding:
             # through untouched (np.asarray on a jax array would pull the
             # whole frame D2H just to re-upload it).
             image = jnp.asarray(np.asarray(image))
-        h, w, _ = image.shape
         cx, cy, size, theta = compute_embedding_alignment(left_eye, right_eye)
-        prog = self._program(h, w)
-        return np.asarray(prog(self.model.params, image,
-                               cx, cy, size, theta))
-
-    def _batch_program(self, img_h: int, img_w: int, slab: int):
-        key = ("batch", img_h, img_w, slab)
-        if key not in self._programs:
-            def many(params, img, cxs, cys, sizes, thetas):
-                return embed_rois(self.model.fn, params, img,
-                                  cxs, cys, sizes, thetas)
-
-            self._programs[key] = jax.jit(many)
-        return self._programs[key]
+        self._check_roi(size)
+        prog = self._batch_program()
+        args = (jnp.asarray([v], jnp.float32)
+                for v in (cx, cy, size, theta))
+        return np.asarray(prog(self.model.params, image, *args))[0]
 
     def embed_batch(self, image: np.ndarray, eye_pairs) -> np.ndarray:
         """Embeds N faces of ONE image in a single device program.
@@ -344,14 +354,15 @@ class FaceEmbedding:
         self._check_trained()
         if not isinstance(image, jax.Array):
             image = jnp.asarray(np.asarray(image))  # see embed()
-        h, w, _ = image.shape
         aligns = [compute_embedding_alignment(le, re)
                   for le, re in eye_pairs]
+        for a in aligns:
+            self._check_roi(a[2])
         n = len(aligns)
         if n == 0:
             return np.zeros((0, EMBEDDING_DIM), np.float32)
         slab = 1 << (n - 1).bit_length()
-        prog = self._batch_program(h, w, slab)
+        prog = self._batch_program()
         pad = slab - n
         # Padding rows use a benign in-frame ROI (unit square at origin);
         # their embeddings are computed and discarded.

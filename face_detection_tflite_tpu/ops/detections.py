@@ -32,7 +32,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["decode_detections", "weighted_nms", "detection_postprocess"]
 
@@ -152,7 +151,13 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
     member_w = jnp.where((owner[None, :] == idx[:, None]),
                          top_scores[None, :], 0.0)  # [leader, member]
     wsum = jnp.maximum(member_w.sum(axis=1, keepdims=True), 1e-12)
-    blended = (member_w @ top_boxes) / wsum  # [k, 4]
+    # precision: on TPU a bare matmul runs bf16 on the MXU — ~2^-9
+    # relative on [0,1] coords is ~1-2 px at 1280 px width, silently
+    # blowing the <=0.5 px detection parity budget on every blended
+    # cluster.  The CPU-pinned test suite cannot catch this; keep it
+    # explicit like every other parity-critical dot in the repo.
+    blended = jnp.matmul(member_w, top_boxes,
+                         precision=jax.lax.Precision.HIGHEST) / wsum  # [k,4]
 
     # Emit the first max_detections leaders in score (=index) order.
     d = max_detections

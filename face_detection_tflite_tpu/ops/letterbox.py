@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -156,7 +155,7 @@ def letterbox_image(img, params: LetterboxParams):
     (pass uint8 images as-is — casting first only wastes bandwidth).
     """
     x = resize_bilinear_exact(img, params.new_h, params.new_w)
-    x = x * (1.0 / 127.5) - 1.0
+    x = normalize_image(x)
     x = jnp.pad(
         x,
         ((params.pad_top, params.pad_bottom),

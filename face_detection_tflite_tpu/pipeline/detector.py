@@ -1167,19 +1167,36 @@ class FaceDetector:
             self._device_put_cached(image), left_eye, right_eye)
 
     def get_face_embeddings(self, faces: Sequence[Face],
-                            image: np.ndarray) -> list[np.ndarray]:
+                            image: np.ndarray
+                            ) -> list[Optional[np.ndarray]]:
         """Embeddings for many faces of one image — the crops warp and
-        batch through MobileFaceNet in a single device program."""
-        pairs = []
-        for f in faces:
+        batch through MobileFaceNet in a single device program.
+
+        Per-face failure contract of the reference's `getFaceEmbeddings`
+        (face_detector.dart:786-816): a face whose eye landmarks are
+        missing or degenerate (coincident eyes — the aligned crop rounds
+        to 0 px) comes back as a ``None`` entry instead of failing the
+        whole batch."""
+        import math as _math
+        from ..models.embedding import compute_embedding_alignment
+        pairs, slots = [], []
+        for i, f in enumerate(faces):
             lm = f.landmarks
             if lm.left_eye is None or lm.right_eye is None:
-                raise ValueError("Face must have left and right eye "
-                                 "landmarks")
-            pairs.append((lm.left_eye[:2], lm.right_eye[:2]))
-        out = self.embedding_model.embed_batch(
-            self._device_put_cached(image), pairs)
-        return [out[i] for i in range(len(pairs))]
+                continue
+            le, re = lm.left_eye[:2], lm.right_eye[:2]
+            size = compute_embedding_alignment(le, re)[2]
+            if not (size > 0) or int(_math.floor(size + 0.5)) < 1:
+                continue
+            pairs.append((le, re))
+            slots.append(i)
+        result: list[Optional[np.ndarray]] = [None] * len(faces)
+        if pairs:
+            out = self.embedding_model.embed_batch(
+                self._device_put_cached(image), pairs)
+            for i, slot in enumerate(slots):
+                result[slot] = out[i]
+        return result
 
     def get_face_embedding_from_bytes(self, face: Face,
                                       data: bytes) -> np.ndarray:

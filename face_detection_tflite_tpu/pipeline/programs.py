@@ -32,7 +32,8 @@ from ..ops import warp
 from ..ops.anchors import anchor_options_for, generate_anchors
 from ..ops.detections import (decode_detections, remove_letterbox,
                               weighted_nms)
-from ..ops.letterbox import letterbox_image, letterbox_params
+from ..ops.letterbox import (letterbox_image, letterbox_params,
+                             normalize_image)
 from . import geometry
 from .blendshape_input import pack_blendshape_input
 from .config import (IRIS_INPUT_SIZE, MESH_INPUT_SIZE, RAW_SCORE_LIMIT,
@@ -197,7 +198,7 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         # with +theta in transformMeshToAbsolute.
         crops = warp.extract_rois(
             img, cx, cy, fsize, -theta, out_size=MESH_INPUT_SIZE)
-        crops = crops * (1.0 / 127.5) - 1.0
+        crops = normalize_image(crops)
 
         def one(crop):
             outs = models.mesh.fn(params["mesh"], crop[None])
@@ -222,7 +223,7 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         crops = warp.extract_rois(
             img, ecx.reshape(-1), ecy.reshape(-1), esize.reshape(-1),
             etheta.reshape(-1), out_size=IRIS_INPUT_SIZE, flip_x=flip)
-        crops = crops * (1.0 / 127.5) - 1.0
+        crops = normalize_image(crops)
 
         def one(crop):
             outs = models.iris.fn(params["iris"], crop[None])

@@ -267,6 +267,50 @@ class TestBatchedEmbedding:
             single = emb.embed(img, le, re)
             assert np.allclose(batch[i], single, atol=1e-5)
 
+    def test_degenerate_eyes_raise(self):
+        """Coincident (or sub-pixel-apart) eye points make the aligned
+        crop round to 0 px: the reference's extractAlignedSquare returns
+        null and getFaceEmbedding throws (face_detector_core.dart:433-440)
+        — silently embedding a 1-px clamp would feed compare_faces
+        garbage."""
+        from face_detection_tflite_tpu.models.embedding import FaceEmbedding
+        emb = FaceEmbedding.load(allow_untrained=True)
+        img = np.zeros((64, 64, 3), np.uint8)
+        with pytest.raises(ValueError, match="aligned face crop"):
+            emb.embed(img, (32.0, 32.0), (32.0, 32.0))
+        with pytest.raises(ValueError, match="aligned face crop"):
+            emb.embed_batch(img, [((10.0, 10.0), (40.0, 10.0)),
+                                  ((32.0, 32.0), (32.1, 32.0))])
+
+    def test_plural_embeddings_null_per_face(self):
+        """FaceDetector.get_face_embeddings mirrors the reference's
+        per-face failure contract (getFaceEmbeddings returns
+        List<Float32List?>, face_detector.dart:786-816): a degenerate
+        face yields None, the rest still embed in one batch."""
+        import dataclasses
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        from face_detection_tflite_tpu.pipeline.types import Face
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR,
+                         allow_untrained_embeddings=True)
+        img = _img("landmark-ex1.jpg")
+        (good,) = d.detect_faces(img, FaceDetectionMode.STANDARD)
+        # A caller-constructed Face with coincident eyes (the reference's
+        # malformed-Face case).
+        kp = np.full((6, 2), 0.5, np.float32)
+        bad = Face(dataclasses.replace(good.detection_data,
+                                       keypoints_xy=kp),
+                   good.mesh, np.zeros((0, 3)), good.original_size)
+        out = d.get_face_embeddings([good, bad, good], img)
+        assert out[1] is None
+        assert out[0] is not None and out[2] is not None
+        np.testing.assert_allclose(out[0], out[2], atol=1e-6)
+        single = d.get_face_embedding(good, img)
+        np.testing.assert_allclose(out[0], single, atol=1e-6)
+        d.dispose()
+
     def test_embed_batch_empty(self):
         emb = FaceEmbedding.load(None)
         out = emb.embed_batch(np.zeros((64, 64, 3), np.uint8), [])
