@@ -961,7 +961,11 @@ class FaceDetector:
                 irises=out["iris"][i, d] if full else np.zeros((0, 3)),
                 original_size=size_wh, blendshape_scores=bs,
                 embedding=(np.asarray(out["embeddings"][i, d])
-                           if "embeddings" in out else None)))
+                           if "embeddings" in out else None),
+                # The fused program already solved the head pose (f32
+                # exact in the packed readback, pinned equal to the host
+                # solve) — consume it instead of re-deriving per access.
+                head_angles=(out["head_angles"][i, d] if full else None)))
         return faces
 
     # -- encoded / file inputs -------------------------------------------------

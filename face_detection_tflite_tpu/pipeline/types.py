@@ -166,8 +166,10 @@ class RectF:
 class AlignedRoi(NamedTuple):
     """Rotated square ROI in pixels (`face_types.dart:1561`).
 
-    Tuple-compatible with the (cx, cy, size, theta) tuples the geometry
-    helpers produce, so either form flows into the warp ops.
+    Tuple-compatible with `geometry.eye_rois_from_mesh`'s
+    (cx, cy, size, theta) order.  NOTE: `geometry.compute_face_alignment`
+    returns (theta, cx, cy, size) — splatting THAT into this type would
+    silently scramble all four fields; reorder explicitly.
     """
 
     cx: float
@@ -331,7 +333,8 @@ class Face:
                  irises: np.ndarray, original_size: tuple[float, float],
                  blendshape_scores: Optional[np.ndarray] = None,
                  tracking_id: Optional[int] = None,
-                 embedding: Optional[np.ndarray] = None):
+                 embedding: Optional[np.ndarray] = None,
+                 head_angles: Optional[np.ndarray] = None):
         self.detection_data = detection
         self.mesh = mesh
         self.iris_points = np.asarray(irises).reshape(-1, 3) \
@@ -345,13 +348,19 @@ class Face:
         #: getFaceEmbedding calls, face_detector.dart:685).
         self.embedding = embedding
         self._eyes: Optional[EyePair] = None
-        self._angles: Optional[HeadEulerAngles] = None
+        #: FULL-mode programs already compute the head pose on device
+        #: (pinned equal to the host solve); seeding the cache here saves
+        #: re-deriving it from the mesh in numpy per access.
+        self._angles: Optional[HeadEulerAngles] = (
+            HeadEulerAngles(*(float(v) for v in head_angles))
+            if head_angles is not None else None)
         self._bs: Optional[FaceBlendshapes] = None
 
     def with_tracking_id(self, tracking_id: int) -> "Face":
         f = Face(self.detection_data, self.mesh, self.iris_points,
                  self.original_size, self._blendshape_scores, tracking_id,
                  embedding=self.embedding)
+        f._angles = self._angles  # carry the (device-computed) pose cache
         return f
 
     # -- detection-level -----------------------------------------------------
@@ -439,7 +448,11 @@ class Face:
     @property
     def head_euler_angles(self) -> Optional[HeadEulerAngles]:
         if self._angles is None:
-            if self.mesh is not None and len(self.mesh) >= MESH_POINTS:
+            # The reference accepts any mesh long enough to index its 4
+            # canonical points (`face_geometry.dart:191`: length must
+            # exceed kMeshRightCheek=454) — requiring the full 468 here
+            # silently degraded 455..467-point meshes to roll-only.
+            if self.mesh is not None and len(self.mesh) > MESH_RIGHT_CHEEK:
                 a = _np_head_euler(self.mesh.points)
                 if a is not None:
                     self._angles = HeadEulerAngles(*a)

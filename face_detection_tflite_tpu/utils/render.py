@@ -289,17 +289,22 @@ def _upsampled_valid(mask, data: np.ndarray, out_w: int, out_h: int
 
 def draw_mask(img: np.ndarray, mask, color=(0, 255, 0, 136),
               threshold: float = 0.5, binary: bool = False,
-              class_index: int | None = None) -> np.ndarray:
+              class_index: int | None = None,
+              mirror_horizontally: bool = False) -> np.ndarray:
     """Single-color mask tint (SegmentationMaskPainter's single-class path,
     `overlay_painters.dart:981-1016`): per-pixel alpha = probability x the
     color's alpha (or hard alpha at ``threshold`` when ``binary``);
-    ``class_index`` isolates one multiclass plane."""
+    ``class_index`` isolates one multiclass plane.  ``mirror_horizontally``
+    flips the mask onto a mirrored preview canvas (LiveSegmentationPainter
+    renderX, `overlay_painters.dart:721`)."""
     out = np.array(img, copy=True)
     h, w = out.shape[:2]
     plane = mask.class_mask(class_index) if class_index is not None \
         else mask.data
     prob = np.clip(_upsampled_valid(mask, np.asarray(plane, np.float32),
                                     w, h), 0.0, 1.0)
+    if mirror_horizontally:
+        prob = prob[:, ::-1]
     base_a = (color[3] if len(color) > 3 else 255) / 255.0
     a = np.where(prob >= threshold, base_a, 0.0) if binary else prob * base_a
     a = np.where(a > 0.01, a, 0.0)[..., None]
@@ -312,18 +317,23 @@ def draw_multiclass_segmentation(img: np.ndarray, mask,
                                  threshold: float = 0.5,
                                  binary: bool = False,
                                  show_labels: bool = True,
-                                 class_colors=SEGMENTATION_CLASS_COLORS
+                                 class_colors=SEGMENTATION_CLASS_COLORS,
+                                 mirror_horizontally: bool = False
                                  ) -> np.ndarray:
     """All-classes multiclass overlay (`overlay_painters.dart:935-980`):
     each pixel is tinted with its argmax class color when that class's
     probability >= ``threshold`` (alpha scaled by the probability unless
     ``binary``), plus class-name labels at class centroids for classes
-    covering > 100 mask pixels (`overlay_painters.dart:58-92`)."""
+    covering > 100 mask pixels (`overlay_painters.dart:58-92`);
+    ``mirror_horizontally`` flips onto a mirrored preview
+    (`overlay_painters.dart:763`)."""
     out = np.array(img, copy=True)
     h, w = out.shape[:2]
     planes = np.stack([_upsampled_valid(
         mask, np.asarray(mask.class_mask(c), np.float32), w, h)
         for c in range(6)], axis=-1)
+    if mirror_horizontally:
+        planes = planes[:, ::-1]
     winner = planes.argmax(axis=-1)
     max_prob = np.clip(planes.max(axis=-1), 0.0, 1.0)
     colors = np.asarray([c[:3] for c in class_colors], np.float32)[winner]
@@ -375,6 +385,37 @@ def draw_virtual_background(img: np.ndarray, mask,
     return (out.astype(np.float32) * (1 - bg_a) + bg * bg_a).astype(np.uint8)
 
 
+def mirror_face(face: Face, width: float) -> Face:
+    """Horizontally mirrored copy of a Face (pixel x -> width - x,
+    normalized x -> 1 - x) — how the reference's painters map camera-space
+    results onto a mirrored front-camera preview (CameraDetectionPainter's
+    ``renderX = size.width - x``, `overlay_painters.dart:553`).  For
+    painting only: anatomical left/right semantics flip with the image."""
+    import dataclasses
+
+    from ..pipeline.types import Face as _Face
+    from ..pipeline.types import FaceMesh, RectF
+    det = face.detection_data
+    bb = det.bounding_box
+    kp = np.array(det.keypoints_xy, np.float64)
+    kp[:, 0] = 1.0 - kp[:, 0]
+    mdet = dataclasses.replace(
+        det, bounding_box=RectF(1.0 - bb.xmax, bb.ymin, 1.0 - bb.xmin,
+                                bb.ymax),
+        keypoints_xy=kp)
+    mesh = None
+    if face.mesh is not None:
+        pts = np.array(face.mesh.points, np.float64)
+        pts[:, 0] = width - pts[:, 0]
+        mesh = FaceMesh(pts, face.mesh.score)
+    iris = np.array(face.iris_points, np.float64)
+    if iris.size:
+        iris[:, 0] = width - iris[:, 0]
+    return _Face(mdet, mesh, iris, face.original_size,
+                 face._blendshape_scores, face.tracking_id,
+                 embedding=face.embedding)
+
+
 def compose_camera_overlay(frame: np.ndarray, faces: list[Face],
                            mask=None, virtual_background=None,
                            show_segmentation: bool = False,
@@ -394,15 +435,23 @@ def compose_camera_overlay(frame: np.ndarray, faces: list[Face],
     # new arrays inherently (they blend), so they count as the copy.
     out = frame
     owned = False
+    if mirror_horizontally:
+        # Every layer mirrors, exactly like the reference widget passes
+        # mirrorHorizontally to ALL its painters (segmentation tint, face
+        # overlays, info cards — overlay_painters.dart:1156-1190), not
+        # just the virtual background.
+        faces = [mirror_face(f, frame.shape[1]) for f in faces]
     if mask is not None and virtual_background is not None:
         out = draw_virtual_background(out, mask, virtual_background,
                                       mirror_horizontally)
         owned = True
     elif mask is not None and show_segmentation:
         if show_all_classes and hasattr(mask, "class_mask"):
-            out = draw_multiclass_segmentation(out, mask)
+            out = draw_multiclass_segmentation(
+                out, mask, mirror_horizontally=mirror_horizontally)
         else:
-            out = draw_mask(out, mask)
+            out = draw_mask(out, mask,
+                            mirror_horizontally=mirror_horizontally)
         owned = True
     out = draw_detections(out, faces, copy=not owned)
     owned = True
@@ -648,12 +697,16 @@ def draw_lipstick(img: np.ndarray, faces, color=LIPSTICK_COLOR,
 
 def annotate(img: np.ndarray, faces: list[Face], mask=None) -> np.ndarray:
     """Everything at once — the demo-app overlay."""
+    # Copy once, then draw in place (compose_camera_overlay's pattern:
+    # per-layer copies are ~3.3 MB each on a 1280x853 frame).
     out = img
+    owned = False
     if mask is not None:
         out = draw_segmentation(out, mask)
-    out = draw_detections(out, faces)
-    out = draw_contours(out, faces)
-    out = draw_iris(out, faces)
+        owned = True
+    out = draw_detections(out, faces, copy=not owned)
+    out = draw_contours(out, faces, copy=False)
+    out = draw_iris(out, faces, copy=False)
     return out
 
 

@@ -350,3 +350,48 @@ class TestLipRingPrimitives:
         # Winding of the hole must not matter (even-odd).
         m2 = render._fill_even_odd([outer, inner[::-1]], (14, 14))
         assert (m == m2).all()
+
+
+class TestMirroring:
+    """All overlay layers mirror, like the reference widget passes
+    mirrorHorizontally to EVERY painter (overlay_painters.dart:1156-1190),
+    not only the virtual background."""
+
+    def test_mirror_face_roundtrip_and_coords(self):
+        w = 100.0
+        f = _face()
+        m = render.mirror_face(f, w)
+        bb, mb = f.bounding_box, m.bounding_box
+        assert mb.xmin == pytest.approx(1.0 - bb.xmax)
+        assert mb.xmax == pytest.approx(1.0 - bb.xmin)
+        assert (mb.ymin, mb.ymax) == (bb.ymin, bb.ymax)
+        np.testing.assert_allclose(m.mesh.points[:, 0],
+                                   w - f.mesh.points[:, 0])
+        np.testing.assert_allclose(m.mesh.points[:, 1:], f.mesh.points[:, 1:])
+        back = render.mirror_face(m, w)
+        np.testing.assert_allclose(back.mesh.points, f.mesh.points)
+        np.testing.assert_allclose(back.detection_data.keypoints_xy,
+                                   f.detection_data.keypoints_xy)
+
+    def test_draw_mask_mirrored_equals_flipped(self):
+        """Tinting a mirrored preview == flipping the unmirrored tint."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        data = np.zeros((16, 16), np.float32)
+        data[4:12, 2:8] = 0.9  # off-center so the flip matters
+        mask = SegmentationMask(data, 64, 64, (0.0, 0.0, 0.0, 0.0))
+        lhs = render.draw_mask(img[:, ::-1], mask, mirror_horizontally=True)
+        rhs = render.draw_mask(img, mask)[:, ::-1]
+        np.testing.assert_array_equal(lhs, rhs)
+
+    def test_compose_mirrors_faces_and_tint(self):
+        """Composing with mirror_horizontally moves the face overlay to
+        the mirrored side of the canvas."""
+        img = np.zeros((100, 100, 3), np.uint8)
+        f = _face(box=(0.1, 0.3, 0.4, 0.7))  # face on the LEFT
+        plain = render.compose_camera_overlay(img, [f])
+        mirrored = render.compose_camera_overlay(img, [f],
+                                                 mirror_horizontally=True)
+        # Overlay ink on the left half without mirroring, right half with.
+        assert plain[:, :50].sum() > plain[:, 50:].sum()
+        assert mirrored[:, 50:].sum() > mirrored[:, :50].sum()

@@ -150,15 +150,16 @@ class TestEmbeddingSlab:
                 for i in range(n):
                     single = emb.embed(img, *pairs[i])
                     assert np.allclose(out[i], single, atol=1e-5)
-        batch_keys = [k for k in emb._programs if k[0] == "batch"]
-        # n=1,2,3,5 -> slabs 1,2,4,8 (3 shares nothing; 4 would reuse 3's).
-        assert sorted(k[3] for k in batch_keys) == [1, 2, 4, 8]
+        # n=1,2,3,5 -> slabs 1,2,4,8 (3 shares 4's trace; 4 would reuse
+        # it too).  ONE jitted program now serves every slab: jax re-traces
+        # per padded shape, so its trace-cache size IS the compile count.
+        many = emb._programs["many"]
+        assert many._cache_size() == 4
         with _w.catch_warnings():
             _w.simplefilter("ignore")
             out4 = emb.embed_batch(img, pairs[:4])  # reuses slab 4
         assert out4.shape == (4, 192)
-        assert sorted(k[3] for k in emb._programs if k[0] == "batch") \
-            == [1, 2, 4, 8]
+        assert many._cache_size() == 4  # no new trace for n=4
 
 
 class TestSegmentationConfig:
