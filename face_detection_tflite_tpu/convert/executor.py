@@ -341,6 +341,12 @@ def convert_model(
     input_ixs = tuple(ir.inputs)
     output_ixs = tuple(ir.outputs)
     input_names = [ir.tensors[t].name for t in ir.inputs]
+    # A declared output can be a constant (or become one via pass-1
+    # folding); it never reaches `env` — no live op writes it and the
+    # pass-2 param split only promotes constants that live ops CONSUME.
+    # Copy such values out before `const` is pruned below.
+    const_outputs = {t: np.array(const[t]) for t in output_ixs
+                     if t in const}
 
     def fn(p, *inputs):
         env: dict[int, Any] = {}
@@ -684,8 +690,10 @@ def convert_model(
                     mode="reflect" if o.get("mode", 0) == 0 else "symmetric")
             elif nm == "L2_NORMALIZATION":
                 x = get(op.inputs[0])
-                env[op.outputs[0]] = x * jax.lax.rsqrt(
-                    jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+                env[op.outputs[0]] = _act(
+                    x * jax.lax.rsqrt(
+                        jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12),
+                    o.get("activation"))
             elif nm == "DEQUANTIZE":
                 # Runtime fp16 -> fp32 cast; quantized activations are
                 # already float (fake-quant keeps the float representation).
@@ -752,7 +760,8 @@ def convert_model(
                 if tox in act_quant and tox in env:
                     env[tox] = _fake_quant(env[tox], *act_quant[tox])
 
-        return tuple(env[t] for t in output_ixs)
+        return tuple(env[t] if t in env else jnp.asarray(const_outputs[t])
+                     for t in output_ixs)
 
     # Host-memory hygiene: the traced constants now live in `params` as
     # device arrays, but fn's closure holds `const` (every weight as

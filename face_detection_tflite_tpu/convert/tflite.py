@@ -113,6 +113,17 @@ PADDING_VALID = 1
 ACTIVATIONS = {0: None, 1: "RELU", 2: "RELU_N1_TO_1", 3: "RELU6", 4: "TANH"}
 
 
+def _activation(code: int):
+    """Fused-activation enum -> name, raising on codes this runtime can't
+    execute (e.g. SIGN_BIT=5).  A silent None here would be a wrong-output
+    bug, not a missing feature — unknown OPCODES already fail loudly, and
+    activations deserve the same contract."""
+    if code not in ACTIVATIONS:
+        raise NotImplementedError(
+            f"unsupported fused activation code {code}")
+    return ACTIVATIONS[code]
+
+
 @dataclasses.dataclass
 class TensorIR:
     """One tensor in the graph: shape/dtype plus constant data if any."""
@@ -157,7 +168,7 @@ def _decode_options(opname: str, op: Table) -> dict:
             "padding": scalar(0, "int8"),
             "stride_w": scalar(1, "int32", 1),
             "stride_h": scalar(2, "int32", 1),
-            "activation": ACTIVATIONS.get(scalar(3, "int8")),
+            "activation": _activation(scalar(3, "int8")),
             "dilation_w": scalar(4, "int32", 1) or 1,
             "dilation_h": scalar(5, "int32", 1) or 1,
         }
@@ -167,7 +178,7 @@ def _decode_options(opname: str, op: Table) -> dict:
             "stride_w": scalar(1, "int32", 1),
             "stride_h": scalar(2, "int32", 1),
             "depth_multiplier": scalar(3, "int32", 1),
-            "activation": ACTIVATIONS.get(scalar(4, "int8")),
+            "activation": _activation(scalar(4, "int8")),
             "dilation_w": scalar(5, "int32", 1) or 1,
             "dilation_h": scalar(6, "int32", 1) or 1,
         }
@@ -176,7 +187,7 @@ def _decode_options(opname: str, op: Table) -> dict:
             "padding": scalar(0, "int8"),
             "stride_w": scalar(1, "int32", 1),
             "stride_h": scalar(2, "int32", 1),
-            "activation": ACTIVATIONS.get(scalar(3, "int8")),
+            "activation": _activation(scalar(3, "int8")),
         }
     if opname in ("MAX_POOL_2D", "AVERAGE_POOL_2D"):
         return {
@@ -185,15 +196,15 @@ def _decode_options(opname: str, op: Table) -> dict:
             "stride_h": scalar(2, "int32", 1),
             "filter_w": scalar(3, "int32", 1),
             "filter_h": scalar(4, "int32", 1),
-            "activation": ACTIVATIONS.get(scalar(5, "int8")),
+            "activation": _activation(scalar(5, "int8")),
         }
     if opname == "CONCATENATION":
         return {
             "axis": scalar(0, "int32"),
-            "activation": ACTIVATIONS.get(scalar(1, "int8")),
+            "activation": _activation(scalar(1, "int8")),
         }
     if opname in ("ADD", "MUL", "SUB", "DIV"):
-        return {"activation": ACTIVATIONS.get(scalar(0, "int8"))}
+        return {"activation": _activation(scalar(0, "int8"))}
     if opname == "RESHAPE":
         new_shape = (
             t.scalar_vector(0, "int32").tolist() if t is not None else None
@@ -233,7 +244,7 @@ def _decode_options(opname: str, op: Table) -> dict:
         return {"squeeze_dims": dims}
     if opname == "FULLY_CONNECTED":
         return {
-            "activation": ACTIVATIONS.get(scalar(0, "int8")),
+            "activation": _activation(scalar(0, "int8")),
             "keep_num_dims": scalar(2, "bool", False),
         }
     if opname == "LEAKY_RELU":
@@ -251,6 +262,11 @@ def _decode_options(opname: str, op: Table) -> dict:
                 "adj_y": scalar(1, "bool", False)}
     if opname == "GELU":
         return {"approximate": scalar(0, "bool", False)}
+    if opname == "L2_NORMALIZATION":
+        # L2NormOptions carries a fused activation too; decode it so a
+        # model using one fails loudly in the executor instead of
+        # silently skipping it.
+        return {"activation": _activation(scalar(0, "int8"))}
     if opname == "GATHER":
         return {"axis": scalar(0, "int32", 0),
                 "batch_dims": scalar(1, "int32", 0)}
@@ -431,12 +447,15 @@ def densify(tensor: TensorIR) -> np.ndarray:
     dm = sp["dim_metadata"]
     n_orig = len(shape)
 
-    # Block sizes: for each original dim d in block_map, the block dim size is
-    # the dense_size of the corresponding inner traversal entry.
+    # Block sizes: for each original dim d in block_map, the block dim size
+    # is the dense_size of the dim_metadata entry at the traversal POSITION
+    # whose VALUE names that block dim (n_orig + block_pos).  Indexing dm by
+    # n_orig + block_pos directly would assume block dims are traversed in
+    # block_map order — the spec allows any permutation.
     block_sizes = {}
     for block_pos, orig_dim in enumerate(block_map):
-        inner = dm[n_orig + block_pos]
-        block_sizes[orig_dim] = inner["dense_size"]
+        p = traversal.index(n_orig + block_pos)
+        block_sizes[orig_dim] = dm[p]["dense_size"]
 
     values = tensor.data
     out = np.zeros(int(np.prod(shape)), dtype=tensor.dtype)
@@ -449,7 +468,7 @@ def densify(tensor: TensorIR) -> np.ndarray:
             if d in block_sizes:
                 size //= block_sizes[d]
             return size
-        return block_sizes[block_map[trav_pos - n_orig]]
+        return block_sizes[block_map[d - n_orig]]
 
     # Recursive walk over traversal dims, tracking CSR segment ranges.
     coords = [0] * len(traversal)
@@ -466,7 +485,7 @@ def densify(tensor: TensorIR) -> np.ndarray:
                 else:
                     idx[d] = c
             else:
-                od = block_map[trav_pos - n_orig]
+                od = block_map[d - n_orig]
                 idx[od] += c
         flat = 0
         for d in range(n_orig):

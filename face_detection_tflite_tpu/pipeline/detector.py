@@ -64,8 +64,14 @@ def _enable_compilation_cache() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        # Still mark enabled (retrying per-constructor won't fix a
+        # read-only HOME), but say WHY every program will now pay its
+        # full 20-240 s TPU compile on each process restart.
+        import warnings
+        warnings.warn(f"persistent XLA compilation cache disabled: {e!r} "
+                      "(set FDT_COMPILE_CACHE_DIR to a writable path)",
+                      RuntimeWarning)
     _cache_enabled = True
 
 
@@ -787,9 +793,13 @@ class FaceDetector:
                                         _predispatched=_predispatched)
         else:
             handle, pad_b = self._dispatch_full(images, mode)
-            out = self._fetch(handle, self._readback_scale(bh, bw))
             if pad_b:
-                out = {k: v[:b] for k, v in out.items()}
+                # Trim the data-parallel padding rows ON DEVICE: fetching
+                # first would pack and transfer the pad fraction of the
+                # slab (readback is the measured bottleneck) only to
+                # discard it on the host.
+                handle = {k: v[:b] for k, v in handle.items()}
+            out = self._fetch(handle, self._readback_scale(bh, bw))
         return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
 
     def _prepare_batch(self, raw):
@@ -907,9 +917,11 @@ class FaceDetector:
         if self.adaptive:
             out = self._finish_speculative(images, det, mode)
         else:
-            out = self._fetch(det, self._readback_scale(bh, bw))
             if pad_b:
-                out = {k: v[:b] for k, v in out.items()}
+                # On-device pad trim before the packed readback (see
+                # detect_faces_batch).
+                det = {k: v[:b] for k, v in det.items()}
+            out = self._fetch(det, self._readback_scale(bh, bw))
         return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
 
     @staticmethod
@@ -1253,10 +1265,20 @@ class FaceDetector:
                     "FaceDetector to switch model/precision/mask format)",
                     UserWarning, stacklevel=2)
             return
-        if config is not None:
-            self._segmentation_config = config
-            self._segmentation_model = config.model
-        self._load_segmentation(self._segmentation_model)
+        if config is None:
+            self._load_segmentation(self._segmentation_model)
+            return
+        # Commit the new config/model only once the load succeeds: a
+        # missing file or channel-validation failure must not poison
+        # later lazy loads of the (working) constructor choice.
+        prev = (self._segmentation_config, self._segmentation_model)
+        self._segmentation_config = config
+        self._segmentation_model = config.model
+        try:
+            self._load_segmentation(config.model)
+        except Exception:
+            self._segmentation_config, self._segmentation_model = prev
+            raise
 
     @property
     def is_segmentation_ready(self) -> bool:

@@ -630,6 +630,28 @@ class TestMatBytesAndFrameMask:
         d.dispose()
         assert not d.is_segmentation_ready
 
+    def test_initialize_segmentation_failure_does_not_poison(self):
+        """A failed eager load (missing multiclass file) must not commit
+        its model choice: the next lazy load still uses the constructor's
+        working model."""
+        from face_detection_tflite_tpu import (SegmentationConfig,
+                                               SegmentationModel)
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        multiclass_path = os.path.join(MODELS_DIR,
+                                       "selfie_multiclass.tflite")
+        if os.path.exists(multiclass_path):
+            pytest.skip("multiclass model present; failure path not "
+                        "reproducible")
+        with pytest.raises(FileNotFoundError):
+            d.initialize_segmentation(
+                SegmentationConfig(model=SegmentationModel.MULTICLASS))
+        assert not d.is_segmentation_ready
+        # Lazy load still works with the constructor's GENERAL model.
+        m = d.get_segmentation_mask(np.full((256, 256, 3), 128, np.uint8))
+        assert m.data.shape == (256, 256)
+        d.dispose()
+
     def test_ready_properties(self):
         """isReady / isEmbeddingReady / isSegmentationReady
         (face_detector.dart:210-218)."""

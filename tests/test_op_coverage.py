@@ -188,6 +188,68 @@ def _single_op_ir(op_name, in_shape, out_shape, options,
         inputs=[0], outputs=[1], description="direct-ir")
 
 
+def test_constant_output_direct_ir():
+    """A declared graph output that is a CONSTANT (or becomes one via
+    pass-1 folding) must be returned, not KeyError at first trace — no
+    live op ever writes it into env."""
+    x = _rng.uniform(-1, 1, (2, 3)).astype(np.float32)
+    cval = np.asarray([[1.5, -2.0, 3.0]], np.float32)
+    tensors = [
+        TensorIR(0, "x", (2, 3), np.float32, None),
+        TensorIR(1, "y", (2, 3), np.float32, None),
+        TensorIR(2, "c", (1, 3), np.float32, cval),
+    ]
+    ir = ModelIR(tensors=tensors,
+                 ops=[OpIR("ABS", [0], [1], {})],
+                 inputs=[0], outputs=[1, 2], description="const-out")
+    cm = convert_model(ir, name="cov-const-output")
+    got_y, got_c = cm.fn(cm.params, x)
+    np.testing.assert_array_equal(np.asarray(got_y), np.abs(x))
+    np.testing.assert_array_equal(np.asarray(got_c), cval)
+
+
+def test_unknown_fused_activation_raises():
+    """Unsupported fused-activation codes (e.g. SIGN_BIT=5) must raise at
+    parse time like unknown opcodes do — a silent None would be wrong
+    numerics, not a missing feature."""
+    from face_detection_tflite_tpu.convert.tflite import _activation
+    assert _activation(0) is None and _activation(1) == "RELU"
+    with pytest.raises(NotImplementedError, match="activation"):
+        _activation(5)
+
+
+def test_densify_permuted_block_traversal():
+    """Block dims traversed in an order different from block_map order
+    (allowed by the TFLite sparsity spec) must densify to the same
+    weights a spec-literal walk produces."""
+    from face_detection_tflite_tpu.convert.tflite import densify
+    # 4x4 tensor of 2x2 blocks, ALL dims dense, block traversal SWAPPED:
+    # traversal [0, 1, 3, 2] visits block dim 1 before block dim 0.
+    shape = (4, 4)
+    traversal = [0, 1, 3, 2]
+    block_map = [0, 1]
+    vals = np.arange(16, dtype=np.float32)
+    dm = [{"format": 0, "dense_size": 2},   # dim 0 in blocks
+          {"format": 0, "dense_size": 2},   # dim 1 in blocks
+          {"format": 0, "dense_size": 2},   # traversal value 3 = block of dim 1
+          {"format": 0, "dense_size": 2}]   # traversal value 2 = block of dim 0
+    t = TensorIR(0, "w", shape, np.float32, vals,
+                 sparsity={"traversal_order": traversal,
+                           "block_map": block_map, "dim_metadata": dm})
+    dense = densify(t).reshape(shape)
+    # Spec-literal oracle: iterate traversal coords, map via traversal
+    # VALUES onto original indices.
+    expect = np.zeros(shape, np.float32)
+    i = 0
+    for c0 in range(2):            # dim0 block index
+        for c1 in range(2):        # dim1 block index
+            for b1 in range(2):    # traversal value 3 -> inner dim 1
+                for b0 in range(2):  # traversal value 2 -> inner dim 0
+                    expect[c0 * 2 + b0, c1 * 2 + b1] = vals[i]
+                    i += 1
+    np.testing.assert_array_equal(dense, expect)
+
+
 def test_squeeze_direct_ir():
     """Runtime SQUEEZE lowering (executor.py), with and without dims."""
     x = _rng.uniform(-1, 1, (1, 5, 1, 3)).astype(np.float32)
