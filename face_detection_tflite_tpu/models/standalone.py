@@ -5,7 +5,11 @@ The reference exposes each network as an independently usable class
 `FaceEmbedding` — `lib/src/models/*`), besides the orchestrating
 `FaceDetector`.  These wrappers provide the same standalone surface on the
 compiled JAX graphs: each owns one converted model plus its pre/post
-processing, jitted per input-geometry bucket.
+processing.  The crop models (mesh/iris/blendshapes) have fixed input
+sizes; `FaceDetection` compiles one program per exact image size — bound
+that with its ``max_dim`` knob (or pre-size inputs) for mixed-resolution
+streams, or use `FaceDetector`, whose ``bucket_images`` ladder exists for
+exactly this.
 
 `FaceEmbedding` lives in `models/embedding.py`; `SelfieSegmentation` in
 `models/segmentation.py`.
@@ -75,7 +79,14 @@ class FaceDetection(_Disposable):
 
     def __init__(self, variant: Variant = Variant.BACK_CAMERA,
                  model_dir: Optional[str] = None, max_detections: int = 16,
-                 precision: str = "highest"):
+                 precision: str = "highest",
+                 max_dim: Optional[int] = None):
+        #: Optional cap on the longer input side (host INTER_LINEAR
+        #: downscale before detection — boxes/keypoints are normalized, so
+        #: coordinates are unaffected).  One program compiles per exact
+        #: image size; without a cap a mixed-resolution stream pays a full
+        #: XLA compile per unique size.
+        self.max_dim = max_dim
         self.variant = variant
         self.model = convert_file(
             _resolve(MODEL_FILES[variant.value], model_dir),
@@ -114,9 +125,22 @@ class FaceDetection(_Disposable):
     def __call__(self, image: np.ndarray) -> list[Detection]:
         self._check_disposed()
         image = np.asarray(image)
-        h, w, _ = image.shape
+        # Same channel tolerance as every other public entry point
+        # (grayscale replicates, RGBA drops alpha — normalize_channels'
+        # documented contract).
+        if image.ndim == 2:
+            image = image[..., None]
+        if image.ndim != 3 or image.shape[-1] not in (1, 3, 4):
+            raise ValueError(
+                f"expected [H, W, {{1,3,4}}] image, got {image.shape}")
+        if self.max_dim is not None:
+            from ..utils.image import fit_max_dim
+            image = fit_max_dim(image, self.max_dim)
+        from ..utils.image import normalize_channels
+        dev = normalize_channels(jnp.asarray(image)[None])[0]
+        h, w = image.shape[:2]
         packed = np.asarray(self._program(h, w)(
-            self.model.params, jnp.asarray(image)))  # one transfer
+            self.model.params, dev))  # one transfer
         boxes, kp = packed[:, :4], packed[:, 4:16].reshape(-1, 6, 2)
         scores, valid = packed[:, 16], packed[:, 17] > 0.5
         return [Detection(RectF(*map(float, boxes[i])), float(scores[i]),
@@ -157,8 +181,13 @@ class FaceLandmark(_Disposable):
     def call_with_score(self, face_crop: np.ndarray
                         ) -> tuple[np.ndarray, float]:
         self._check_disposed()
-        assert face_crop.shape[:2] == (self.input_size, self.input_size), \
-            f"expects a {self.input_size}x{self.input_size} crop"
+        if face_crop.shape[:2] != (self.input_size, self.input_size):
+            # ValueError, not assert: asserts vanish under python -O and
+            # the wrong shape would then burn a fresh XLA compile before
+            # dying in an opaque trace error.
+            raise ValueError(
+                f"expects a {self.input_size}x{self.input_size} crop, "
+                f"got {face_crop.shape[:2]}")
         packed = np.asarray(self._run(self.model.params,
                                       jnp.asarray(face_crop)))
         lm, s = packed[:-1].reshape(-1, 3), float(packed[-1])
@@ -193,8 +222,10 @@ class IrisLandmark(_Disposable):
 
     def __call__(self, eye_crop: np.ndarray) -> np.ndarray:
         self._check_disposed()
-        assert eye_crop.shape[:2] == (self.input_size, self.input_size), \
-            f"expects a {self.input_size}x{self.input_size} crop"
+        if eye_crop.shape[:2] != (self.input_size, self.input_size):
+            raise ValueError(
+                f"expects a {self.input_size}x{self.input_size} crop, "
+                f"got {eye_crop.shape[:2]}")
         return np.asarray(self._run(self.model.params, jnp.asarray(eye_crop)))
 
 

@@ -69,13 +69,18 @@ class OneEuroFilter:
         return r / (r + 1.0)
 
     def filter(self, x, t_sec: float) -> np.ndarray:
+        # State is stored AND returned as copies: np.asarray aliases a
+        # caller-owned float64 array, and handing out the internal
+        # accumulator would let `out += offset` silently corrupt every
+        # later output (the arrays are a few KB — copies are noise).
         x = np.asarray(x, np.float64)
         if self._x is None or self._x.shape != x.shape:
-            self._x, self._dx, self._t = x, np.zeros_like(x), float(t_sec)
-            return x
+            self._x, self._dx, self._t = x.copy(), np.zeros_like(x), \
+                float(t_sec)
+            return self._x.copy()
         dt = float(t_sec) - self._t
         if dt <= 0.0:
-            return self._x
+            return self._x.copy()
         self._t = float(t_sec)
         dx = (x - self._x) / dt
         a_d = self._alpha(dt, self.d_cutoff)
@@ -83,7 +88,7 @@ class OneEuroFilter:
         cutoff = self.min_cutoff + self.beta * np.abs(self._dx)
         a = self._alpha(dt, cutoff)
         self._x = a * x + (1.0 - a) * self._x
-        return self._x
+        return self._x.copy()
 
     def reset(self) -> None:
         self._x = self._dx = self._t = None
@@ -132,14 +137,24 @@ class FaceSmoother:
 
     def _ema(self, tid: int, key: str, value: Optional[np.ndarray]):
         if value is None:
+            # Forget the key rather than keep it frozen: a mesh that
+            # reappears after N mesh-less frames on a still-matched track
+            # would otherwise blend 50% with arbitrarily stale points (a
+            # visible ghost jump).  The one_euro path already degrades
+            # gracefully via its dt-adaptive alpha.
+            self._state[tid].pop(key, None)
             return None
-        value = np.asarray(value, np.float64)
+        # Copy in and out: np.asarray aliases caller-owned float64 input,
+        # and the returned array is wrapped into the emitted Face — an
+        # in-place edit there (e.g. scaling for rendering) must not
+        # rewrite the accumulator.
+        value = np.array(value, np.float64)
         prev = self._state[tid].get(key)
         if prev is None or prev.shape != value.shape:
             out = value
         else:
             out = prev * (1.0 - self.alpha) + value * self.alpha
-        self._state[tid][key] = out
+        self._state[tid][key] = out.copy()
         return out
 
     def smooth(self, faces: list[Face],

@@ -48,7 +48,11 @@ def _read_frames(path: str, frame_stride: int, max_frames: Optional[int]):
             if not ok:
                 break
             if idx % frame_stride == 0:
-                yield idx, idx / fps, frame[..., ::-1].copy()  # BGR -> RGB
+                # BGR -> RGB as a view: cap.read() returns a fresh array
+                # per frame, and every consumer (np.stack batching, H2D
+                # jnp.asarray) copies anyway — an eager .copy() here just
+                # doubled host memcpy traffic on the decode hot path.
+                yield idx, idx / fps, frame[..., ::-1]
                 emitted += 1
                 if max_frames is not None and emitted >= max_frames:
                     break

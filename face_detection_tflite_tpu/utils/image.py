@@ -23,8 +23,12 @@ def validate_batch_shape(shape) -> None:
     the shape alone — for eager validation on hot paths where dispatching
     the (discarded) normalization device ops per batch is pure waste
     (ServingPipeline.submit)."""
-    if len(shape) == 3:  # [B, H, W] grayscale
-        return
+    if len(shape) == 3:
+        if shape[-1] in (1, 3, 4):  # see normalize_channels
+            raise ValueError(
+                f"ambiguous 3-D input {tuple(shape)}: looks like a single "
+                "[H, W, C] image — add a batch axis (img[None])")
+        return  # [B, H, W] grayscale
     if len(shape) != 4:
         raise ValueError(
             f"expected [B, H, W, C] image batch, got shape {tuple(shape)}")
@@ -64,8 +68,18 @@ def normalize_channels(images):
 
     if not isinstance(images, jax.Array):
         images = jnp.asarray(np.asarray(images))
-    if images.ndim == 3:  # [B, H, W] grayscale
-        images = images[..., None]
+    if images.ndim == 3:
+        if images.shape[-1] in (1, 3, 4):
+            # Almost certainly a single [H, W, C] image missing its batch
+            # axis; reading it as a [B, H, W] grayscale batch would
+            # silently return H garbage face lists.  (detect_faces routes
+            # channel-shaped 3-D inputs before ever reaching here.)
+            raise ValueError(
+                f"ambiguous 3-D input {images.shape}: looks like a single "
+                "[H, W, C] image — add a batch axis (img[None]); a "
+                f"genuinely {images.shape[-1]}-px-wide grayscale batch "
+                "must be passed as [B, H, W, 1]")
+        images = images[..., None]  # [B, H, W] grayscale
     if images.ndim != 4:
         raise ValueError(
             f"expected [B, H, W, C] image batch, got shape {images.shape}")

@@ -676,3 +676,54 @@ class TestAlignedRoiAndCoverFit:
             jnp.asarray(pts.reshape(-1)), *args)
         assert np.array_equal(np.asarray(packed).reshape(-1),
                               np.asarray(flat))
+
+
+class TestSmootherStateIsolation:
+    """Smoother state must not alias caller arrays in either direction
+    (an in-place edit on a returned mesh corrupted the EMA accumulator)."""
+
+    def _face(self, x0, tid):
+        det = Detection(RectF(x0, 0.1, x0 + 0.2, 0.3), 0.9,
+                        np.full((6, 2), x0))
+        mesh = FaceMesh(np.full((468, 3), x0 * 100, np.float64), 0.99)
+        return Face(det, mesh, np.zeros((0, 3)), (100, 100), tracking_id=1)
+
+    def test_ema_output_mutation_does_not_corrupt_state(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+        (out1,) = s.smooth([self._face(0.1, 1)])
+        out1.mesh.points[:] = 9999.0  # caller mutates for rendering
+        (out2,) = s.smooth([self._face(0.1, 1)])
+        np.testing.assert_allclose(out2.mesh.points, 10.0)  # not 9999-tainted
+
+    def test_ema_input_mutation_does_not_corrupt_state(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+        f = self._face(0.1, 1)
+        s.smooth([f])
+        f.mesh.points[:] = -5.0  # caller reuses its own buffer
+        (out,) = s.smooth([self._face(0.1, 1)])
+        np.testing.assert_allclose(out.mesh.points, 10.0)
+
+    def test_ema_forgets_stale_mesh(self):
+        """A mesh that disappears (FAST frames) and returns must restart
+        its EMA, not blend with arbitrarily stale points."""
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+        s.smooth([self._face(0.1, 1)])          # mesh at 10
+        det = Detection(RectF(0.1, 0.1, 0.3, 0.3), 0.9, np.full((6, 2), 0.1))
+        meshless = Face(det, None, np.zeros((0, 3)), (100, 100),
+                        tracking_id=1)
+        s.smooth([meshless])                    # mesh absent -> forget
+        (out,) = s.smooth([self._face(0.5, 1)])  # mesh at 50 reappears
+        np.testing.assert_allclose(out.mesh.points, 50.0)  # no 10-blend
+
+    def test_one_euro_filter_copies(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import OneEuroFilter
+        f = OneEuroFilter()
+        x = np.zeros((4, 2), np.float64)
+        out0 = f.filter(x, 0.0)
+        x[:] = 100.0          # caller's array mutated after init
+        out0[:] = -7.0        # returned array mutated
+        out1 = f.filter(np.ones((4, 2)), 1.0)
+        assert np.all(out1 >= 0.0) and np.all(out1 <= 1.0)  # state untainted

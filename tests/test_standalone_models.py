@@ -64,7 +64,7 @@ class TestStandalone:
         iris = IrisLandmark(model_dir=MODELS_DIR)
         out = iris(np.zeros((64, 64, 3), np.uint8))
         assert out.shape == (76, 3)
-        with pytest.raises(AssertionError, match="64x64"):
+        with pytest.raises(ValueError, match="64x64"):
             iris(np.zeros((32, 32, 3), np.uint8))
 
     def test_blendshapes_shape_and_sanitize(self):
@@ -102,3 +102,37 @@ class TestDispose:
         emb.dispose()
         with pytest.raises(RuntimeError, match="disposed"):
             emb.embed(np.zeros((64, 64, 3), np.uint8), (10, 10), (20, 10))
+
+
+class TestStandaloneInputContracts:
+    def test_detection_channel_tolerance_and_max_dim(self):
+        """Standalone FaceDetection accepts grayscale/RGBA like every
+        other public entry point, and max_dim bounds per-size compiles
+        (normalized outputs are scale-invariant)."""
+        img = _img("landmark-ex1.jpg")
+        det = FaceDetection(Variant.BACK_CAMERA, model_dir=MODELS_DIR,
+                            max_dim=640)
+        rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        (d_rgba,) = det(rgba)
+        (d_rgb,) = det(img)
+        assert abs(d_rgba.bounding_box.xmin - d_rgb.bounding_box.xmin) < 0.01
+        gray = img.mean(axis=-1).astype(np.uint8)
+        dets_gray = det(gray)          # [H, W] tolerated
+        assert len(dets_gray) >= 0     # decodes without error
+        with pytest.raises(ValueError, match="expected"):
+            det(np.zeros((64, 64, 7), np.uint8))
+        # max_dim=640 on a 1280-wide input -> one 426x640 program only.
+        assert list(det._programs) == [(426, 640)]
+        det.dispose()
+
+    def test_crop_shape_errors_are_valueerrors(self):
+        """Wrong crop sizes raise ValueError (asserts would vanish under
+        python -O and burn an XLA compile before failing opaquely)."""
+        lm = FaceLandmark(model_dir=MODELS_DIR)
+        with pytest.raises(ValueError, match="192x192"):
+            lm.call_with_score(np.zeros((100, 100, 3), np.uint8))
+        lm.dispose()
+        ir = IrisLandmark(model_dir=MODELS_DIR)
+        with pytest.raises(ValueError, match="64x64"):
+            ir(np.zeros((100, 100, 3), np.uint8))
+        ir.dispose()
