@@ -28,7 +28,11 @@ def save_params_npz(model: ConvertedModel, path: str) -> None:
 def load_params_npz(path: str) -> dict:
     """Loads a params dict saved by :func:`save_params_npz` or
     ``tools/export_weights.py`` (meta keys ignored)."""
-    with np.load(path, allow_pickle=True) as z:
+    # No allow_pickle: every key save_params_npz/export_weights.py writes
+    # is a plain numeric array, and unpickling object arrays from an
+    # untrusted checkpoint would execute arbitrary code before any
+    # validation runs.
+    with np.load(path) as z:
         return {k: jnp.asarray(z[k]) for k in z.files
                 if not k.startswith(_META_PREFIX)}
 

@@ -86,6 +86,36 @@ def _iou_matrix(boxes):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def _topk_candidates(boxes, keypoints, scores, valid, k: int):
+    """Score-sorted top-k candidate prep shared by the XLA fixpoint NMS
+    and the Pallas kernel (ops/nms_pallas.py) — one copy, so parity fixes
+    land in both paths."""
+    masked_scores = jnp.where(valid, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    return (boxes[top_idx], keypoints[top_idx], top_scores,
+            top_scores > 0.0)
+
+
+def _emit_slab(leader, blended, top_kp, top_scores, k: int, d: int):
+    """Leader mask + blended boxes -> the fixed [D] output slab (first d
+    leaders in score (=index) order, zero-padded).  Shared by both NMS
+    paths."""
+    idx = jnp.arange(k)
+    order = jnp.argsort(jnp.where(leader, idx, k + idx))[:d]
+    out_valid = leader[order]
+    out_boxes = jnp.where(out_valid[:, None], blended[order], 0.0)
+    out_kp = jnp.where(out_valid[:, None, None], top_kp[order], 0.0)
+    out_scores = jnp.where(out_valid, top_scores[order], 0.0)
+    if k < d:
+        # Keep the documented fixed [D] slab even when num_candidates < D.
+        pad = d - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_kp = jnp.pad(out_kp, ((0, pad), (0, 0), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, pad),))
+        out_valid = jnp.pad(out_valid, ((0, pad),))
+    return out_boxes, out_kp, out_scores, out_valid
+
+
 def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
                  num_candidates: Optional[int] = None,
                  iou_threshold: float = NMS_IOU):
@@ -107,11 +137,8 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
     """
     k = scores.shape[0] if num_candidates is None \
         else min(num_candidates, scores.shape[0])
-    masked_scores = jnp.where(valid, scores, -1.0)
-    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
-    top_boxes = boxes[top_idx]
-    top_kp = keypoints[top_idx]
-    top_valid = top_scores > 0.0
+    top_boxes, top_kp, top_scores, top_valid = _topk_candidates(
+        boxes, keypoints, scores, valid, k)
 
     iou = _iou_matrix(top_boxes)  # [k, k]
     overlap = (iou > iou_threshold) & top_valid[None, :]  # strict >
@@ -160,21 +187,8 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
                          precision=jax.lax.Precision.HIGHEST) / wsum  # [k,4]
 
     # Emit the first max_detections leaders in score (=index) order.
-    d = max_detections
-    order = jnp.argsort(jnp.where(leader, idx, k + idx))[:d]
-    out_valid = leader[order]
-    out_boxes = jnp.where(out_valid[:, None], blended[order], 0.0)
-    out_kp = jnp.where(out_valid[:, None, None], top_kp[order], 0.0)
-    out_scores = jnp.where(out_valid, top_scores[order], 0.0)
-    if k < d:
-        # Keep the documented fixed [D] slab even when num_candidates < D
-        # (downstream prefix slices assume the full slab shape).
-        pad = d - k
-        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
-        out_kp = jnp.pad(out_kp, ((0, pad), (0, 0), (0, 0)))
-        out_scores = jnp.pad(out_scores, ((0, pad),))
-        out_valid = jnp.pad(out_valid, ((0, pad),))
-    return out_boxes, out_kp, out_scores, out_valid
+    return _emit_slab(leader, blended, top_kp, top_scores, k,
+                      max_detections)
 
 
 def remove_letterbox(boxes, keypoints, padding):

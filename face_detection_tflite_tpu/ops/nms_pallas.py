@@ -11,8 +11,11 @@ matmul ([k, k] weights x [k, 4] boxes).
 Semantics are identical to the XLA path (strict IoU >, leader keeps its
 own score/keypoints, members blend into the leader's box — reference
 `helpers.dart:183-221`); ``tests/test_nms_pallas.py`` pins kernel-vs-XLA
-equality.  Candidate counts are padded to the fp32 sublane size (8) and
-boxes to lane width where needed; k=128 uses ~80 KB VMEM.
+equality.  Mosaic relayouts non-aligned shapes itself; k=128 uses
+~80 KB VMEM.  The kernel holds several [k, k] f32 intermediates, so it is
+sized for candidate caps around 128-512; above ``PALLAS_MAX_K`` the
+wrapper falls back to the XLA fixpoint (identical outputs) rather than
+blowing VMEM at full-range anchor counts (k=2304 -> ~21 MB per [k, k]).
 """
 
 from __future__ import annotations
@@ -89,7 +92,13 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, iou_threshold_ref,
     li = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0).astype(jnp.float32)
     member_w = jnp.where(owner == li, scores.reshape(1, k), 0.0)
     wsum = jnp.maximum(jnp.sum(member_w, axis=1, keepdims=True), 1e-12)
+    # precision: preferred_element_type only sets the OUTPUT dtype — a
+    # bare dot still multiplies bf16 on the MXU (~1-2 px on 1280 px
+    # frames per blended cluster), the exact parity break detections.py
+    # pins HIGHEST for.  Same fix here; the CPU interpret-mode equality
+    # test can't see it (precision is a no-op off-device).
     blended = jnp.dot(member_w, boxes,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32) / wsum
 
     leader_ref[:] = leader
@@ -132,6 +141,13 @@ def nms_core_pallas(boxes, scores, valid, iou_threshold=0.3,
     return leader.reshape(k) > 0.5, blended
 
 
+#: Above this candidate count the kernel's [k, k] VMEM intermediates
+#: (~k*k*4 bytes each, several live at once) stop fitting on-chip and the
+#: in-kernel k-step scan dominates anyway; the wrapper falls back to the
+#: XLA fixpoint, which handles full-range anchor counts (2304) fine.
+PALLAS_MAX_K = 512
+
+
 def weighted_nms_pallas(boxes, keypoints, scores, valid, *,
                         max_detections: int, num_candidates=None,
                         iou_threshold: float = NMS_IOU,
@@ -139,30 +155,22 @@ def weighted_nms_pallas(boxes, keypoints, scores, valid, *,
     """Drop-in replacement for ``detections.weighted_nms`` using the
     Pallas core.  Same outputs: (boxes [D,4], kp [D,...], scores [D],
     valid [D]).  ``num_candidates=None`` considers all anchors (parity
-    default, matching ``detections.weighted_nms``)."""
+    default, matching ``detections.weighted_nms``) — but candidate counts
+    above ``PALLAS_MAX_K`` route to the XLA path (identical outputs;
+    the kernel's [k, k] VMEM working set is sized for latency-path caps,
+    not the 2304-anchor full-range slab)."""
+    from .detections import _emit_slab, _topk_candidates, weighted_nms
     k = scores.shape[0] if num_candidates is None \
         else min(num_candidates, scores.shape[0])
-    masked_scores = jnp.where(valid, scores, -1.0)
-    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
-    top_boxes = boxes[top_idx]
-    top_kp = keypoints[top_idx]
-    top_valid = top_scores > 0.0
+    if k > PALLAS_MAX_K:
+        return weighted_nms(boxes, keypoints, scores, valid,
+                            max_detections=max_detections,
+                            num_candidates=num_candidates,
+                            iou_threshold=iou_threshold)
+    top_boxes, top_kp, top_scores, top_valid = _topk_candidates(
+        boxes, keypoints, scores, valid, k)
 
     leader, blended = nms_core_pallas(top_boxes, top_scores, top_valid,
                                       iou_threshold, interpret=interpret)
-
-    d = max_detections
-    idx = jnp.arange(k)
-    order = jnp.argsort(jnp.where(leader, idx, k + idx))[:d]
-    out_valid = leader[order]
-    out_boxes = jnp.where(out_valid[:, None], blended[order], 0.0)
-    out_kp = jnp.where(out_valid[:, None, None], top_kp[order], 0.0)
-    out_scores = jnp.where(out_valid, top_scores[order], 0.0)
-    if k < d:
-        # Fixed [D] slab even when num_candidates < D (see weighted_nms).
-        pad = d - k
-        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
-        out_kp = jnp.pad(out_kp, ((0, pad), (0, 0), (0, 0)))
-        out_scores = jnp.pad(out_scores, ((0, pad),))
-        out_valid = jnp.pad(out_valid, ((0, pad),))
-    return out_boxes, out_kp, out_scores, out_valid
+    return _emit_slab(leader, blended, top_kp, top_scores, k,
+                      max_detections)

@@ -72,3 +72,25 @@ def test_pallas_single_cluster_blend():
     assert osc[0] == pytest.approx(0.9)
     expected = (0.9 * boxes[0] + 0.8 * boxes[1]) / 1.7
     np.testing.assert_allclose(ob[0], np.asarray(expected), atol=1e-6)
+
+
+def test_pallas_large_k_falls_back_to_xla():
+    """Above PALLAS_MAX_K (the kernel's [k,k] VMEM sizing) the wrapper
+    routes to the XLA fixpoint with identical outputs — the parity
+    default num_candidates=None at full-range scale (2304 anchors) must
+    not blow VMEM."""
+    from face_detection_tflite_tpu.ops.detections import weighted_nms
+    from face_detection_tflite_tpu.ops.nms_pallas import PALLAS_MAX_K
+    rng = np.random.default_rng(11)
+    n = PALLAS_MAX_K + 64
+    c = rng.uniform(0.1, 0.9, (n, 2)).astype(np.float32)
+    wh = rng.uniform(0.02, 0.2, (n, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([c - wh / 2, c + wh / 2], axis=1))
+    kp = jnp.asarray(rng.uniform(0, 1, (n, 6, 2)).astype(np.float32))
+    scores = jnp.asarray(rng.uniform(0.3, 1.0, n).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(0, 1, n) > 0.3)
+    a = weighted_nms_pallas(boxes, kp, scores, valid, max_detections=16,
+                            interpret=True)  # k = n > PALLAS_MAX_K
+    b = weighted_nms(boxes, kp, scores, valid, max_detections=16)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import hashlib
 import os
-import shutil
 import sys
 import urllib.parse
 import urllib.request
@@ -113,8 +112,13 @@ def install(rel: str, data: bytes, dst: str) -> None:
             "every parity test)")
     p = os.path.join(dst, rel)
     os.makedirs(os.path.dirname(p), exist_ok=True)
-    with open(p, "wb") as f:
+    # Atomic: a write interrupted mid-file must not leave a
+    # hash-mismatched asset behind (which would brick every later run
+    # until the user figured out what to delete).
+    tmp = p + ".part"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, p)
 
 
 def main() -> int:
@@ -128,7 +132,10 @@ def main() -> int:
 
     ok, bad, missing = _state(args.dst)
     if bad:
-        print(f"ERROR: hash mismatch in {args.dst}: {bad}", file=sys.stderr)
+        print(f"ERROR: hash mismatch in {args.dst}: {bad}\n"
+              f"Delete the listed file(s) and re-run this script to "
+              f"re-fetch them (a mismatched model would silently shift "
+              f"every parity test).", file=sys.stderr)
         return 1
     if args.verify_only:
         print(f"{len(ok)}/{len(MANIFEST)} present+verified, "
