@@ -97,7 +97,11 @@ def main():
     # arrive pre-staged from the decode/H2D pipeline), so `prestage` builds
     # the unique batches BEFORE the timed region; only the detector calls
     # are inside the timer.
-    bump = jax.jit(lambda x, i: x.at[:, 0, 0, 0].set(i % 199))
+    # Two pixels give the bump a period of 199*197 = 39203 calls — a
+    # single `i % 199` pixel would repeat byte-identical batches for long
+    # FDT_BENCH_ROUNDS/ITERS configs, letting the memoizer serve them.
+    bump = jax.jit(lambda x, i: x.at[:, 0, 0, 0].set(i % 199)
+                   .at[:, 0, 1, 0].set((i // 199) % 197))
     counter = [0]
 
     def next_images(b=None, src=None):

@@ -18,20 +18,20 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from face_detection_tflite_tpu.utils.backend import ensure_backend  # noqa: E402
-
-ensure_backend()
-
-from face_detection_tflite_tpu import (  # noqa: E402
-    FaceDetectionMode, FaceDetectionModel, FaceDetector, FaceSmoother)
-from face_detection_tflite_tpu.utils.render import annotate  # noqa: E402
-
-
 def main() -> None:
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     src = sys.argv[1]
     dst = sys.argv[2] if len(sys.argv) > 2 else "annotated.mp4"
+
+    # Backend init only after the usage check: a bare invocation should
+    # print help instantly, not probe a (possibly wedged) TPU relay.
+    from face_detection_tflite_tpu.utils.backend import ensure_backend
+    ensure_backend()
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector,
+                                           FaceSmoother)
+    from face_detection_tflite_tpu.utils.render import annotate
 
     import cv2
 
@@ -47,8 +47,13 @@ def main() -> None:
                        enable_tracking=True)
     smoother = FaceSmoother(alpha=0.5)
 
+    if w <= 0 or h <= 0:
+        sys.exit(f"{src}: container reports {w}x{h} frames")
     writer = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                              (w, h))
+    if not writer.isOpened():
+        sys.exit(f"cannot open video writer for {dst} (mp4v encoder "
+                 "missing?) — every write would be a silent no-op")
     # Results arrive in strict frame order, so a second capture reads the
     # frames incrementally in step with the result stream — O(1) memory
     # (pre-decoding a whole video would hold gigabytes of frames).

@@ -93,15 +93,13 @@ class SegmentationConfig:
     readback).
     """
 
-    model: "SegmentationModel" = None  # type: ignore[assignment]
+    model: "SegmentationModel" = SegmentationModel.GENERAL
     max_output_size: int = 2048
     precision: str = "high"
     mask_dtype: str = "float32"
     validate_model: bool = True
 
     def __post_init__(self):
-        if self.model is None:
-            object.__setattr__(self, "model", SegmentationModel.GENERAL)
         if self.mask_dtype not in ("float32", "uint8"):
             raise ValueError(
                 f"mask_dtype must be 'float32' or 'uint8', "

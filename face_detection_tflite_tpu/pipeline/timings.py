@@ -12,6 +12,7 @@ intra-program attribution is XLA's job — use :func:`trace` to capture a
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Iterator
@@ -25,6 +26,10 @@ class DetectTimings:
     def __init__(self):
         self.total_ms: dict[str, float] = defaultdict(float)
         self.calls: dict[str, int] = defaultdict(int)
+        # A detector is legitimately shared across threads (ServingPipeline
+        # worker + owner thread); the += read-modify-writes would drop
+        # increments and desync calls from total_ms without this.
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -33,8 +38,9 @@ class DetectTimings:
             yield
         finally:
             dt = (time.perf_counter() - t0) * 1e3
-            self.total_ms[name] += dt
-            self.calls[name] += 1
+            with self._lock:
+                self.total_ms[name] += dt
+                self.calls[name] += 1
 
     def mean_ms(self, name: str) -> float:
         n = self.calls.get(name, 0)
@@ -45,8 +51,9 @@ class DetectTimings:
         return {k: round(self.mean_ms(k), 3) for k in self.total_ms}
 
     def reset(self) -> None:
-        self.total_ms.clear()
-        self.calls.clear()
+        with self._lock:
+            self.total_ms.clear()
+            self.calls.clear()
 
     def __repr__(self) -> str:
         parts = [f"{k}={self.mean_ms(k):.2f}ms" for k in self.total_ms]
