@@ -178,11 +178,14 @@ def weighted_nms(boxes, keypoints, scores, valid, *, max_detections: int,
     member_w = jnp.where((owner[None, :] == idx[:, None]),
                          top_scores[None, :], 0.0)  # [leader, member]
     wsum = jnp.maximum(member_w.sum(axis=1, keepdims=True), 1e-12)
-    # precision: on TPU a bare matmul runs bf16 on the MXU — ~2^-9
-    # relative on [0,1] coords is ~1-2 px at 1280 px width, silently
-    # blowing the <=0.5 px detection parity budget on every blended
-    # cluster.  The CPU-pinned test suite cannot catch this; keep it
-    # explicit like every other parity-critical dot in the repo.
+    # precision: a bare matmul is ALLOWED to run bf16 on the TPU MXU —
+    # ~2^-9 relative on [0,1] coords would be ~1-2 px at 1280 px width,
+    # past the <=0.5 px detection budget.  The measured 0.031 px worst
+    # box at the "high" tier (docs/PERF.md frac sweep) implies XLA was
+    # lowering this narrow-N dot in fp32 anyway, but that is an
+    # implementation accident of one backend/shape; pin HIGHEST
+    # explicitly like every other parity-critical dot in the repo (the
+    # CPU-pinned suite cannot distinguish the two).
     blended = jnp.matmul(member_w, top_boxes,
                          precision=jax.lax.Precision.HIGHEST) / wsum  # [k,4]
 

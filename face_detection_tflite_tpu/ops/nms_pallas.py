@@ -93,10 +93,10 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, iou_threshold_ref,
     member_w = jnp.where(owner == li, scores.reshape(1, k), 0.0)
     wsum = jnp.maximum(jnp.sum(member_w, axis=1, keepdims=True), 1e-12)
     # precision: preferred_element_type only sets the OUTPUT dtype — a
-    # bare dot still multiplies bf16 on the MXU (~1-2 px on 1280 px
-    # frames per blended cluster), the exact parity break detections.py
-    # pins HIGHEST for.  Same fix here; the CPU interpret-mode equality
-    # test can't see it (precision is a no-op off-device).
+    # bare dot MAY multiply bf16 on the MXU (~1-2 px on 1280 px frames
+    # per blended cluster), the parity hazard detections.py pins HIGHEST
+    # for.  Same guard here; the CPU interpret-mode equality test can't
+    # see it (precision is a no-op off-device).
     blended = jnp.dot(member_w, boxes,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32) / wsum
