@@ -14,8 +14,9 @@ Measurement methodology (relay-aware, see docs/PERF.md):
     the relay memoizes identical (program, args) calls;
   * several warm rounds run before timing — the first post-compile rounds
     on the relay are up to 5x slower than steady state;
-  * modes are measured INTERLEAVED round-robin and reported as medians of
-    per-round means, so slow relay drift cannot order the modes (the
+  * every timed config — the three modes AND the pipelined serving
+    stream — is measured INTERLEAVED round-robin and reported as medians
+    of per-round means, so slow relay drift cannot order them (the
     round-1 full<standard inversion was exactly that artifact).
 
 Secondary stage timings go to stderr; stdout stays machine-parseable.
@@ -147,11 +148,33 @@ def main():
             total += time.perf_counter() - t0
         return total / iters
 
-    # Interleaved rounds -> per-mode median (robust to relay load drift).
+    # Steady-state serving throughput: the ServingPipeline overlaps batch
+    # N's readback with batch N+1's compute (async D2H + pipelined
+    # dispatch) — the deployment path for continuous streams.  Sampled
+    # per round INSIDE the same loop as the modes: a separate
+    # serving-only block after the mode rounds would reintroduce the
+    # cross-block relay-drift artifact interleaving exists to kill
+    # (the headline takes max(standard, serving)).
+    def time_serving(pipe):
+        total = 0.0
+        for staged in stage_chunks(iters):
+            t0 = time.perf_counter()
+            futs = [pipe.submit(imgs) for imgs in staged]
+            for fu in futs:
+                fu.result()
+            total += time.perf_counter() - t0
+        return total / iters
+
+    # Interleaved rounds -> per-config median (robust to relay drift).
     samples = {mode: [] for mode in modes}
-    for _ in range(rounds):
-        for mode in modes:
-            samples[mode].append(time_mode(mode))
+    serve_samples = []
+    with ServingPipeline(det, FaceDetectionMode.STANDARD, depth=3) as pipe:
+        for _ in range(2):
+            pipe.submit(next_images()).result()  # warm the pipelined path
+        for _ in range(rounds):
+            for mode in modes:
+                samples[mode].append(time_mode(mode))
+            serve_samples.append(time_serving(pipe))
     med = {mode: float(np.median(samples[mode])) for mode in modes}
     for mode in modes:
         log(f"{mode.name.lower():8s}: {med[mode]*1e3:7.2f} ms/batch  "
@@ -161,23 +184,6 @@ def main():
 
     dt_std = med[FaceDetectionMode.STANDARD]
     nf = n_faces[FaceDetectionMode.STANDARD]
-
-    # Steady-state serving throughput: the ServingPipeline overlaps batch
-    # N's readback with batch N+1's compute (async D2H + pipelined
-    # dispatch) — the deployment path for continuous streams.
-    serve_samples = []
-    with ServingPipeline(det, FaceDetectionMode.STANDARD, depth=3) as pipe:
-        for _ in range(2):
-            pipe.submit(next_images()).result()  # warm the pipelined path
-        for _ in range(rounds):
-            total = 0.0
-            for staged in stage_chunks(iters):
-                t0 = time.perf_counter()
-                futs = [pipe.submit(imgs) for imgs in staged]
-                for fu in futs:
-                    fu.result()
-                total += time.perf_counter() - t0
-            serve_samples.append(total / iters)
     dt_serve = float(np.median(serve_samples))
     log(f"serving : {dt_serve*1e3:7.2f} ms/batch  "
         f"{nf/dt_serve:7.1f} faces/sec  "
