@@ -115,8 +115,10 @@ def extract_rois(img, cxs, cys, sizes, thetas, *, out_size: int,
                  flip_x=None, fill_value: float = 0.0):
     """Extracts N ROIs from one image: returns [N, out, out, C].
 
-    ``flip_x`` may be a [N] bool array (mixed left/right eye batches); the
-    flip is applied by mirroring the sample grid, so it costs nothing.
+    ``flip_x`` may be a [N] bool array (mixed left/right eye batches):
+    each ROI warps unflipped and the output columns are reversed under a
+    select (bit-equivalent to mirroring the sample grid — a traced flip
+    can't reach `extract_aligned_square`'s static ``flip_x`` kwarg).
     """
     if flip_x is None:
         fn = lambda cx, cy, s, t: extract_aligned_square(

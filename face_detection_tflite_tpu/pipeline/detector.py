@@ -235,6 +235,14 @@ class FaceDetector:
             blendshapes=load("face_blendshapes", "blendshapes"),
             embedding=(self.embedding_model.model if embed_in_full
                        else None))
+        #: Whether the mesh graph emits a presence logit.  Fixed-shape
+        #: programs substitute zeros when it doesn't (sigmoid -> 0.5);
+        #: the reference's rule is "null meshScore always PASSES the
+        #: presence gate" (face_detector_core.dart:101-103), so the
+        #: materializer must map the substitute back to None instead of
+        #: gating on 0.5.  All stock face_landmark variants do emit it.
+        self._mesh_emits_score = any(
+            int(np.prod(s)) == 1 for s in self.models.mesh.output_shapes)
         if embed_in_full:
             # The fused stage bypasses FaceEmbedding's per-call check, so
             # surface the untrained-weights state once, at construction.
@@ -941,8 +949,12 @@ class FaceDetector:
             if not valid[d]:
                 continue
             mesh_score = (float(out["mesh_scores"][i, d])
-                          if has_mesh else None)
-            if (has_mesh and self.min_face_presence_confidence > 0.0
+                          if has_mesh and self._mesh_emits_score else None)
+            # Null meshScore always PASSES (face_detector_core.dart:
+            # 101-103): a score-less mesh graph must not gate on the
+            # program's 0.5 zero-substitute.
+            if (mesh_score is not None
+                    and self.min_face_presence_confidence > 0.0
                     and mesh_score < self.min_face_presence_confidence):
                 continue
             det = Detection(

@@ -319,12 +319,9 @@ def build_pipeline_program(models: PipelineModels, img_h: int, img_w: int,
         # FaceDetector._detect_adaptive).  This is the TPU analog of the
         # reference's early-gating win (CHANGELOG 6.6.x: 4-face slab gated
         # to 1 face cut full mode 18 -> 7 ms).
-        def one_image_dets(params, img, boxes, kp, scores, valid):
-            return face_stages(params, img, boxes, kp, scores, valid)
-
         if not batched:
-            return one_image_dets
-        return jax.vmap(one_image_dets, in_axes=(None, 0, 0, 0, 0, 0))
+            return face_stages
+        return jax.vmap(face_stages, in_axes=(None, 0, 0, 0, 0, 0))
 
     slab = max_faces if face_slab is None else min(face_slab, max_faces)
     if mode == FaceDetectionMode.FAST:

@@ -97,8 +97,12 @@ def decode_camera_frame(frame: CameraFrame,
             v = _strip_stride(chroma[plane:2 * plane], cw,
                               c_stride).reshape(ch, cw)
         else:
+            # Interleaved UV rows are 2*ceil(w/2) bytes; for ODD widths
+            # that exceeds an unpadded y_stride (the same ceil-half bug
+            # the I420 branch guards above), so floor the default at
+            # 2*cw.
             c_stride = frame.chroma_row_stride or \
-                (y_stride if frame.row_stride else 2 * cw)
+                (max(y_stride, 2 * cw) if frame.row_stride else 2 * cw)
             plane = c_stride * ch
             inter = _strip_stride(chroma[:plane], 2 * cw,
                                   c_stride).reshape(ch, cw, 2)
@@ -166,7 +170,11 @@ def _plane_rows(plane, width_bytes: int, rows: int,
     raw = np.frombuffer(bytes(data), np.uint8)
     stride = int(_plane_field(plane, "bytes_per_row", "bytesPerRow",
                               default=default_stride or width_bytes)
-                 or width_bytes)
+                 # A present-but-falsy field (bytesPerRow: null/0) must
+                 # fall back to default_stride too, not width_bytes — for
+                 # pixel-stride-2 chroma those differ by one byte and the
+                 # de-interleave silently shifts every row.
+                 or (default_stride or width_bytes))
     if stride < width_bytes or raw.size < stride * (rows - 1) + width_bytes:
         return None
     if raw.size >= stride * rows:

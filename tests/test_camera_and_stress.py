@@ -175,6 +175,47 @@ class TestOddDimsAndStride:
         assert (np.abs(rgb.astype(int) - rgb[0, 0].astype(int)) < 3).all()
 
 
+    def test_nv12_odd_width_with_row_stride(self):
+        """Odd-width NV12 with an unpadded Y stride: interleaved UV rows
+        are 2*ceil(w/2) bytes, which EXCEEDS y_stride — the default
+        chroma stride must floor at 2*cw (the NV analog of the I420
+        ceil-half fix) instead of crashing the reshape."""
+        h, w = 10, 31
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        y = np.full((h, w), 90, np.uint8)
+        uv = np.full((ch, 2 * cw), 128, np.uint8)
+        frame = CameraFrame(y.tobytes() + uv.tobytes(), w, h,
+                            CameraFormat.NV12, row_stride=w)
+        rgb = decode_camera_frame(frame)
+        assert rgb.shape == (h, w, 3)
+        assert (np.abs(rgb.astype(int) - rgb[0, 0].astype(int)) < 3).all()
+
+    def test_pixel_stride2_null_bytes_per_row(self):
+        """A present-but-null bytesPerRow (deserialized CameraImage JSON)
+        must fall back to the full interleaved pitch, not the meaningful
+        span — off by one byte, every chroma row shifts."""
+        from face_detection_tflite_tpu import camera_frame_from_planes
+        img = TestCameraDecode._pattern(TestCameraDecode)
+        y, u, v = _rgb_to_i420(img)
+        h, w = img.shape[:2]
+        ch, cw = u.shape
+        inter = np.empty((ch, 2 * cw), np.uint8)
+        inter[:, 0::2], inter[:, 1::2] = u, v
+        inter_v = np.empty((ch, 2 * cw), np.uint8)
+        inter_v[:, 0::2], inter_v[:, 1::2] = v, u
+        planes = [{"bytes": y.tobytes(), "bytes_per_row": None},
+                  {"bytes": inter.reshape(-1)[:-1].tobytes(),
+                   "bytes_per_row": None, "bytes_per_pixel": 2},
+                  {"bytes": inter_v.reshape(-1)[:-1].tobytes(),
+                   "bytes_per_row": None, "bytes_per_pixel": 2}]
+        frame = camera_frame_from_planes(w, h, planes)
+        assert frame is not None
+        ref = decode_camera_frame(CameraFrame(
+            data=y.tobytes() + u.tobytes() + v.tobytes(), width=w, height=h,
+            format=CameraFormat.I420))
+        assert np.array_equal(decode_camera_frame(frame), ref)
+
+
 def test_camera_frame_from_image_roundtrip():
     from face_detection_tflite_tpu import camera_frame_from_image
     from face_detection_tflite_tpu.utils.camera import decode_camera_frame
