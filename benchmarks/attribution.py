@@ -75,7 +75,15 @@ def main():
         f"iters={ITERS}")
     d = resolve_model_dir()
     sample = os.path.join(os.path.dirname(d), "samples", "landmark-ex1.jpg")
-    img = load_image(sample)
+    if os.path.exists(sample):
+        img = load_image(sample)
+    else:
+        # Per-stage compute attribution doesn't need real faces; a fresh
+        # workspace without fetched samples still gets numbers (same
+        # fallback as run_benchmarks.py).
+        log(f"sample missing ({sample}); attributing on synthetic noise")
+        img = (np.random.default_rng(0)
+               .uniform(0, 255, (853, 1280, 3)).astype(np.uint8))
     h, w, _ = img.shape
     B = BATCH
     rng = np.random.default_rng(0)

@@ -82,10 +82,23 @@ def main():
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
                        model_dir=d, precision="high")
 
-    for mode in (FaceDetectionMode.FAST, FaceDetectionMode.STANDARD,
-                 FaceDetectionMode.FULL):
-        dt = bench(lambda m=mode: det.detect_faces_batch(fresh(), m))
-        results["configs"][f"detect_{mode.value}"] = {
+    # Modes sampled interleaved round-robin (their ms are read against
+    # each other; sequential blocks would let relay drift order them).
+    det_modes = (FaceDetectionMode.FAST, FaceDetectionMode.STANDARD,
+                 FaceDetectionMode.FULL)
+    mode_samples = {m: [] for m in det_modes}
+    per_round = max(2, iters // 3)
+    for m in det_modes:  # compile + warm
+        det.detect_faces_batch(fresh(), m)
+        det.detect_faces_batch(fresh(), m)
+    for _ in range(3):
+        for m in det_modes:
+            mode_samples[m].append(
+                bench(lambda m=m: det.detect_faces_batch(fresh(), m),
+                      n=per_round, warm=0))
+    for m in det_modes:
+        dt = float(np.median(mode_samples[m]))
+        results["configs"][f"detect_{m.value}"] = {
             "ms_per_image": round(dt / batch * 1e3, 3),
             "images_per_sec": round(batch / dt, 2),
         }
@@ -157,7 +170,11 @@ def main():
             "combined_ms_batch": round(bm, 2),
             "max_ms_batch": round(max(dm, sm), 2),
             "sum_ms_batch": round(dm + sm, 2),
-            "overlap_ratio": round((dm + sm - bm) / max(sm, dm, 1e-9), 3),
+            # saved time / min(dm, sm): perfect max() overlap saves
+            # exactly min(dm, sm), so 1.0 is reachable (the earlier
+            # /max() form capped a perfect overlap at min/max).
+            "overlap_ratio": round((dm + sm - bm) / max(min(sm, dm), 1e-9),
+                                   3),
             "note": "overlap_ratio 1.0 = perfect max() overlap, "
                     "0.0 = serial sum",
         }
@@ -187,7 +204,9 @@ def main():
             _COUNTER[0] += 1
             with _w.catch_warnings():
                 _w.simplefilter("ignore")
-                ps = [((lx + (_COUNTER[0] % 7) * 1e-3, ly), r)
+                # full-counter perturbation: a mod-7 period repeated
+                # (program, args) within one run, feeding the memoizer.
+                ps = [((lx + (_COUNTER[0] % 9973) * 1e-3, ly), r)
                       for (lx, ly), r in pairs]
                 return emb.embed_batch(dev_img, ps)
         dt_b = bench(emb_batch)
@@ -219,7 +238,12 @@ def main():
                 fs = det.detect_faces_batch(fresh(), FaceDetectionMode.FULL)
                 out = []
                 for i, faces_i in enumerate(fs):
-                    pairs_i = [(tuple(f.landmarks.left_eye[:2]),
+                    # Per-image eye nudge: the broadcast batch makes
+                    # fs[i]/images[i] value-identical across i, so
+                    # without it 15 of 16 embed_batch calls are repeats
+                    # the relay can memoize.
+                    pairs_i = [((f.landmarks.left_eye[0] + i * 1e-3,
+                                 f.landmarks.left_eye[1]),
                                 tuple(f.landmarks.right_eye[:2]))
                                for f in faces_i]
                     if pairs_i:
@@ -274,8 +298,12 @@ def main():
                 def call(jf=jf):
                     _COUNTER[0] += 1
                     s = scores + _COUNTER[0] * 1e-5
-                    return jax.block_until_ready(
-                        jf(bx, kp, s, s >= 0.5))
+                    out = jf(bx, kp, s, s >= 0.5)
+                    # Hard sync: block_until_ready can return before a
+                    # program finishes on the relay (attribution.py
+                    # methodology note); a 16-element fetch costs one RTT
+                    # for BOTH variants equally, keeping the A/B honest.
+                    return np.asarray(out[3])
                 nms_samples[name].append(bench(call, n=max(iters, 10),
                                                warm=2 if rnd == 0 else 0))
             except Exception as e:  # pallas may not lower off-TPU; the
@@ -331,13 +359,18 @@ def main():
                 [cv2.IMWRITE_JPEG_QUALITY, 80 + i])
             assert ok
             jpegs.append(enc.tobytes())
-        stream = [[jpegs[i]] * batch for i in range(n_batches)]
-        stream_serial = [[jpegs[n_batches + i]] * batch
+        # Interleave qualities between the passes (even -> pipelined,
+        # odd -> serial): giving one pass the systematically
+        # higher-quality (slower-decoding) JPEGs biases overlap_speedup.
+        stream = [[jpegs[2 * i]] * batch for i in range(n_batches)]
+        stream_serial = [[jpegs[2 * i + 1]] * batch
                          for i in range(n_batches)]
         warm_batch = [jpegs[2 * n_batches]] * batch
 
-        t_dec = bench(lambda: decode_images(
-            [jpegs[_COUNTER[0] % len(jpegs)]] * batch), n=n_batches)
+        def dec_call():
+            _COUNTER[0] += 1  # actually rotate the JPEG per call
+            return decode_images([jpegs[_COUNTER[0] % len(jpegs)]] * batch)
+        t_dec = bench(dec_call, n=n_batches)
         host_batch = np.stack(decode_images([jpegs[0]] * batch))
 
         def h2d():

@@ -28,14 +28,23 @@ from face_detection_tflite_tpu.pipeline.blendshape_input import (
 _SRC, _IDX = pack_indices()
 
 
+_ITP_CACHE: dict = {}
+
+
 def tflite_run(path, x):
     import tensorflow as tf
-    itp = tf.lite.Interpreter(
-        model_path=path,
-        experimental_op_resolver_type=(
-            tf.lite.experimental.OpResolverType
-            .BUILTIN_WITHOUT_DEFAULT_DELEGATES))
-    itp.allocate_tensors()
+    itp = _ITP_CACHE.get(path)
+    if itp is None:
+        # One interpreter per model path: construction + allocate cost
+        # dominated the ~6-min parity suite when paid per inference
+        # (set_tensor/invoke are reusable).
+        itp = tf.lite.Interpreter(
+            model_path=path,
+            experimental_op_resolver_type=(
+                tf.lite.experimental.OpResolverType
+                .BUILTIN_WITHOUT_DEFAULT_DELEGATES))
+        itp.allocate_tensors()
+        _ITP_CACHE[path] = itp
     itp.set_tensor(itp.get_input_details()[0]["index"], x)
     itp.invoke()
     return [itp.get_tensor(od["index"]) for od in itp.get_output_details()]
@@ -192,6 +201,11 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
             cx + size * (ct * px - st * py),
             cy + size * (st * px + ct * py),
             zn * size], axis=1)
+        # Face-presence gate BEFORE the iris/blendshape stages, like the
+        # reference (face_detector_core.dart:306-331): identical outputs,
+        # but 3 fewer interpreter inferences per rejected face.
+        if mesh_score < 0.5:
+            continue
         # eye ROIs (face_geometry.dart:155-168)
         iris_all = []
         for (a, b), is_right in (((33, 133), False), ((362, 263), True)):
@@ -227,8 +241,6 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
         if not iris_all:
             # Iris stage failed/degenerate: emit the face with mesh only,
             # like the reference's try/catch does.
-            if mesh_score < 0.5:
-                continue
             faces.append({
                 "box": np.asarray(det["box"]), "kp": kp,
                 "kp_refined": kp.copy(), "score": det["score"],
@@ -246,10 +258,6 @@ def full_pipeline(img_rgb, models_dir, variant="back"):
         raw52 = bouts[0].reshape(52)
         # NaN output -> no blendshapes for the face (face_blendshapes.dart:189)
         coeffs = None if np.isnan(raw52).any() else np.clip(raw52, 0, 1)
-        # Face-presence gate (face_detector_core.dart:331-353): a crop the
-        # mesh model does not confirm is dropped from the results.
-        if mesh_score < 0.5:
-            continue
         # Full-mode iris-refined eye keypoints (face_detector_core.dart:
         # 356-373): eye keypoints replaced by the iris center nearest the
         # 5-point centroid, normalized by the image size.
