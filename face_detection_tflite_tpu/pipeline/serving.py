@@ -3,7 +3,7 @@
 The runtime layer around the compiled programs.  The reference hides stage
 latency inside Dart isolates (`face_detector.dart:1327,1587`); the TPU
 equivalent is a small pipelined executor: a host thread pool decodes
-JPEGs (native libjpeg pool), batches transfer to the device while the
+images (native JPEG/PNG/WebP pool), batches transfer to the device while the
 previous batch computes (XLA dispatch is async), and results materialize
 on a consumer thread.  Steady-state throughput is then
 max(decode, H2D, compute) instead of their sum.

@@ -3,8 +3,8 @@
 The reference decodes with OpenCV (`cv.imdecode`,
 `face_detector.dart:1412-1430`) and converts BGR->RGB during tensor
 conversion; here decode happens once on host and the array is RGB from the
-start (PIL preferred, cv2 fallback).  Everything after decode runs on
-device.
+start (native JPEG/PNG/WebP pool preferred, then PIL, then cv2).
+Everything after decode runs on device.
 """
 
 from __future__ import annotations
@@ -97,32 +97,42 @@ _pool_lock = threading.Lock()
 
 
 def _native_pool():
-    """Shared native JPEG decode pool, or None when unavailable."""
+    """Shared native decode pool (JPEG/PNG/WebP), or None when unavailable."""
     global _pool
     with _pool_lock:
         if _pool is None:
             try:
-                from .native import JpegDecoderPool
-                _pool = JpegDecoderPool()
+                from .native import ImageDecoderPool
+                _pool = ImageDecoderPool()
             except Exception:
                 _pool = False
         return _pool or None
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Decodes JPEG/PNG/... bytes to an RGB uint8 [H, W, 3] array.
+def _native_format(data: bytes) -> bool:
+    """True when the bytes carry a container the native pool handles
+    (mirrors the magic sniff in runtime/decode.cc)."""
+    return (data[:2] == b"\xff\xd8"
+            or data[:8] == b"\x89PNG\r\n\x1a\n"
+            or (data[:4] == b"RIFF" and data[8:12] == b"WEBP"))
 
-    JPEGs go through the native libjpeg pool when built; everything else
-    (or when the native runtime is absent) falls back to PIL, then cv2.
-    Raises ValueError on undecodable bytes (the reference raises
-    FormatException, `face_detector.dart:497-499`).
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decodes JPEG/PNG/WebP/... bytes to an RGB uint8 [H, W, 3] array.
+
+    JPEG/PNG/WebP go through the native libjpeg/libpng/libwebp pool when
+    built; everything else (or when the native runtime is absent, or for
+    edge cases the native layer rejects, e.g. 16-bit PNG and animated
+    WebP) falls back to PIL, then cv2.  Raises ValueError on undecodable
+    bytes (the reference raises FormatException,
+    `face_detector.dart:497-499`).
     """
     pool = _native_pool()
-    if pool is not None and data[:2] == b"\xff\xd8":
+    if pool is not None and _native_format(data):
         try:
             return pool.decode(data)
         except ValueError:
-            pass  # e.g. progressive edge cases — fall back below
+            pass  # e.g. progressive/16-bit edge cases — fall back below
     pil_error = None
     try:
         from PIL import Image
@@ -146,9 +156,10 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def decode_images(datas: list[bytes]) -> list[np.ndarray]:
-    """Batch decode; JPEG batches hit the threaded native pool."""
+    """Batch decode; JPEG/PNG/WebP batches (formats may be mixed) hit the
+    threaded native pool."""
     pool = _native_pool()
-    if pool is not None and all(d[:2] == b"\xff\xd8" for d in datas):
+    if pool is not None and all(_native_format(d) for d in datas):
         try:
             return pool.decode_batch(datas)
         except ValueError:

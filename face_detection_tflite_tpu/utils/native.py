@@ -1,9 +1,9 @@
 """ctypes bindings for the C++ host runtime (runtime/libfdt_runtime.so).
 
 Builds the shared library on first use when a toolchain is present (the
-library has no Python build-time dependency — plain Makefile + libjpeg);
-falls back cleanly when unavailable, in which case `utils.image` uses
-PIL/cv2.
+library has no Python build-time dependency — plain Makefile +
+libjpeg/libpng/libwebp); falls back cleanly when unavailable, in which
+case `utils.image` uses PIL/cv2.
 """
 
 from __future__ import annotations
@@ -16,7 +16,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["load_runtime", "JpegDecoderPool", "native_available"]
+__all__ = ["load_runtime", "ImageDecoderPool", "JpegDecoderPool",
+           "native_available"]
 
 _RUNTIME_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -45,7 +46,10 @@ def load_runtime() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib if _lib is not False else None
-        if not os.path.exists(_LIB_PATH) and not _try_build():
+        # Always attempt a (no-op when current) make so source edits are
+        # picked up; fall back to a pre-built .so when the toolchain is
+        # absent but the library exists.
+        if not _try_build() and not os.path.exists(_LIB_PATH):
             _lib = False
             return None
         try:
@@ -53,14 +57,24 @@ def load_runtime() -> Optional[ctypes.CDLL]:
         except OSError:
             _lib = False
             return None
-        lib.fdt_jpeg_probe.restype = ctypes.c_int
-        lib.fdt_jpeg_probe.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.fdt_jpeg_decode.restype = ctypes.c_int
-        lib.fdt_jpeg_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int]
+        # fdt_image_* may be absent from a stale pre-built .so (no
+        # toolchain to rebuild); the pool then stays JPEG-only.
+        for probe in ("fdt_image_probe", "fdt_jpeg_probe"):
+            fn = getattr(lib, probe, None)
+            if fn is None:
+                continue
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        for dec in ("fdt_image_decode", "fdt_jpeg_decode"):
+            fn = getattr(lib, dec, None)
+            if fn is None:
+                continue
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int]
         lib.fdt_pool_create.restype = ctypes.c_void_p
         lib.fdt_pool_create.argtypes = [ctypes.c_int]
         lib.fdt_pool_destroy.argtypes = [ctypes.c_void_p]
@@ -80,12 +94,14 @@ def native_available() -> bool:
     return load_runtime() is not None
 
 
-class JpegDecoderPool:
-    """Threaded native JPEG decoder.
+class ImageDecoderPool:
+    """Threaded native image decoder (JPEG / PNG / WebP).
 
     The host-side analog of the reference's OpenCV `imdecode` inside a
-    background isolate: decodes batches concurrently so the host keeps the
-    device fed at serving rates.
+    background isolate (`face_detector.dart:1412-1430`): decodes batches
+    concurrently so the host keeps the device fed at serving rates.
+    Formats the native layer can't handle exactly (e.g. 16-bit PNG) raise
+    ValueError so callers fall back to PIL/cv2.
     """
 
     def __init__(self, threads: int = 0):
@@ -95,41 +111,46 @@ class JpegDecoderPool:
                 "native runtime unavailable (no toolchain/libjpeg); "
                 "use utils.image.decode_image instead")
         self._lib = lib
+        self._probe_fn = getattr(lib, "fdt_image_probe", None) \
+            or lib.fdt_jpeg_probe
+        self._decode_fn = getattr(lib, "fdt_image_decode", None) \
+            or lib.fdt_jpeg_decode
         if threads <= 0:
             threads = min(16, os.cpu_count() or 4)
         self._pool = lib.fdt_pool_create(threads)
         self.threads = threads
 
     def probe(self, data: bytes) -> tuple[int, int]:
-        """(width, height) of an encoded JPEG without decoding it."""
+        """(width, height) of an encoded image without decoding it."""
         w = ctypes.c_int()
         h = ctypes.c_int()
-        rc = self._lib.fdt_jpeg_probe(data, len(data),
-                                      ctypes.byref(w), ctypes.byref(h))
+        rc = self._probe_fn(data, len(data),
+                            ctypes.byref(w), ctypes.byref(h))
         if rc != 0:
-            raise ValueError(f"not a decodable JPEG (status {rc})")
+            raise ValueError(
+                f"not natively decodable image bytes (status {rc})")
         return w.value, h.value
 
     def decode(self, data: bytes) -> np.ndarray:
-        """One JPEG -> RGB uint8 [H, W, 3].
+        """One encoded image -> RGB uint8 [H, W, 3].
 
         The header is parsed twice (probe here to size the buffer, then
-        again inside fdt_jpeg_decode) — measured at 4.4 µs vs 6.1 ms for
+        again inside fdt_image_decode) — measured at 4.4 µs vs 6.1 ms for
         the full decode (0.07%), so Python-side allocation keeps the
         simpler zero-copy interface."""
         w, h = self.probe(data)
         out = np.empty((h, w, 3), np.uint8)
-        rc = self._lib.fdt_jpeg_decode(
+        rc = self._decode_fn(
             data, len(data), out.ctypes.data_as(ctypes.c_void_p), w, h)
         if rc != 0:
-            raise ValueError(f"JPEG decode failed (status {rc})")
+            raise ValueError(f"native image decode failed (status {rc})")
         return out
 
     def decode_batch(self, datas: Sequence[bytes]) -> list[np.ndarray]:
-        """Decodes many JPEGs concurrently on the pool."""
+        """Decodes many images (formats may be mixed) concurrently."""
         if not self._pool:
             # Passing the NULL handle into C would segfault the process.
-            raise RuntimeError("JpegDecoderPool is closed")
+            raise RuntimeError("ImageDecoderPool is closed")
         n = len(datas)
         if n == 0:
             return []
@@ -145,7 +166,7 @@ class JpegDecoderPool:
         rc = self._lib.fdt_pool_decode_batch(
             self._pool, n, c_datas, c_lens, c_outs, c_ws, c_hs)
         if rc != 0:
-            raise ValueError(f"batch JPEG decode failed (status {rc})")
+            raise ValueError(f"batch image decode failed (status {rc})")
         return outs
 
     def close(self):
@@ -158,3 +179,7 @@ class JpegDecoderPool:
             self.close()
         except Exception:
             pass
+
+
+# Pre-round-3 name, kept for callers written against the JPEG-only pool.
+JpegDecoderPool = ImageDecoderPool

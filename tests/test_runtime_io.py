@@ -70,11 +70,110 @@ class TestNativeDecode:
         outs = decode_images([data, data])
         assert len(outs) == 2 and outs[0].shape == (853, 1280, 3)
 
-    def test_png_falls_back_to_pil(self):
+    def test_png_decodes(self):
         buf = io.BytesIO()
         Image.fromarray(np.full((10, 12, 3), 99, np.uint8)).save(buf, "PNG")
         img = decode_image(buf.getvalue())
         assert img.shape == (10, 12, 3) and (img == 99).all()
+
+
+def _require_pool():
+    from face_detection_tflite_tpu.utils.native import (ImageDecoderPool,
+                                                        native_available)
+    if not native_available():
+        pytest.skip("native runtime not built (no toolchain)")
+    return ImageDecoderPool(threads=2)
+
+
+def _png_bytes(img: Image.Image) -> bytes:
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return buf.getvalue()
+
+
+class TestNativeMultiFormat:
+    """The native pool covers the reference `imdecode`'s common containers
+    (JPEG/PNG/WebP) and must match the PIL fallback bit-for-bit so the two
+    decode paths can't disagree (`face_detector.dart:1412-1430`)."""
+
+    def test_png_modes_match_pil(self):
+        pool = _require_pool()
+        rng = np.random.default_rng(7)
+        rgb = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        rgba = np.dstack([rgb, rng.integers(0, 256, (37, 53), np.uint8)])
+        cases = [
+            Image.fromarray(rgb),                          # RGB8
+            Image.fromarray(rgba, "RGBA"),                 # alpha -> dropped
+            Image.fromarray(rgb[..., 0], "L"),             # grayscale
+            Image.fromarray(rgb).convert("P"),             # palette
+        ]
+        try:
+            for im in cases:
+                data = _png_bytes(im)
+                ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                out = pool.decode(data)
+                assert np.array_equal(out, ref), im.mode
+                assert pool.probe(data) == (im.width, im.height)
+        finally:
+            pool.close()
+
+    def test_16bit_png_routes_to_fallback(self):
+        pool = _require_pool()
+        arr = (np.arange(20 * 30) * 97 % 65536).astype(np.uint16)
+        data = _png_bytes(Image.fromarray(arr.reshape(20, 30), "I;16"))
+        try:
+            with pytest.raises(ValueError):  # status -5: unsupported
+                pool.probe(data)
+        finally:
+            pool.close()
+        img = decode_image(data)  # PIL fallback still serves it
+        assert img.shape == (20, 30, 3)
+
+    def test_webp_matches_pil(self):
+        pool = _require_pool()
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (41, 29, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        try:
+            Image.fromarray(rgb).save(buf, "WEBP", lossless=True)
+        except Exception:
+            pool.close()
+            pytest.skip("PIL lacks WebP support")
+        data = buf.getvalue()
+        try:
+            out = pool.decode(data)
+            ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            assert np.array_equal(out, ref)
+            assert np.array_equal(out, rgb)  # lossless round trip
+        finally:
+            pool.close()
+
+    @pytest.mark.skipif(not os.path.exists(SAMPLE),
+                        reason="no sample assets")
+    def test_mixed_format_batch(self):
+        pool = _require_pool()
+        jpeg = open(SAMPLE, "rb").read()
+        rgb = np.full((10, 12, 3), 42, np.uint8)
+        png = _png_bytes(Image.fromarray(rgb))
+        try:
+            outs = pool.decode_batch([jpeg, png, jpeg, png])
+        finally:
+            pool.close()
+        assert outs[0].shape == (853, 1280, 3)
+        assert np.array_equal(outs[1], rgb)
+        assert np.array_equal(outs[0], outs[2])
+        assert np.array_equal(outs[1], outs[3])
+
+    def test_decode_images_mixed_routing(self):
+        """decode_images routes a mixed JPEG+PNG batch through the pool
+        (or the per-image fallback when unbuilt) with equal results."""
+        rgb = np.full((8, 9, 3), 77, np.uint8)
+        png = _png_bytes(Image.fromarray(rgb))
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=95)
+        outs = decode_images([png, buf.getvalue()])
+        assert np.array_equal(outs[0], rgb)
+        assert outs[1].shape == (8, 9, 3)
 
 
 class TestYuv:
