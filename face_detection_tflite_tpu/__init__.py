@@ -35,11 +35,13 @@ from .pipeline.config import (MODEL_FILES, FaceDetectionMode,
 from .pipeline.detector import FaceDetector, resolve_model_dir
 from .pipeline.geometry import eye_rois_from_mesh, face_detection_to_roi
 from .pipeline.programs import PipelineModels, build_pipeline_program
+from .pipeline.server import FaceServer
 from .pipeline.serving import ServingPipeline
 from .pipeline.smoothing import FaceSmoother, OneEuroFilter
 from .pipeline.timings import DetectTimings, FpsCounter
 from .pipeline.tracker import TemporalFaceTracker
 from .pipeline.video import FrameThrottle, VideoFrameResult, process_video
+from .utils.metrics import MetricsRegistry
 from .utils.camera import (CameraFormat, CameraFrame, CameraRotation,
                            camera_frame_from_image, camera_frame_from_planes,
                            decode_camera_frame)
@@ -64,7 +66,8 @@ __all__ = [
     "compute_embedding_alignment", "TemporalFaceTracker", "PipelineModels",
     "build_pipeline_program", "convert_file", "convert_model",
     "parse_tflite", "ConvertedModel", "resolve_model_dir",
-    "ServingPipeline", "DetectTimings", "FpsCounter", "FrameThrottle",
+    "ServingPipeline", "FaceServer", "MetricsRegistry",
+    "DetectTimings", "FpsCounter", "FrameThrottle",
     "VideoFrameResult", "process_video", "CameraFormat",
     "camera_frame_from_image", "camera_frame_from_planes", "CameraFrame",
     "CameraRotation", "decode_camera_frame", "load_params_npz",

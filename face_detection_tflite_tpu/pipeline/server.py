@@ -1,0 +1,429 @@
+"""HTTP serving front-end: the production-deployment face of the
+framework.
+
+The reference is an on-device library — its "serving" is isolate RPC
+inside one app process (`face_detector.dart:1327-1584`).  A TPU
+deployment serves over the network, and its throughput comes from
+batching concurrent requests into one program execution.  This module is
+that front-end: a stdlib-only threaded HTTP server whose detect endpoint
+funnels concurrent requests through a micro-batching aggregator
+(requests decoded on their handler threads, grouped by image shape and
+mode within a small window, executed as ONE ``detect_faces_batch``
+call — the slab/bucket machinery the pipeline already has does the
+rest).
+
+Endpoints
+---------
+- ``GET  /healthz``                      liveness + readiness
+- ``GET  /v1/info``                      model version, accelerator and
+                                         memory reports
+- ``GET  /metrics``                      Prometheus text format
+- ``POST /v1/detect``                    image bytes -> faces JSON
+    query: ``mode=fast|standard|full`` (default standard), plus opt-in
+    payload flags ``mesh=1 contours=1 iris=1 embedding=1``
+- ``POST /v1/segment``                   image bytes -> mask JSON
+    query: ``format=float32|uint8|binary`` (default uint8),
+    ``upsample=1`` to resize to the original image size
+- ``POST /v1/embed``                     image bytes -> per-face
+    embeddings (detects at standard mode first)
+- ``POST /v1/detect_with_segmentation``  combined detect ∥ segment
+
+Bodies are raw encoded image bytes (JPEG/PNG/WebP via the native decode
+pool).  Responses are JSON; errors are ``{"error": ...}`` with a 4xx/5xx
+status.  Start one with ``tools/serve.py`` or::
+
+    server = FaceServer(detector)
+    server.start()          # binds; server.port is the bound port
+    ...
+    server.close()
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+import warnings
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .config import FaceDetectionMode
+from ..utils.metrics import MetricsRegistry
+
+__all__ = ["FaceServer"]
+
+_MODES = {"fast": FaceDetectionMode.FAST,
+          "standard": FaceDetectionMode.STANDARD,
+          "full": FaceDetectionMode.FULL}
+
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
+
+class _Batcher:
+    """Groups concurrent detect requests into batched program calls.
+
+    One dispatch thread owns the detector's detect path.  Requests queue
+    as (image, mode, flags, Future); the thread drains whatever arrived
+    within ``window_ms`` of the first item (capped at ``max_batch``),
+    groups by (image shape, mode), and runs one ``detect_faces_batch``
+    per group.  A lone request therefore waits at most ``window_ms``;
+    concurrent same-shape requests ride one program execution.
+    """
+
+    def __init__(self, detector, window_ms: float = 4.0,
+                 max_batch: int = 16, metrics: Optional[dict] = None):
+        import queue
+        self._det = detector
+        self._window_s = window_ms / 1000.0
+        self._max_batch = max_batch
+        self._q: "queue.Queue" = queue.Queue()
+        self._metrics = metrics or {}
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="fdt-batcher")
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, mode: FaceDetectionMode) -> Future:
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._q.put((image, mode, fut))
+        return fut
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _drain(self, first):
+        """First item + everything arriving within the window."""
+        import queue
+        items = [first]
+        deadline = time.monotonic() + self._window_s
+        while len(items) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # keep the shutdown sentinel visible
+                break
+            items.append(nxt)
+        return items
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                break
+            items = self._drain(first)
+            groups: dict = {}
+            for img, mode, fut in items:
+                groups.setdefault((img.shape, mode), []).append((img, fut))
+            for (shape, mode), members in groups.items():
+                imgs = np.stack([m[0] for m in members])
+                hist = self._metrics.get("batch_size")
+                if hist is not None:
+                    hist.observe(len(members))
+                try:
+                    results = self._det.detect_faces_batch(imgs, mode)
+                except Exception as e:  # noqa: BLE001 — resolve futures
+                    for _, fut in members:
+                        if not fut.cancelled():
+                            fut.set_exception(e)
+                    continue
+                for (_, fut), faces in zip(members, results):
+                    if not fut.cancelled():
+                        fut.set_result(faces)
+        # resolve anything still queued after shutdown
+        import queue
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].cancelled():
+                item[2].set_exception(RuntimeError("server closed"))
+
+
+def _flag(q: dict, name: str) -> bool:
+    v = q.get(name, ["0"])[0].lower()
+    return v in ("1", "true", "yes")
+
+
+class FaceServer:
+    """Threaded HTTP server over a FaceDetector.
+
+    ``detector`` should normally run without tracking (HTTP requests have
+    no frame ordering); segmentation/embedding endpoints lazy-load their
+    models on first use exactly like the detector's own methods.
+    """
+
+    def __init__(self, detector, host: str = "127.0.0.1", port: int = 0,
+                 batch_window_ms: float = 4.0, max_batch: int = 16):
+        self._det = detector
+        self._host = host
+        self._requested_port = port
+        self.registry = MetricsRegistry()
+        m = self.registry
+        self._m_requests = m.counter(
+            "fdt_requests_total", "HTTP requests by endpoint and status",
+            ("endpoint", "status"))
+        self._m_latency = m.histogram(
+            "fdt_request_latency_ms", "End-to-end request latency",
+            ("endpoint",))
+        self._m_batch = m.histogram(
+            "fdt_detect_batch_size", "Images per batched detect execution",
+            buckets=(1, 2, 4, 8, 16, 32, 64))
+        self._m_faces = m.counter(
+            "fdt_faces_detected_total", "Total faces returned")
+        self._m_inflight = m.gauge(
+            "fdt_requests_inflight", "Requests currently being handled")
+        self._batcher = _Batcher(detector, batch_window_ms, max_batch,
+                                 metrics={"batch_size": self._m_batch})
+        # Non-batched detector entry points (segment/embed/combined) are
+        # serialized against each other; the detect path is owned by the
+        # batcher thread.  (The fused programs are pure — this lock only
+        # guards the detector's host-side caches.)
+        self._direct_lock = threading.Lock()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._serve_thread: Optional[threading.Thread] = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "FaceServer":
+        handler = self._make_handler()
+        self._httpd = ThreadingHTTPServer((self._host, self._requested_port),
+                                          handler)
+        self._httpd.daemon_threads = True
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="fdt-http")
+        self._serve_thread.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        if self._httpd is None:
+            raise RuntimeError("server not started")
+        return self._httpd.server_address[1]
+
+    @property
+    def address(self) -> str:
+        return f"http://{self._host}:{self.port}"
+
+    def close(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        self._batcher.close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- endpoint implementations (return (status, payload dict)) -------------
+
+    def _do_detect(self, body: bytes, q: dict):
+        from ..utils.image import decode_image
+        mode_name = q.get("mode", ["standard"])[0].lower()
+        if mode_name not in _MODES:
+            return 400, {"error": f"unknown mode {mode_name!r}; "
+                                  f"expected one of {sorted(_MODES)}"}
+        img = decode_image(body)
+        # Bounded wait: a cold TPU compile can take minutes, but a hung
+        # relay must surface as an error, not a stuck connection.
+        faces = self._batcher.submit(img, _MODES[mode_name]).result(
+            timeout=600)
+        self._m_faces.inc(len(faces))
+        return 200, {
+            "faces": [f.to_dict(include_mesh=_flag(q, "mesh"),
+                                include_contours=_flag(q, "contours"),
+                                include_iris=_flag(q, "iris"),
+                                include_embedding=_flag(q, "embedding"))
+                      for f in faces],
+            "image": {"width": img.shape[1], "height": img.shape[0]},
+            "mode": mode_name,
+            "model_version": self._det.MODEL_VERSION,
+        }
+
+    def _mask_payload(self, mask, q: dict) -> dict:
+        fmt = q.get("format", ["uint8"])[0]
+        if fmt not in ("float32", "uint8", "binary"):
+            return {"error": f"unknown mask format {fmt!r}"}
+        if _flag(q, "upsample"):
+            mask = mask.upsample()
+        d = mask.serialize(fmt=fmt)
+        payload = {k: v for k, v in d.items()
+                   if k not in ("data", "class_data")}
+        payload["padding"] = list(payload["padding"])
+        payload["data_b64"] = base64.b64encode(d["data"]).decode("ascii")
+        if "class_data" in d:
+            payload["class_data_b64"] = base64.b64encode(
+                d["class_data"]).decode("ascii")
+        return payload
+
+    def _do_segment(self, body: bytes, q: dict):
+        with self._direct_lock:
+            mask = self._det.get_segmentation_mask_from_bytes(body)
+        payload = self._mask_payload(mask, q)
+        if "error" in payload:
+            return 400, payload
+        return 200, {"mask": payload}
+
+    def _do_embed(self, body: bytes, q: dict):
+        from ..utils.image import decode_image
+        img = decode_image(body)
+        faces = self._batcher.submit(
+            img, FaceDetectionMode.STANDARD).result(timeout=600)
+        pretrained = True
+        with self._direct_lock, warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            embs = self._det.get_face_embeddings(faces, img)
+            pretrained = not any(
+                "RANDOM-INIT" in str(x.message) for x in w)
+        out = []
+        for f, e in zip(faces, embs):
+            b = f.bounding_box
+            out.append({
+                "bounding_box": {"xmin": float(b.xmin), "ymin": float(b.ymin),
+                                 "xmax": float(b.xmax), "ymax": float(b.ymax)},
+                "score": float(f.score),
+                "embedding": None if e is None
+                else [float(v) for v in e]})
+        return 200, {"faces": out, "pretrained": pretrained}
+
+    def _do_detect_with_segmentation(self, body: bytes, q: dict):
+        mode_name = q.get("mode", ["standard"])[0].lower()
+        if mode_name not in _MODES:
+            return 400, {"error": f"unknown mode {mode_name!r}"}
+        with self._direct_lock:
+            faces, mask = self._det.detect_faces_with_segmentation_from_bytes(
+                body, _MODES[mode_name])
+        payload = self._mask_payload(mask, q)
+        if "error" in payload:
+            return 400, payload
+        self._m_faces.inc(len(faces))
+        return 200, {
+            "faces": [f.to_dict(include_mesh=_flag(q, "mesh"),
+                                include_contours=_flag(q, "contours"),
+                                include_iris=_flag(q, "iris"))
+                      for f in faces],
+            "mask": payload,
+            "mode": mode_name,
+        }
+
+    def _do_info(self):
+        det = self._det
+        return 200, {
+            "model_version": det.MODEL_VERSION,
+            "modes": sorted(_MODES),
+            "accelerator_report": det.accelerator_report,
+            "memory_report": det.memory_report(),
+            "ready": det.is_ready,
+            "embedding_ready": det.is_embedding_ready,
+            "segmentation_ready": det.is_segmentation_ready,
+        }
+
+    # -- plumbing --------------------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _reply(self, status: int, payload, endpoint: str,
+                       t0: float, content_type="application/json"):
+                body = (payload if isinstance(payload, bytes)
+                        else json.dumps(payload).encode())
+                self.send_response(status)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                try:
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                server._m_requests.labels(endpoint, str(status)).inc()
+                server._m_latency.labels(endpoint).observe(
+                    (time.monotonic() - t0) * 1000.0)
+
+            def do_GET(self):
+                t0 = time.monotonic()
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._reply(200, {"status": "ok",
+                                      "ready": server._det.is_ready},
+                                "healthz", t0)
+                elif path == "/metrics":
+                    self._reply(200, server.registry.render().encode(),
+                                "metrics", t0,
+                                content_type="text/plain; version=0.0.4")
+                elif path == "/v1/info":
+                    status, payload = server._do_info()
+                    self._reply(status, payload, "info", t0)
+                else:
+                    self._reply(404, {"error": f"no such path {path}"},
+                                "unknown", t0)
+
+            def do_POST(self):
+                t0 = time.monotonic()
+                parsed = urlparse(self.path)
+                path = parsed.path
+                q = parse_qs(parsed.query)
+                routes = {
+                    "/v1/detect": server._do_detect,
+                    "/v1/segment": server._do_segment,
+                    "/v1/embed": server._do_embed,
+                    "/v1/detect_with_segmentation":
+                        server._do_detect_with_segmentation,
+                }
+                endpoint = path.rsplit("/", 1)[-1] or "unknown"
+                handler_fn = routes.get(path)
+                if handler_fn is None:
+                    self._reply(404, {"error": f"no such path {path}"},
+                                "unknown", t0)
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self._reply(411, {"error": "bad Content-Length"},
+                                endpoint, t0)
+                    return
+                if length <= 0:
+                    self._reply(400, {"error": "empty body; POST raw "
+                                               "image bytes"}, endpoint, t0)
+                    return
+                if length > MAX_BODY_BYTES:
+                    self._reply(413, {"error": f"body exceeds "
+                                               f"{MAX_BODY_BYTES} bytes"},
+                                endpoint, t0)
+                    return
+                body = self.rfile.read(length)
+                server._m_inflight.inc()
+                try:
+                    status, payload = handler_fn(body, q)
+                except ValueError as e:       # decode / validation errors
+                    status, payload = 400, {"error": str(e)}
+                except Exception as e:        # noqa: BLE001 — 500 boundary
+                    status, payload = 500, {"error": f"{type(e).__name__}: "
+                                                     f"{e}"}
+                finally:
+                    server._m_inflight.dec()
+                self._reply(status, payload, endpoint, t0)
+
+        return Handler

@@ -498,6 +498,68 @@ class Face:
             return None
         return min(max(1.0 - b[Blendshape.eyeBlinkRight], 0.0), 1.0)
 
+    def to_dict(self, include_mesh: bool = False,
+                include_contours: bool = False,
+                include_iris: bool = False,
+                include_embedding: bool = True) -> dict:
+        """JSON-safe dict of this face — the HTTP-serving analog of the
+        reference's isolate-RPC payload `_faceToFastMap`
+        (`face_detector.dart:1160-1181`).
+
+        The heavyweight arrays (468-pt mesh, per-contour point lists,
+        iris contours, 192-dim embedding) are opt-in so a detection
+        response stays small by default.  All values are plain Python
+        floats/ints/lists — ``json.dumps`` works directly.
+        """
+        b = self.bounding_box
+        out: dict = {
+            "bounding_box": {"xmin": float(b.xmin), "ymin": float(b.ymin),
+                             "xmax": float(b.xmax), "ymax": float(b.ymax)},
+            "score": float(self.score),
+            "width_fraction": float(self.width_fraction),
+            "tracking_id": self.tracking_id,
+            "landmarks": {t.name.lower(): [float(v) for v in p]
+                          for t, p in self.landmarks.items()},
+        }
+        if self.mesh_score is not None:
+            out["mesh_score"] = float(self.mesh_score)
+        angles = self.head_euler_angles
+        if angles is not None:
+            out["head_euler_angles"] = {"x": float(angles.x),
+                                        "y": float(angles.y),
+                                        "z": float(angles.z)}
+        bs = self.blendshapes
+        if bs is not None:
+            out["blendshapes"] = bs.as_dict()
+            out["smiling_probability"] = self.smiling_probability
+            out["left_eye_open_probability"] = self.left_eye_open_probability
+            out["right_eye_open_probability"] = \
+                self.right_eye_open_probability
+        eyes = self.eyes
+        if eyes is not None:
+            eye_d = {}
+            for name, eye in (("left_eye", eyes.left_eye),
+                              ("right_eye", eyes.right_eye)):
+                if eye is None:
+                    continue
+                d = {"iris_center": [float(v) for v in eye.iris_center]}
+                if include_iris:
+                    d["iris_contour"] = eye.iris_contour.astype(
+                        float).tolist()
+                    d["eye_contour"] = eye.mesh.astype(float).tolist()
+                eye_d[name] = d
+            if eye_d:
+                out["eyes"] = eye_d
+        if include_mesh and self.mesh is not None and len(self.mesh):
+            out["mesh"] = self.mesh.points.astype(float).tolist()
+        if include_contours and self.mesh is not None and len(self.mesh):
+            out["contours"] = {
+                ct.name: pts.astype(float).tolist()
+                for ct, pts in self.mesh.contours.items()}
+        if include_embedding and self.embedding is not None:
+            out["embedding"] = [float(v) for v in self.embedding]
+        return out
+
     def __repr__(self) -> str:
         return (f"Face(score={self.score:.3f}, box={self.bounding_box}, "
                 f"mesh={'yes' if self.mesh is not None else 'no'}, "
