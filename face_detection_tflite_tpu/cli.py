@@ -1,0 +1,329 @@
+"""Command-line front-end: `python -m face_detection_tflite_tpu ...`.
+
+The reference ships its user-facing surface as Flutter example apps
+(`example/lib/main.dart`: still-image, live-camera, segmentation and
+video screens); the TPU framework's deployment analog is a terminal.
+One binary covers the same flows:
+
+    fdt-tpu detect photo.jpg --mode full --json
+    fdt-tpu detect photo.jpg --annotate out.png
+    fdt-tpu segment photo.jpg --out mask.png --format binary
+    fdt-tpu embed a.jpg b.jpg            # similarity + distance
+    fdt-tpu serve --port 8080            # HTTP front-end (FaceServer)
+    fdt-tpu info                         # backend / models / memory
+
+Heavy imports (jax, the detector) happen inside each subcommand so
+`--help` stays instant and `info` can report a missing backend cleanly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+__all__ = ["main", "build_parser"]
+
+
+def _add_common_detect_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="back",
+                   choices=["front", "back", "short_range", "full",
+                            "full_sparse"],
+                   help="BlazeFace variant (default: back)")
+    p.add_argument("--model-dir", default=None,
+                   help="directory holding the .tflite assets "
+                        "(default: package assets / FDT_TPU_MODEL_DIR)")
+    p.add_argument("--min-score", type=float, default=None,
+                   help="detection score gate (default: model config)")
+    p.add_argument("--max-faces", type=int, default=16)
+    p.add_argument("--max-dim", type=int, default=1536,
+                   help="downscale longer side to this before detection "
+                        "(0 disables; bounds per-size compile cost)")
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "high", "mixed", "serving",
+                            "default"],
+                   help="MXU precision tier (default: highest = "
+                        "fp32-exact parity)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="fdt-tpu",
+        description="TPU-native MediaPipe-style face pipeline "
+                    "(BlazeFace, FaceMesh, iris, blendshapes, "
+                    "segmentation, embeddings).")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="detect faces in image file(s)")
+    d.add_argument("images", nargs="+", help="image file path(s)")
+    d.add_argument("--mode", default="full",
+                   choices=["fast", "standard", "full"])
+    d.add_argument("--json", action="store_true",
+                   help="emit one JSON object per image on stdout")
+    d.add_argument("--mesh", action="store_true",
+                   help="include the 468-pt mesh in --json output")
+    d.add_argument("--contours", action="store_true",
+                   help="include named contours in --json output")
+    d.add_argument("--annotate", metavar="OUT",
+                   help="write an annotated copy of the (first) image")
+    _add_common_detect_args(d)
+
+    s = sub.add_parser("segment", help="selfie-segmentation mask")
+    s.add_argument("image", help="image file path")
+    s.add_argument("--seg-model", default="general",
+                   choices=["general", "landscape", "multiclass"])
+    s.add_argument("--out", default=None, metavar="MASK_PNG",
+                   help="write the mask as a grayscale PNG "
+                        "(default: <image>.mask.png)")
+    s.add_argument("--format", default="uint8",
+                   choices=["uint8", "binary"],
+                   help="mask pixel format (default: uint8 grayscale)")
+    s.add_argument("--threshold", type=float, default=0.5,
+                   help="binary threshold (with --format binary)")
+    s.add_argument("--model-dir", default=None)
+    s.add_argument("--max-dim", type=int, default=1536)
+
+    e = sub.add_parser(
+        "embed", help="face embedding for one image, or similarity for two")
+    e.add_argument("images", nargs="+",
+                   help="one image (print embedding) or two (compare)")
+    e.add_argument("--json", action="store_true")
+    e.add_argument("--allow-untrained", action="store_true",
+                   help="acknowledge random-init MobileFaceNet weights "
+                        "(when mobilefacenet.tflite/npz is not installed)")
+    e.add_argument("--model-dir", default=None)
+    e.add_argument("--max-dim", type=int, default=1536)
+
+    v = sub.add_parser("serve", help="HTTP serving front-end (FaceServer)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--with-segmentation", action="store_true")
+    v.add_argument("--batch-window-ms", type=float, default=4.0)
+    v.add_argument("--max-batch", type=int, default=16)
+    v.add_argument("--mode-warmup", default=None, metavar="WxH",
+                   help="pre-compile fast/standard/full programs for a "
+                        "WxH image bucket before the socket opens")
+    _add_common_detect_args(v)
+
+    sub.add_parser("info", help="backend, model and memory report")
+    sub.add_parser("version", help="print package version")
+    return ap
+
+
+def _make_detector(args, **extra):
+    """Builds a FaceDetector from common CLI flags (after ensure_backend)."""
+    from .pipeline.config import FaceDetectionModel
+    from .pipeline.detector import FaceDetector
+
+    kw = dict(model=FaceDetectionModel(args.model),
+              max_faces=args.max_faces,
+              precision=args.precision,  # tiers resolved by the detector
+              model_dir=args.model_dir, **extra)
+    if args.min_score is not None:
+        kw["min_score"] = args.min_score
+    return FaceDetector(**kw)
+
+
+def _load_fitted(path: str, max_dim: int):
+    from .utils.image import fit_max_dim, load_image
+    img = load_image(path)
+    if max_dim and max_dim > 0:
+        img = fit_max_dim(img, max_dim)
+    return img
+
+
+def _print_faces_text(path: str, faces, out=None) -> None:
+    out = out or sys.stdout  # resolved at call time (test capture works)
+    print(f"{path}: {len(faces)} face(s)", file=out)
+    for i, f in enumerate(faces):
+        x0, y0, x1, y1 = f.bounding_box_pixels
+        line = (f"  face {i}: score={f.score:.3f} "
+                f"box=({x0:.0f},{y0:.0f})-({x1:.0f},{y1:.0f})px")
+        if f.mesh_score is not None:
+            line += f" mesh={f.mesh_score:.3f}"
+        a = f.head_euler_angles
+        if a is not None:
+            line += f" pose=({a.x:.1f},{a.y:.1f},{a.z:.1f})deg"
+        if f.smiling_probability is not None:
+            line += f" smile={f.smiling_probability:.2f}"
+        print(line, file=out)
+
+
+def _cmd_detect(args) -> int:
+    from .pipeline.config import FaceDetectionMode
+    det = _make_detector(args)
+    mode = FaceDetectionMode(args.mode)
+    first_img = None
+    first_faces = None
+    for path in args.images:
+        img = _load_fitted(path, args.max_dim)
+        faces = det.detect_faces(img, mode)
+        if first_img is None:
+            first_img, first_faces = img, faces
+        if args.json:
+            payload = {"image": path,
+                       "width": int(img.shape[1]),
+                       "height": int(img.shape[0]),
+                       "faces": [f.to_dict(include_mesh=args.mesh,
+                                           include_contours=args.contours)
+                                 for f in faces]}
+            print(json.dumps(payload))
+        else:
+            _print_faces_text(path, faces)
+    if args.annotate:
+        from PIL import Image
+
+        from .utils.render import annotate
+        Image.fromarray(annotate(first_img, first_faces)).save(args.annotate)
+        if not args.json:
+            print(f"annotated image -> {args.annotate}")
+    return 0
+
+
+def _cmd_segment(args) -> int:
+    from .convert.executor import convert_file
+    from .models.segmentation import SelfieSegmentation
+    from .pipeline.config import MODEL_FILES
+    from .pipeline.detector import resolve_model_dir
+    key = {"general": "segmenter_general",
+           "landscape": "segmenter_landscape",
+           "multiclass": "segmenter_multiclass"}[args.seg_model]
+    path = os.path.join(resolve_model_dir(args.model_dir), MODEL_FILES[key])
+    if not os.path.exists(path):
+        print(f"segmentation model not found: {path} (the multiclass model "
+              "ships out-of-repo in the reference too; see "
+              "tools/fetch_models.py)", file=sys.stderr)
+        return 1
+    seg = SelfieSegmentation(convert_file(path, precision="high"),
+                             multiclass=args.seg_model == "multiclass")
+    img = _load_fitted(args.image, args.max_dim)
+    mask = seg(img[None])[0].upsample()
+    arr = (mask.to_binary(args.threshold) if args.format == "binary"
+           else mask.to_uint8())
+    out = args.out or (os.path.splitext(args.image)[0] + ".mask.png")
+    from PIL import Image
+    Image.fromarray(arr, mode="L").save(out)
+    cover = float((mask.data >= args.threshold).mean())
+    print(f"{args.image}: person coverage {cover:.1%}, "
+          f"mask {arr.shape[1]}x{arr.shape[0]} -> {out}")
+    return 0
+
+
+def _cmd_embed(args) -> int:
+    if len(args.images) > 2:
+        print("embed takes one or two images", file=sys.stderr)
+        return 2
+    from .pipeline.config import FaceDetectionMode
+    from .pipeline.detector import FaceDetector
+    det = FaceDetector(model_dir=args.model_dir,
+                       allow_untrained_embeddings=args.allow_untrained)
+
+    def first_face_embedding(path):
+        img = _load_fitted(path, args.max_dim)
+        faces = det.detect_faces(img, FaceDetectionMode.STANDARD)
+        if not faces:
+            raise SystemExit(f"no face found in {path}")
+        return det.get_face_embedding(faces[0], img)
+
+    embs = [first_face_embedding(p) for p in args.images]
+    if len(embs) == 1:
+        if args.json:
+            print(json.dumps({"image": args.images[0],
+                              "embedding": [float(v) for v in embs[0]]}))
+        else:
+            print(f"{args.images[0]}: 192-dim embedding, "
+                  f"first 8 = {[round(float(v), 4) for v in embs[0][:8]]}")
+        return 0
+    sim = FaceDetector.compare_faces(embs[0], embs[1])
+    dist = FaceDetector.face_distance(embs[0], embs[1])
+    if args.json:
+        print(json.dumps({"images": args.images,
+                          "cosine_similarity": float(sim),
+                          "euclidean_distance": float(dist)}))
+    else:
+        print(f"cosine similarity: {sim:.4f}")
+        print(f"euclidean distance: {dist:.4f}")
+    return 0
+
+
+#: Set by tests (or another thread) to stop a blocking `serve` command.
+_serve_stop = None
+
+
+def _cmd_serve(args) -> int:
+    import threading
+
+    from .pipeline.server import FaceServer
+    global _serve_stop
+    det = _make_detector(args, with_segmentation=args.with_segmentation)
+    if args.mode_warmup:
+        w, h = (int(v) for v in args.mode_warmup.lower().split("x"))
+        print(f"warming fast/standard/full programs for {w}x{h}...",
+              flush=True)
+        det.warmup((h, w, 3), batch_size=1)
+    server = FaceServer(det, host=args.host, port=args.port,
+                        batch_window_ms=args.batch_window_ms,
+                        max_batch=args.max_batch).start()
+    print(f"serving on http://{server.address}  "
+          f"(POST /v1/detect, /v1/segment, /v1/embed; GET /metrics)",
+          flush=True)
+    _serve_stop = threading.Event()
+    try:
+        _serve_stop.wait()  # run until interrupted (or a test stops us)
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        _serve_stop = None
+        server.close()
+        det.dispose()
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from . import __version__  # type: ignore[attr-defined]
+    info: dict = {"version": __version__}
+    try:
+        from .pipeline.detector import resolve_model_dir
+        info["model_dir"] = resolve_model_dir()
+    except FileNotFoundError as e:
+        info["model_dir"] = None
+        info["model_dir_error"] = str(e)
+    import jax
+    info["backend"] = jax.default_backend()
+    info["devices"] = [str(d) for d in jax.devices()]
+    if info["model_dir"]:
+        from .pipeline.detector import FaceDetector
+        det = FaceDetector()
+        info["accelerator_report"] = det.accelerator_report
+        info["memory_report"] = det.memory_report()
+        det.dispose()
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "version":
+        from . import __version__  # type: ignore[attr-defined]
+        print(__version__)
+        return 0
+    # Every TPU-touching entry point goes through the backend watchdog
+    # (the axon relay can hang jax.devices() indefinitely; see
+    # utils/backend.ensure_backend).
+    from .utils.backend import ensure_backend
+    ensure_backend()
+    try:
+        return {"detect": _cmd_detect, "segment": _cmd_segment,
+                "embed": _cmd_embed, "serve": _cmd_serve,
+                "info": _cmd_info}[args.cmd](args)
+    except (ValueError, FileNotFoundError) as e:
+        # Undecodable images, missing files/models — the reference maps
+        # these to FormatException/ArgumentError (face_detector.dart:
+        # 497-499); a CLI maps them to stderr + exit 1, not a traceback.
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,209 @@
+"""Command-line front-end (`face_detection_tflite_tpu/cli.py`).
+
+The reference's user-facing surface is its example apps
+(`example/lib/main.dart` screens); the TPU framework's analog is the
+`fdt-tpu` terminal entry point.  These tests run the CLI in-process
+(same interpreter, CPU backend from conftest) and assert on its stdout
+contract — the JSON forms are what scripts will parse.
+"""
+
+import json
+import os
+import re
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from face_detection_tflite_tpu import cli
+
+from .asset_paths import MODELS_DIR, SAMPLES
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MODELS_DIR), reason="reference assets not present")
+
+PORTRAIT = os.path.join(SAMPLES, "landmark-ex1.jpg")
+IRIS1 = os.path.join(SAMPLES, "iris-detection-ex1.jpg")
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+class TestParser:
+    def test_subcommands_present(self):
+        ap = cli.build_parser()
+        sub = ap._subparsers._group_actions[0]
+        assert {"detect", "segment", "embed", "serve", "info",
+                "version"} <= set(sub.choices)
+
+    def test_no_command_exits(self):
+        with pytest.raises(SystemExit):
+            cli.build_parser().parse_args([])
+
+    def test_help_is_light(self):
+        # --help must not import jax/models (argparse exits before main's
+        # heavy imports).
+        with pytest.raises(SystemExit) as e:
+            cli.build_parser().parse_args(["--help"])
+        assert e.value.code == 0
+
+
+class TestVersion:
+    def test_version(self, capsys):
+        rc, out = _run(capsys, ["version"])
+        from face_detection_tflite_tpu import __version__
+        assert rc == 0 and out.strip() == __version__
+
+
+class TestDetect:
+    def test_text_output(self, capsys):
+        rc, out = _run(capsys, ["detect", PORTRAIT, "--mode", "standard",
+                                "--model-dir", MODELS_DIR,
+                                "--max-dim", "512"])
+        assert rc == 0
+        assert "1 face(s)" in out
+        assert "score=" in out and "px" in out
+
+    def test_json_output(self, capsys, tmp_path):
+        annot = str(tmp_path / "out.png")
+        rc, out = _run(capsys, ["detect", PORTRAIT, "--mode", "full",
+                                "--model-dir", MODELS_DIR,
+                                "--max-dim", "512", "--json",
+                                "--annotate", annot])
+        assert rc == 0
+        payload = json.loads(out.strip().splitlines()[-1])
+        assert payload["image"] == PORTRAIT
+        assert len(payload["faces"]) == 1
+        face = payload["faces"][0]
+        assert {"bounding_box", "score", "landmarks"} <= set(face)
+        assert "head_euler_angles" in face  # full mode
+        assert "mesh" not in face  # opt-in
+        assert os.path.exists(annot)
+
+    def test_json_mesh_opt_in(self, capsys):
+        rc, out = _run(capsys, ["detect", PORTRAIT, "--mode", "standard",
+                                "--model-dir", MODELS_DIR,
+                                "--max-dim", "512", "--json", "--mesh"])
+        face = json.loads(out.strip().splitlines()[-1])["faces"][0]
+        assert len(face["mesh"]) == 468
+
+    def test_multiple_images_emit_one_json_line_each(self, capsys):
+        rc, out = _run(capsys, ["detect", PORTRAIT, IRIS1,
+                                "--mode", "fast", "--model-dir", MODELS_DIR,
+                                "--max-dim", "512", "--json"])
+        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+        assert len(lines) == 2
+        assert [json.loads(l)["image"] for l in lines] == [PORTRAIT, IRIS1]
+
+
+class TestSegment:
+    def test_mask_png(self, capsys, tmp_path):
+        out_png = str(tmp_path / "mask.png")
+        rc, out = _run(capsys, ["segment", PORTRAIT, "--out", out_png,
+                                "--model-dir", MODELS_DIR,
+                                "--max-dim", "512"])
+        assert rc == 0 and os.path.exists(out_png)
+        assert "person coverage" in out
+        from PIL import Image
+        import numpy as np
+        arr = np.asarray(Image.open(out_png))
+        assert arr.ndim == 2 and arr.max() > 128  # some person pixels
+
+    def test_binary_format(self, capsys, tmp_path):
+        out_png = str(tmp_path / "mask.png")
+        rc, _ = _run(capsys, ["segment", PORTRAIT, "--out", out_png,
+                              "--model-dir", MODELS_DIR, "--max-dim", "512",
+                              "--format", "binary", "--threshold", "0.6"])
+        from PIL import Image
+        import numpy as np
+        vals = np.unique(np.asarray(Image.open(out_png)))
+        assert set(vals.tolist()) <= {0, 255}
+
+
+class TestEmbed:
+    def test_single_image_json(self, capsys):
+        rc, out = _run(capsys, ["embed", PORTRAIT, "--json",
+                                "--allow-untrained",
+                                "--model-dir", MODELS_DIR,
+                                "--max-dim", "512"])
+        payload = json.loads(out.strip().splitlines()[-1])
+        assert len(payload["embedding"]) == 192
+
+    def test_two_images_similarity(self, capsys):
+        rc, out = _run(capsys, ["embed", PORTRAIT, IRIS1, "--json",
+                                "--allow-untrained",
+                                "--model-dir", MODELS_DIR,
+                                "--max-dim", "512"])
+        payload = json.loads(out.strip().splitlines()[-1])
+        assert -1.0 <= payload["cosine_similarity"] <= 1.0
+        assert payload["euclidean_distance"] >= 0.0
+
+    def test_three_images_rejected(self, capsys):
+        rc = cli.main(["embed", PORTRAIT, PORTRAIT, PORTRAIT,
+                       "--allow-untrained", "--model-dir", MODELS_DIR])
+        assert rc == 2
+
+
+class TestErrors:
+    def test_garbage_image_clean_error(self, capsys, tmp_path):
+        bad = tmp_path / "junk.jpg"
+        bad.write_bytes(b"not an image at all")
+        rc = cli.main(["detect", str(bad), "--model-dir", MODELS_DIR,
+                       "--mode", "fast"])
+        err = capsys.readouterr().err
+        assert rc == 1 and err.startswith("error:")
+
+    def test_missing_file_clean_error(self, capsys):
+        rc = cli.main(["detect", "/nonexistent/x.jpg",
+                       "--model-dir", MODELS_DIR, "--mode", "fast"])
+        assert rc == 1
+        assert "error:" in capsys.readouterr().err
+
+
+class TestInfo:
+    def test_info_json(self, capsys):
+        rc, out = _run(capsys, ["info"])
+        assert rc == 0
+        payload = json.loads(out)
+        assert payload["backend"] == "cpu"  # conftest forces CPU
+        assert payload["model_dir"]
+        assert payload["memory_report"]["total_weights"] > 0
+
+
+class TestServe:
+    def test_serve_round_trip(self, capsys):
+        box = {}
+
+        def run():
+            box["rc"] = cli.main(["serve", "--port", "0",
+                                  "--model-dir", MODELS_DIR,
+                                  "--max-faces", "4"])
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        # Wait for the announce line to learn the ephemeral port.
+        deadline = time.time() + 300
+        addr = None
+        seen = ""
+        while time.time() < deadline:
+            seen += capsys.readouterr().out
+            m = re.search(r"http://([0-9.]+:\d+)", seen)
+            if m:
+                addr = m.group(1)
+                break
+            if not th.is_alive():
+                pytest.fail(f"serve exited early (rc={box.get('rc')})")
+            time.sleep(0.1)
+        assert addr, "server never announced"
+        with urllib.request.urlopen(f"http://{addr}/v1/info",
+                                    timeout=60) as r:
+            info = json.loads(r.read())
+        assert "model_version" in info and info["ready"]
+        assert cli._serve_stop is not None
+        cli._serve_stop.set()
+        th.join(60)
+        assert not th.is_alive() and box["rc"] == 0
