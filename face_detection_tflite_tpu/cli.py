@@ -106,7 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "WxH image bucket before the socket opens")
     _add_common_detect_args(v)
 
-    sub.add_parser("info", help="backend, model and memory report")
+    i = sub.add_parser("info", help="backend, model and memory report")
+    i.add_argument("--cost", default=None, metavar="WxH",
+                   help="add XLA cost analysis (FLOPs / bytes) of the "
+                        "fused fast/standard/full programs for a WxH "
+                        "image bucket")
     sub.add_parser("version", help="print package version")
     return ap
 
@@ -293,10 +297,16 @@ def _cmd_info(args) -> int:
     info["backend"] = jax.default_backend()
     info["devices"] = [str(d) for d in jax.devices()]
     if info["model_dir"]:
+        from .pipeline.config import FaceDetectionMode
         from .pipeline.detector import FaceDetector
         det = FaceDetector()
         info["accelerator_report"] = det.accelerator_report
         info["memory_report"] = det.memory_report()
+        if getattr(args, "cost", None):
+            w, h = (int(v) for v in args.cost.lower().split("x"))
+            info["cost_analysis"] = {
+                m.value: det.cost_report((h, w), m)
+                for m in FaceDetectionMode}
         det.dispose()
     print(json.dumps(info, indent=2))
     return 0

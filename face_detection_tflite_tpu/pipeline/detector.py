@@ -1483,6 +1483,55 @@ class FaceDetector:
         report["compiled_programs"] = len(self._programs)
         return report
 
+    def cost_report(self, image_shape: tuple,
+                    mode: FaceDetectionMode = FaceDetectionMode.FULL,
+                    batch_size: int = 1) -> dict:
+        """XLA cost analysis of the fused program for one image bucket.
+
+        The compiler-model half of the observability story (SURVEY §5:
+        "jax.profiler traces + XLA cost analysis"): static FLOP and
+        memory-traffic counts for the whole fused pipeline program, as
+        XLA itself accounts them after fusion — the numbers behind the
+        roofline math in docs/PERF.md.  Uses AOT lowering on shape
+        structs (no input arrays are materialized; the persistent
+        compile cache makes repeat calls cheap).
+
+        Returns flops / bytes_accessed / transcendentals plus per-image
+        derivations and the compiled program's memory footprint.
+        """
+        self._check_disposed()
+        h, w = int(image_shape[0]), int(image_shape[1])
+        if self.bucket_images:
+            h, w = self._bucket(h), self._bucket(w)
+        prog = self._program(h, w, mode)
+        dummy = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
+        compiled = prog.lower(self._params, dummy).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0] if ca else {}
+        report = {
+            "image_bucket": (h, w),
+            "mode": mode.value,
+            "batch_size": batch_size,
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+            "transcendentals": float(ca.get("transcendentals", 0.0)),
+        }
+        report["flops_per_image"] = report["flops"] / batch_size
+        report["bytes_per_image"] = report["bytes_accessed"] / batch_size
+        try:
+            ma = compiled.memory_analysis()
+            report["memory"] = {
+                "argument_bytes": int(ma.argument_size_in_bytes),
+                "output_bytes": int(ma.output_size_in_bytes),
+                "temp_bytes": int(ma.temp_size_in_bytes),
+                "generated_code_bytes": int(
+                    ma.generated_code_size_in_bytes),
+            }
+        except Exception:  # backend without memory_analysis support
+            report["memory"] = None
+        return report
+
     @staticmethod
     def split_meshes_if_concatenated(mesh_pts) -> list[np.ndarray]:
         """Splits a concatenated [N*468, ...] mesh point array into

@@ -173,6 +173,12 @@ class TestInfo:
         assert payload["model_dir"]
         assert payload["memory_report"]["total_weights"] > 0
 
+    def test_info_cost_analysis(self, capsys):
+        rc, out = _run(capsys, ["info", "--cost", "128x128"])
+        cost = json.loads(out)["cost_analysis"]
+        assert set(cost) == {"fast", "standard", "full"}
+        assert cost["fast"]["flops"] < cost["full"]["flops"]
+
 
 class TestServe:
     def test_serve_round_trip(self, capsys):

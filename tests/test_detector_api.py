@@ -777,3 +777,29 @@ class TestSplitMeshes:
 
     def test_empty_returns_empty(self):
         assert FaceDetector.split_meshes_if_concatenated([]) == []
+
+
+class TestCostReport:
+    """XLA cost analysis of the fused programs (SURVEY §5 observability:
+    'jax.profiler traces + XLA cost analysis')."""
+
+    def test_flops_scale_with_mode_and_batch(self):
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        fast = d.cost_report((128, 128), FaceDetectionMode.FAST)
+        std = d.cost_report((128, 128), FaceDetectionMode.STANDARD)
+        full = d.cost_report((128, 128), FaceDetectionMode.FULL)
+        # Deeper pipelines strictly cost more FLOPs.
+        assert 0 < fast["flops"] < std["flops"] < full["flops"]
+        # Static analysis is per-program: 2x batch ~ 2x flops (exactly,
+        # for these batch-parallel programs).
+        std2 = d.cost_report((128, 128), FaceDetectionMode.STANDARD,
+                             batch_size=2)
+        assert std2["flops"] == pytest.approx(2 * std["flops"], rel=0.01)
+        assert std2["flops_per_image"] == pytest.approx(std["flops"],
+                                                        rel=0.01)
+        assert std["bytes_accessed"] > 0
+        assert std["memory"] is None or std["memory"]["temp_bytes"] > 0
+        d.dispose()
+        with pytest.raises(RuntimeError):
+            d.cost_report((128, 128))
