@@ -95,6 +95,28 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--model-dir", default=None)
     e.add_argument("--max-dim", type=int, default=1536)
 
+    vid = sub.add_parser(
+        "video", help="detect (+track/smooth) over a video file")
+    vid.add_argument("video", help="input video file")
+    vid.add_argument("--out", default=None, metavar="OUT_MP4",
+                     help="write an annotated copy "
+                          "(default: <video>.annotated.mp4; use --json "
+                          "to skip writing)")
+    vid.add_argument("--mode", default="full",
+                     choices=["fast", "standard", "full"])
+    vid.add_argument("--json", action="store_true",
+                     help="emit one JSON line per frame instead of an "
+                          "annotated video")
+    vid.add_argument("--stride", type=int, default=1,
+                     help="process every Nth frame")
+    vid.add_argument("--max-frames", type=int, default=None)
+    vid.add_argument("--batch-size", type=int, default=8)
+    vid.add_argument("--smooth", default="one_euro",
+                     choices=["one_euro", "ema", "none"],
+                     help="temporal landmark smoothing (default: the "
+                          "reference example app's One-Euro filter)")
+    _add_common_detect_args(vid)
+
     v = sub.add_parser("serve", help="HTTP serving front-end (FaceServer)")
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8080)
@@ -251,6 +273,85 @@ def _cmd_embed(args) -> int:
     return 0
 
 
+def _cmd_video(args) -> int:
+    from .pipeline.config import FaceDetectionMode
+    from .pipeline.smoothing import FaceSmoother
+    det = _make_detector(args, enable_tracking=True)
+    mode = FaceDetectionMode(args.mode)
+    smoother = (None if args.smooth == "none"
+                else FaceSmoother(alpha=0.5, method=args.smooth))
+
+    writer = None
+    cap = None
+    out_path = None
+    if not args.json:
+        import cv2
+        cap = cv2.VideoCapture(args.video)
+        if not cap.isOpened():
+            raise ValueError(f"cannot open video: {args.video}")
+        fps = (cap.get(cv2.CAP_PROP_FPS) or 30.0) / max(args.stride, 1)
+        out_path = args.out or (os.path.splitext(args.video)[0]
+                                + ".annotated.mp4")
+
+    frames = 0
+    total_faces = 0
+    try:
+        frame_idx = -1
+        frame = None
+
+        def frame_at(i):
+            # Second incremental pass over the container, in step with
+            # the result stream (O(1) memory; examples/video_demo.py).
+            nonlocal frame_idx, frame
+            while frame_idx < i:
+                ok, frame = cap.read()
+                if not ok:
+                    raise ValueError(f"frame {i} unreadable on second pass")
+                frame_idx += 1
+            return frame
+
+        for res in det.detect_faces_from_video(
+                args.video, mode, frame_stride=args.stride,
+                batch_size=args.batch_size, max_frames=args.max_frames,
+                max_dim=args.max_dim or None):
+            faces = (smoother.smooth(res.faces, t_sec=res.timestamp_s)
+                     if smoother else res.faces)
+            frames += 1
+            total_faces += len(faces)
+            if args.json:
+                print(json.dumps(
+                    {"frame": res.frame_index,
+                     "timestamp_s": round(res.timestamp_s, 4),
+                     "faces": [f.to_dict() for f in faces]}))
+                continue
+            import cv2
+            import numpy as np
+
+            from .utils.image import fit_max_dim
+            from .utils.render import annotate
+            rgb = frame_at(res.frame_index)[..., ::-1]
+            if args.max_dim:
+                rgb = fit_max_dim(rgb, args.max_dim)
+            if writer is None:
+                h, w = rgb.shape[:2]
+                writer = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+                if not writer.isOpened():
+                    raise ValueError(
+                        f"cannot open video writer for {out_path}")
+            out = annotate(np.ascontiguousarray(rgb), faces)
+            writer.write(np.ascontiguousarray(out[..., ::-1]))
+    finally:
+        if writer is not None:
+            writer.release()
+        if cap is not None:
+            cap.release()
+    if not args.json:
+        print(f"{args.video}: {frames} frame(s), {total_faces} face "
+              f"detection(s) -> {out_path}")
+    return 0
+
+
 #: Set by tests (or another thread) to stop a blocking `serve` command.
 _serve_stop = None
 
@@ -325,8 +426,8 @@ def main(argv=None) -> int:
     ensure_backend()
     try:
         return {"detect": _cmd_detect, "segment": _cmd_segment,
-                "embed": _cmd_embed, "serve": _cmd_serve,
-                "info": _cmd_info}[args.cmd](args)
+                "embed": _cmd_embed, "video": _cmd_video,
+                "serve": _cmd_serve, "info": _cmd_info}[args.cmd](args)
     except (ValueError, FileNotFoundError) as e:
         # Undecodable images, missing files/models — the reference maps
         # these to FormatException/ArgumentError (face_detector.dart:

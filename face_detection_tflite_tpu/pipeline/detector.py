@@ -1165,13 +1165,16 @@ class FaceDetector:
                                 FaceDetectionMode.FULL,
                                 *, frame_stride: int = 1,
                                 batch_size: int = 8,
-                                max_frames: Optional[int] = None):
+                                max_frames: Optional[int] = None,
+                                max_dim: Optional[int] = None):
         """Iterates VideoFrameResult over a video file (frames batched on
         device, tracking applied in stream order).  Analog of the
-        reference's `detectFacesFromVideo`."""
+        reference's `detectFacesFromVideo`; ``max_dim`` is the camera
+        paths' maxDim knob extended to video frames."""
         from .video import process_video
         return process_video(self, path, mode, frame_stride=frame_stride,
-                             batch_size=batch_size, max_frames=max_frames)
+                             batch_size=batch_size, max_frames=max_frames,
+                             max_dim=max_dim)
 
     # -- embeddings -------------------------------------------------------------
 

@@ -30,7 +30,8 @@ class VideoFrameResult:
     faces: list[Face]
 
 
-def _read_frames(path: str, frame_stride: int, max_frames: Optional[int]):
+def _read_frames(path: str, frame_stride: int, max_frames: Optional[int],
+                 max_dim: Optional[int] = None):
     import cv2
     if frame_stride < 1:
         raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
@@ -52,7 +53,11 @@ def _read_frames(path: str, frame_stride: int, max_frames: Optional[int]):
                 # per frame, and every consumer (np.stack batching, H2D
                 # jnp.asarray) copies anyway — an eager .copy() here just
                 # doubled host memcpy traffic on the decode hot path.
-                yield idx, idx / fps, frame[..., ::-1]
+                rgb = frame[..., ::-1]
+                if max_dim is not None and max_dim > 0:
+                    from ..utils.image import fit_max_dim
+                    rgb = fit_max_dim(rgb, max_dim)
+                yield idx, idx / fps, rgb
                 emitted += 1
                 if max_frames is not None and emitted >= max_frames:
                     break
@@ -64,14 +69,19 @@ def _read_frames(path: str, frame_stride: int, max_frames: Optional[int]):
 def process_video(detector, path: str,
                   mode: FaceDetectionMode = FaceDetectionMode.FULL,
                   *, frame_stride: int = 1, batch_size: int = 8,
-                  max_frames: Optional[int] = None
+                  max_frames: Optional[int] = None,
+                  max_dim: Optional[int] = None
                   ) -> Iterator[VideoFrameResult]:
     """Runs the detector over a video file, batching frames on device.
 
     Frames are grouped into device batches of ``batch_size``; temporal
     tracking (when enabled on the detector) is applied afterwards in frame
     order, preserving the reference's sequential-tracking semantics while
-    the heavy compute stays batched.
+    the heavy compute stays batched.  ``max_dim`` downscales each frame
+    so the longer side fits (the camera paths' ``maxDim`` knob,
+    `helpers.dart:488-493`, extended to video: bounds the per-size
+    program compile cost for 4K footage; face coordinates are then in
+    the downscaled frame).
 
     Host decode runs on a prefetch thread one batch ahead of the device:
     cv2's decode and XLA's blocking wait both release the GIL, so frame
@@ -94,7 +104,8 @@ def process_video(detector, path: str,
 
     def _reader():
         try:
-            for item in _read_frames(path, frame_stride, max_frames):
+            for item in _read_frames(path, frame_stride, max_frames,
+                                     max_dim):
                 if not _put(item):
                     return
         except BaseException as e:  # surfaced on the consumer thread

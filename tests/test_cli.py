@@ -148,6 +148,53 @@ class TestEmbed:
         assert rc == 2
 
 
+class TestVideo:
+    @pytest.fixture(scope="class")
+    def video_path(self, tmp_path_factory):
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+        from PIL import Image
+        img = np.asarray(Image.open(PORTRAIT).convert("RGB"))[..., ::-1]
+        img = cv2.resize(img, (320, 213))
+        path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (320, 213))
+        assert vw.isOpened()
+        for i in range(6):
+            vw.write(np.roll(img, i * 2, axis=1))
+        vw.release()
+        return path
+
+    def test_json_lines(self, capsys, video_path):
+        rc, out = _run(capsys, ["video", video_path, "--json",
+                                "--mode", "fast", "--stride", "2",
+                                "--model-dir", MODELS_DIR,
+                                "--smooth", "none"])
+        assert rc == 0
+        lines = [json.loads(l) for l in out.strip().splitlines()]
+        assert [l["frame"] for l in lines] == [0, 2, 4]
+        assert all(len(l["faces"]) == 1 for l in lines)
+        # tracking is on: stable ID across the clip
+        ids = {l["faces"][0]["tracking_id"] for l in lines}
+        assert len(ids) == 1 and None not in ids
+
+    def test_annotated_output(self, capsys, video_path, tmp_path):
+        out_mp4 = str(tmp_path / "annotated.mp4")
+        rc, out = _run(capsys, ["video", video_path, "--out", out_mp4,
+                                "--mode", "fast", "--max-frames", "2",
+                                "--model-dir", MODELS_DIR])
+        assert rc == 0 and os.path.getsize(out_mp4) > 0
+        assert "2 frame(s)" in out
+
+    def test_bad_video_clean_error(self, capsys, tmp_path):
+        bad = tmp_path / "junk.mp4"
+        bad.write_bytes(b"\x00" * 64)
+        rc = cli.main(["video", str(bad), "--json",
+                       "--model-dir", MODELS_DIR])
+        assert rc == 1
+        assert "error:" in capsys.readouterr().err
+
+
 class TestErrors:
     def test_garbage_image_clean_error(self, capsys, tmp_path):
         bad = tmp_path / "junk.jpg"

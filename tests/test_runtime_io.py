@@ -275,6 +275,22 @@ class TestVideo:
             max_frames=2))
         assert [r.frame_index for r in results] == [0, 2]
 
+    def test_max_dim_downscales_frames(self, video_path):
+        """The camera paths' maxDim knob extended to video: detections
+        land in the downscaled coordinate space and still find the face."""
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        results = list(det.detect_faces_from_video(
+            video_path, FaceDetectionMode.FAST, max_frames=2, max_dim=160))
+        assert len(results) == 2
+        for r in results:
+            assert len(r.faces) == 1
+            # original_size reflects the 320x213 -> 160x107 downscale
+            assert r.faces[0].original_size == (160, 106)
+
 
 @pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no sample assets")
 class TestMultiFaceVideo:
