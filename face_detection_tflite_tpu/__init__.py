@@ -36,6 +36,7 @@ from .pipeline.detector import FaceDetector, resolve_model_dir
 from .pipeline.geometry import eye_rois_from_mesh, face_detection_to_roi
 from .pipeline.programs import PipelineModels, build_pipeline_program
 from .pipeline.server import FaceServer
+from .parallel.replica import ReplicaPool
 from .pipeline.serving import ServingPipeline
 from .pipeline.smoothing import FaceSmoother, OneEuroFilter
 from .pipeline.timings import DetectTimings, FpsCounter
@@ -66,7 +67,7 @@ __all__ = [
     "compute_embedding_alignment", "TemporalFaceTracker", "PipelineModels",
     "build_pipeline_program", "convert_file", "convert_model",
     "parse_tflite", "ConvertedModel", "resolve_model_dir",
-    "ServingPipeline", "FaceServer", "MetricsRegistry",
+    "ServingPipeline", "ReplicaPool", "FaceServer", "MetricsRegistry",
     "DetectTimings", "FpsCounter", "FrameThrottle",
     "VideoFrameResult", "process_video", "CameraFormat",
     "camera_frame_from_image", "camera_frame_from_planes", "CameraFrame",

@@ -1,0 +1,106 @@
+"""Multi-chip replica serving: independent batches on independent chips.
+
+Two multi-chip shapes exist, matching two deployment goals:
+
+* ``parallel/sharding.py`` (``data_parallel=True``) shards ONE batch
+  across the mesh with pjit — lower latency per batch, one program
+  execution in flight.
+* This module replicates the detector's weights per chip and runs a
+  pinned :class:`~..pipeline.serving.ServingPipeline` on each — N
+  independent program executions in flight, throughput ≈ N × one chip
+  for independent request streams.  This is the production serving
+  shape, and the TPU analog of the reference's isolate pool
+  (`face_detector_core.dart:151-166` runs 3 FaceMesh interpreters for
+  the same reason: independent work wants independent executors).
+
+Weights are ~12 MB (`FaceDetector.memory_report`), so a per-chip copy
+is trivial; no collectives are involved — each chip computes alone, the
+zero-steady-state-communication design SURVEY §2.4 calls for.
+
+    pool = ReplicaPool(detector)                # all visible devices
+    futures = [pool.submit(batch) for batch in stream]   # round-robin
+    results = [f.result() for f in futures]     # in submit order
+    pool.close()
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import jax
+
+from ..pipeline.config import FaceDetectionMode
+from ..pipeline.serving import ServingPipeline
+
+__all__ = ["ReplicaPool"]
+
+
+class ReplicaPool:
+    """Round-robin pool of device-pinned serving pipelines.
+
+    Each visible device gets a replica copy of ``detector``'s weights
+    (`FaceDetector._replica_params`) and its own pipelined executor;
+    ``submit`` distributes batches round-robin.  Futures resolve
+    independently (a slow chip delays only its own batches); per-caller
+    submit order is preserved per device and overall order is restored
+    by consuming futures in submit order, as with ServingPipeline.
+    """
+
+    def __init__(self, detector,
+                 devices: Optional[Sequence] = None,
+                 mode: FaceDetectionMode = FaceDetectionMode.STANDARD,
+                 depth: int = 2):
+        if getattr(detector, "_mesh", None) is not None:
+            raise ValueError(
+                "ReplicaPool replicates per chip; it cannot wrap a "
+                "data_parallel detector (which shards each batch across "
+                "the mesh instead — pick one shape)")
+        devices = list(devices if devices is not None else jax.devices())
+        if not devices:
+            raise ValueError("no devices to replicate onto")
+        self._devices = devices
+        # Materialize every replica's weights BEFORE accepting traffic so
+        # the first batch per chip doesn't pay the copy.
+        for d in devices:
+            detector._replica_params(d)
+        self._pipes = [ServingPipeline(detector, mode, depth=depth,
+                                       device=d) for d in devices]
+        self._next = 0
+        self._lock = threading.Lock()
+        self._closed = False
+
+    @property
+    def num_replicas(self) -> int:
+        return len(self._devices)
+
+    def submit(self, images) -> Future:
+        """Enqueues one batch on the next chip (round-robin); returns a
+        Future of list[list[Face]].  Accepts what ServingPipeline.submit
+        accepts (encoded bytes list / numpy / device array)."""
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("ReplicaPool is closed")
+            pipe = self._pipes[self._next]
+            self._next = (self._next + 1) % len(self._pipes)
+        return pipe.submit(images)
+
+    def map_batches(self, batches) -> list:
+        """Convenience: submits every batch, returns results in order."""
+        futs = [self.submit(b) for b in batches]
+        return [f.result() for f in futs]
+
+    def close(self, wait: bool = True) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        for p in self._pipes:
+            p.close(wait=wait)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -623,16 +623,21 @@ class FaceDetector:
                   self._dispatch_speculative(images, mode))
         return self._finish_speculative(images, handle, mode)
 
-    def _dispatch_speculative(self, images, mode: FaceDetectionMode):
+    def _dispatch_speculative(self, images, mode: FaceDetectionMode,
+                              params=None):
         """Dispatches the fused speculative program AND its packed
         device->host copy (both non-blocking), so a pipelined caller
         overlaps this batch's readback with the next batch's compute.
-        Returns an opaque (bucket, device slab, fetch handle) tuple."""
+        Returns an opaque (bucket, device slab, fetch handle, params)
+        tuple; ``params`` overrides the default-device weights for
+        replica (device-pinned) dispatch."""
+        if params is None:
+            params = self._params
         _, h, w, _ = images.shape
         bucket = self._speculation_bucket(h, w, mode)
         with self.timings.stage(f"dispatch[slab{bucket}]"):
             det = self._program(h, w, mode, face_slab=bucket)(
-                self._params, images)
+                params, images)
         # Only det_count crosses to the host on the common path; the full
         # det_* overflow slab stays device-resident in ``det`` (the
         # overflow re-run reads it there).  BENCH_r02 measured the full
@@ -641,12 +646,12 @@ class FaceDetector:
         fetch = {k: v for k, v in det.items()
                  if k == "det_count" or not k.startswith("det_")}
         return bucket, det, self._fetch_async(
-            fetch, self._readback_scale(h, w))
+            fetch, self._readback_scale(h, w)), params
 
     def _finish_speculative(self, images, handle, mode: FaceDetectionMode):
         """Blocks on a speculative dispatch; re-runs the face stages on a
         wider slab iff an image overflowed the speculated bucket."""
-        bucket, det, fetch = handle
+        bucket, det, fetch, params = handle
         _, h, w, _ = images.shape
         # The wait on device compute and the device->host pull, timed as
         # ONE stage by default.  Splitting them (detailed_timings=True,
@@ -685,7 +690,7 @@ class FaceDetector:
         nb = min(nb, self.max_faces)
         with self.timings.stage(f"face_stages[{nb}]"):
             out2 = self._face_stage_program(h, w, mode)(
-                self._params, images,
+                params, images,
                 det["det_boxes"][:, :nb], det["det_raw_keypoints"][:, :nb],
                 det["det_scores"][:, :nb], det["det_valid"][:, :nb])
         with self.timings.stage("face_readback"):
@@ -830,10 +835,12 @@ class FaceDetector:
                     images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
         return images, b, (w, h)
 
-    def _dispatch_full(self, images, mode: FaceDetectionMode):
+    def _dispatch_full(self, images, mode: FaceDetectionMode, params=None):
         """Dispatches the single fused program (non-adaptive path),
         applying data-parallel batch padding + sharding when a mesh is
         configured.  Returns (device handle, pad rows to trim)."""
+        if params is None:
+            params = self._params
         b = images.shape[0]
         pad_b = 0
         if self._mesh is not None:
@@ -846,7 +853,7 @@ class FaceDetector:
             from ..parallel.sharding import shard_batch
             images = shard_batch(images, self._mesh)
         prog = self._program(images.shape[1], images.shape[2], mode)
-        return prog(self._params, images), pad_b
+        return prog(params, images), pad_b
 
     def _postprocess_slab(self, out, b, bh, bw, orig_sizes, mode
                           ) -> list[list[Face]]:
@@ -898,21 +905,51 @@ class FaceDetector:
         while pending:
             yield self._stream_finish(pending.popleft(), mode)
 
-    def _stream_dispatch(self, raw, mode: FaceDetectionMode):
+    def _replica_params(self, device):
+        """Per-device copy of the weight pytree, cached (≈12 MB/device).
+
+        Replica serving (`parallel/replica.ReplicaPool`) runs the SAME
+        compiled programs on several chips concurrently — the reference's
+        isolate-pool shape — so each chip needs a resident weight copy.
+        """
+        self._check_disposed()
+        with self._programs_lock:
+            cache = getattr(self, "_replica_params_cache", None)
+            if cache is None:
+                cache = self._replica_params_cache = {}
+            if device not in cache:
+                cache[device] = jax.device_put(self._params, device)
+            return cache[device]
+
+    def _stream_dispatch(self, raw, mode: FaceDetectionMode, device=None):
         """Prepares a batch and dispatches its first-phase program
         (non-blocking).  Returns an opaque handle for
-        :meth:`_stream_finish`; None marks an empty batch."""
+        :meth:`_stream_finish`; None marks an empty batch.
+
+        ``device`` pins this batch's compute to one chip (weights from
+        :meth:`_replica_params`); incompatible with ``data_parallel``
+        (which shards each batch over the whole mesh instead)."""
         self._check_disposed()
         prep = self._prepare_batch(raw)
         if prep is None:
             return None
         images, b, wh = prep
+        params = None
+        if device is not None:
+            if self._mesh is not None:
+                raise ValueError(
+                    "device-pinned dispatch is incompatible with "
+                    "data_parallel=True (one shards batches across "
+                    "chips, the other replicates per chip)")
+            images = jax.device_put(images, device)
+            params = self._replica_params(device)
         pad_b = 0
         if self.adaptive:
-            det = self._dispatch_speculative(images, mode)
+            det = self._dispatch_speculative(images, mode, params=params)
         else:
             with self.timings.stage("dispatch"):
-                det, pad_b = self._dispatch_full(images, mode)
+                det, pad_b = self._dispatch_full(images, mode,
+                                                 params=params)
         return (images, det, pad_b, b, images.shape[1], images.shape[2],
                 wh)
 
@@ -1571,6 +1608,8 @@ class FaceDetector:
         self._disposed = True
         self._programs.clear()
         self._spec_state.clear()
+        if getattr(self, "_replica_params_cache", None):
+            self._replica_params_cache.clear()  # per-device weight copies
         self._decode_cache = None
         self._devput_cache = None  # frees the cached device-resident frame
         if self._embedding is not None:

@@ -43,9 +43,17 @@ class ServingPipeline:
 
     def __init__(self, detector, mode: FaceDetectionMode =
                  FaceDetectionMode.STANDARD, depth: int = 2,
-                 with_segmentation: bool = False):
+                 with_segmentation: bool = False, device=None):
         self._det = detector
         self._mode = mode
+        #: Optional chip pinning: all of this pipeline's compute runs on
+        #: ``device`` with a replica weight copy (see ReplicaPool, the
+        #: multi-chip throughput pool).  None = default device.
+        self._device = device
+        if device is not None and with_segmentation:
+            raise ValueError(
+                "device= pinning is detection-only; place segmentation "
+                "with SelfieSegmentation.place_on / seg_device instead")
         if depth < 1:
             # queue.Queue(maxsize=0) would mean UNBOUNDED, silently
             # voiding the documented 2*depth+1 memory bound.
@@ -80,7 +88,14 @@ class ServingPipeline:
                 isinstance(images[0], (bytes, bytearray)):
             from ..utils.image import decode_images
             images = np.stack(decode_images(list(images)))
-        if not isinstance(images, jax.Array):
+        if self._device is not None:
+            # H2D straight to the pinned chip (device_put on an array
+            # already resident there is a no-op).  Stack list inputs
+            # first: device_put would map over a list as a pytree.
+            if not isinstance(images, jax.Array):
+                images = np.asarray(images)
+            images = jax.device_put(images, self._device)
+        elif not isinstance(images, jax.Array):
             images = jnp.asarray(np.asarray(images))  # H2D now, async
         # Validate shape eagerly so a malformed batch raises HERE rather
         # than poisoning the worker's pipelined stream (shape-only: the
@@ -145,7 +160,8 @@ class ServingPipeline:
                     if self._with_segmentation and images.shape[0]
                     else None)
                 pending.append(
-                    (fut, self._det._stream_dispatch(images, self._mode),
+                    (fut, self._det._stream_dispatch(images, self._mode,
+                                                     device=self._device),
                      seg_handle))
             except Exception as e:
                 fut.set_exception(e)

@@ -172,3 +172,107 @@ class TestSegDevicePlacement:
         seg.dispose()
         with pytest.raises(RuntimeError):
             seg.place_on(jax.devices()[2])
+
+
+class TestReplicaPool:
+    """Per-chip replica serving (`parallel/replica.py`) — the isolate-pool
+    throughput shape, vs data_parallel's batch-sharding latency shape."""
+
+    @pytest.fixture(scope="class")
+    def detector(self):
+        from face_detection_tflite_tpu import (FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        yield det
+        det.dispose()
+
+    @pytest.fixture(scope="class")
+    def img(self):
+        from PIL import Image
+        return np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+
+    def test_matches_single_device(self, detector, img):
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               ReplicaPool)
+        small = img[::4, ::4]
+        batches = [np.stack([small, np.roll(small, i * 3, axis=1)])
+                   for i in range(4)]
+        expected = [detector.detect_faces_batch(b, FaceDetectionMode.STANDARD)
+                    for b in batches]
+        with ReplicaPool(detector, devices=jax.devices()[:4],
+                         mode=FaceDetectionMode.STANDARD) as pool:
+            assert pool.num_replicas == 4
+            got = pool.map_batches(batches)
+        for exp_b, got_b in zip(expected, got):
+            for exp_faces, got_faces in zip(exp_b, got_b):
+                assert len(exp_faces) == len(got_faces) == 1
+                np.testing.assert_allclose(
+                    got_faces[0].mesh.points, exp_faces[0].mesh.points,
+                    atol=1e-3)
+
+    def test_round_robin_uses_every_device(self, detector, img):
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               ReplicaPool)
+        small = img[::4, ::4]
+        devs = jax.devices()[:3]
+        pool = ReplicaPool(detector, devices=devs,
+                           mode=FaceDetectionMode.FAST)
+        try:
+            futs = [pool.submit(np.stack([np.roll(small, i, axis=0)]))
+                    for i in range(6)]
+            outs = [f.result(timeout=300) for f in futs]
+        finally:
+            pool.close()
+        assert all(len(o) == 1 and len(o[0]) == 1 for o in outs)
+        # every replica's weights were materialized on its chip
+        cache = detector._replica_params_cache
+        assert set(devs) <= set(cache)
+        for d in devs:
+            leaf = jax.tree_util.tree_leaves(cache[d])[0]
+            assert leaf.devices() == {d}
+
+    def test_overflow_rerun_on_pinned_device(self, img):
+        """A pinned batch whose face count overflows the speculative
+        bucket re-runs the face stages with the REPLICA weights — a
+        default-device params leak here would crash or silently compute
+        cross-device."""
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector, ReplicaPool)
+        from PIL import Image
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        group = np.asarray(Image.open(os.path.join(
+            SAMPLES, "group-shot-bounding-box-ex1.jpeg")).convert("RGB"))
+        group = group[::4, ::4]  # 4 faces, fresh shape -> bucket 1
+        ref = det.detect_faces_batch(group[None],
+                                     FaceDetectionMode.STANDARD)[0]
+        det2 = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                            model_dir=MODELS_DIR)
+        with ReplicaPool(det2, devices=[jax.devices()[1]],
+                         mode=FaceDetectionMode.STANDARD) as pool:
+            got = pool.submit(group[None]).result(timeout=600)[0]
+        assert len(got) == len(ref) == 4
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g.mesh.points, r.mesh.points,
+                                       atol=1e-3)
+        det.dispose()
+        det2.dispose()
+
+    def test_data_parallel_detector_rejected(self):
+        from face_detection_tflite_tpu import (FaceDetectionModel,
+                                               FaceDetector, ReplicaPool)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR, data_parallel=True)
+        with pytest.raises(ValueError, match="data_parallel"):
+            ReplicaPool(det)
+        det.dispose()
+
+    def test_submit_after_close_raises(self, detector):
+        from face_detection_tflite_tpu import ReplicaPool
+        pool = ReplicaPool(detector, devices=jax.devices()[:1])
+        pool.close()
+        with pytest.raises(RuntimeError):
+            pool.submit(np.zeros((1, 64, 64, 3), np.uint8))
