@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--with-segmentation", action="store_true")
     v.add_argument("--batch-window-ms", type=float, default=4.0)
     v.add_argument("--max-batch", type=int, default=16)
+    v.add_argument("--replicas", type=int, default=0, metavar="N",
+                   help="replicate detect serving over the first N chips "
+                        "(per-chip weight copies, round-robin batches; "
+                        "0 = single default device)")
     v.add_argument("--mode-warmup", default=None, metavar="WxH",
                    help="pre-compile fast/standard/full programs for a "
                         "WxH image bucket before the socket opens")
@@ -367,11 +371,22 @@ def _cmd_serve(args) -> int:
         print(f"warming fast/standard/full programs for {w}x{h}...",
               flush=True)
         det.warmup((h, w, 3), batch_size=1)
+    devices = None
+    if args.replicas:
+        import jax
+        avail = jax.devices()
+        if args.replicas > len(avail):
+            print(f"error: --replicas {args.replicas} but only "
+                  f"{len(avail)} device(s) visible", file=sys.stderr)
+            det.dispose()
+            return 1
+        devices = avail[:args.replicas]
     server = FaceServer(det, host=args.host, port=args.port,
                         batch_window_ms=args.batch_window_ms,
-                        max_batch=args.max_batch).start()
+                        max_batch=args.max_batch, devices=devices).start()
     print(f"serving on http://{server.address}  "
-          f"(POST /v1/detect, /v1/segment, /v1/embed; GET /metrics)",
+          f"(POST /v1/detect, /v1/segment, /v1/embed; GET /metrics)"
+          + (f"  [{len(devices)} detect replicas]" if devices else ""),
           flush=True)
     _serve_stop = threading.Event()
     try:

@@ -30,7 +30,10 @@ Endpoints
 
 Bodies are raw encoded image bytes (JPEG/PNG/WebP via the native decode
 pool).  Responses are JSON; errors are ``{"error": ...}`` with a 4xx/5xx
-status.  Start one with ``tools/serve.py`` or::
+status.  With ``devices=[...]`` (CLI: ``--replicas N``) the detect path
+fans micro-batches out over per-chip replica pipelines
+(`parallel/replica.ReplicaPool`) — throughput ≈ N× one chip for
+concurrent request streams.  Start one with ``tools/serve.py`` or::
 
     server = FaceServer(detector)
     server.start()          # binds; server.port is the bound port
@@ -76,13 +79,19 @@ class _Batcher:
     """
 
     def __init__(self, detector, window_ms: float = 4.0,
-                 max_batch: int = 16, metrics: Optional[dict] = None):
+                 max_batch: int = 16, metrics: Optional[dict] = None,
+                 pool_for_mode=None):
         import queue
         self._det = detector
         self._window_s = window_ms / 1000.0
         self._max_batch = max_batch
         self._q: "queue.Queue" = queue.Queue()
         self._metrics = metrics or {}
+        #: Optional mode -> ReplicaPool resolver (multi-chip serving):
+        #: shape-groups are then submitted to the pool (non-blocking;
+        #: member futures resolve from the pool future's callback)
+        #: instead of running detect_faces_batch on this thread.
+        self._pool_for_mode = pool_for_mode
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fdt-batcher")
@@ -134,6 +143,12 @@ class _Batcher:
                 if hist is not None:
                     hist.observe(len(members))
                 try:
+                    if self._pool_for_mode is not None:
+                        self._pool_for_mode(mode).submit(
+                            imgs).add_done_callback(
+                                lambda pf, members=members:
+                                    _resolve_group(pf, members))
+                        continue  # resolves asynchronously, per chip
                     results = self._det.detect_faces_batch(imgs, mode)
                 except Exception as e:  # noqa: BLE001 — resolve futures
                     for _, fut in members:
@@ -154,6 +169,20 @@ class _Batcher:
                 item[2].set_exception(RuntimeError("server closed"))
 
 
+def _resolve_group(pool_future: Future, members) -> None:
+    """Fans a ReplicaPool batch result out to its member request
+    futures (runs on the pipeline worker thread that finished it)."""
+    err = pool_future.exception()
+    if err is not None:
+        for _, fut in members:
+            if not fut.cancelled():
+                fut.set_exception(err)
+        return
+    for (_, fut), faces in zip(members, pool_future.result()):
+        if not fut.cancelled():
+            fut.set_result(faces)
+
+
 def _flag(q: dict, name: str) -> bool:
     v = q.get(name, ["0"])[0].lower()
     return v in ("1", "true", "yes")
@@ -168,10 +197,23 @@ class FaceServer:
     """
 
     def __init__(self, detector, host: str = "127.0.0.1", port: int = 0,
-                 batch_window_ms: float = 4.0, max_batch: int = 16):
+                 batch_window_ms: float = 4.0, max_batch: int = 16,
+                 devices=None):
         self._det = detector
         self._host = host
         self._requested_port = port
+        #: Multi-chip detect fan-out: with ``devices`` (a sequence of jax
+        #: devices), each micro-batched shape-group rides a per-chip
+        #: ReplicaPool pipeline (weights replicated per chip, round-robin
+        #: — parallel/replica.py) instead of the default-device batch
+        #: call.  Pools are created lazily per requested mode.
+        self._devices = list(devices) if devices else None
+        if self._devices and getattr(detector, "_mesh", None) is not None:
+            raise ValueError(
+                "devices= replica serving cannot wrap a data_parallel "
+                "detector (it shards each batch across the mesh instead)")
+        self._pools: dict = {}
+        self._pools_lock = threading.Lock()
         self.registry = MetricsRegistry()
         m = self.registry
         self._m_requests = m.counter(
@@ -187,8 +229,10 @@ class FaceServer:
             "fdt_faces_detected_total", "Total faces returned")
         self._m_inflight = m.gauge(
             "fdt_requests_inflight", "Requests currently being handled")
-        self._batcher = _Batcher(detector, batch_window_ms, max_batch,
-                                 metrics={"batch_size": self._m_batch})
+        self._batcher = _Batcher(
+            detector, batch_window_ms, max_batch,
+            metrics={"batch_size": self._m_batch},
+            pool_for_mode=self._pool_for_mode if self._devices else None)
         # Non-batched detector entry points (segment/embed/combined) are
         # serialized against each other; the detect path is owned by the
         # batcher thread.  (The fused programs are pure — this lock only
@@ -196,6 +240,16 @@ class FaceServer:
         self._direct_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._serve_thread: Optional[threading.Thread] = None
+
+    def _pool_for_mode(self, mode: FaceDetectionMode):
+        """Lazy per-mode ReplicaPool over ``self._devices``."""
+        with self._pools_lock:
+            pool = self._pools.get(mode)
+            if pool is None:
+                from ..parallel.replica import ReplicaPool
+                pool = self._pools[mode] = ReplicaPool(
+                    self._det, devices=self._devices, mode=mode)
+            return pool
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -225,6 +279,10 @@ class FaceServer:
             self._httpd.server_close()
             self._httpd = None
         self._batcher.close()
+        with self._pools_lock:
+            pools, self._pools = list(self._pools.values()), {}
+        for pool in pools:  # after the batcher: no new submissions
+            pool.close()
 
     def __enter__(self):
         return self.start()
@@ -333,6 +391,8 @@ class FaceServer:
             "ready": det.is_ready,
             "embedding_ready": det.is_embedding_ready,
             "segmentation_ready": det.is_segmentation_ready,
+            "replica_devices": ([str(d) for d in self._devices]
+                                if self._devices else None),
         }
 
     # -- plumbing --------------------------------------------------------------

@@ -260,3 +260,41 @@ class TestServe:
         cli._serve_stop.set()
         th.join(60)
         assert not th.is_alive() and box["rc"] == 0
+
+    def test_serve_replicas_announced(self, capsys):
+        box = {}
+
+        def run():
+            box["rc"] = cli.main(["serve", "--port", "0", "--replicas",
+                                  "2", "--model-dir", MODELS_DIR])
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        deadline = time.time() + 300
+        addr = None
+        seen = ""
+        while time.time() < deadline:
+            seen += capsys.readouterr().out
+            m = re.search(r"http://([0-9.]+:\d+)", seen)
+            if m:
+                addr = m.group(1)
+                break
+            if not th.is_alive():
+                pytest.fail(f"serve exited early (rc={box.get('rc')})")
+            time.sleep(0.1)
+        assert addr and "2 detect replicas" in seen
+        with urllib.request.urlopen(f"http://{addr}/v1/info",
+                                    timeout=60) as r:
+            info = json.loads(r.read())
+        assert len(info["replica_devices"]) == 2
+        cli._serve_stop.set()
+        th.join(60)
+        assert not th.is_alive() and box["rc"] == 0
+
+    def test_serve_too_many_replicas_errors(self, capsys):
+        import jax
+        n = len(jax.devices()) + 1
+        rc = cli.main(["serve", "--port", "0", "--replicas", str(n),
+                       "--model-dir", MODELS_DIR])
+        assert rc == 1
+        assert "only" in capsys.readouterr().err

@@ -324,6 +324,57 @@ class TestHttpEndpoints:
         assert set(np.frombuffer(raw, np.uint8)) <= {0, 255}  # binary
 
 
+class TestReplicaServer:
+    """Multi-chip detect fan-out (`FaceServer(devices=...)`): shape
+    groups ride per-chip ReplicaPool pipelines."""
+
+    @pytest.fixture(scope="class")
+    def rserver(self):
+        import jax
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        srv = FaceServer(det, batch_window_ms=5.0,
+                         devices=jax.devices()[:2]).start()
+        yield srv
+        srv.close()
+        det.dispose()
+
+    def test_detect_parity_and_device_spread(self, rserver, landmark_jpeg):
+        import jax
+        direct = rserver._det.detect_faces_from_bytes(
+            landmark_jpeg, FaceDetectionMode.STANDARD)
+        results = []
+
+        def hit():
+            results.append(_post(
+                f"{rserver.address}/v1/detect?mode=standard",
+                landmark_jpeg, timeout=600))
+
+        threads = [threading.Thread(target=hit) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(s == 200 and len(d["faces"]) == 1 for s, d in results)
+        for _, d in results:
+            assert d["faces"][0]["score"] == pytest.approx(
+                direct[0].score, abs=1e-4)
+        # info advertises the replica set; weights landed per chip
+        _, body = _get(f"{rserver.address}/v1/info")
+        info = json.loads(body)
+        assert len(info["replica_devices"]) == 2
+        cache = rserver._det._replica_params_cache
+        assert set(jax.devices()[:2]) <= set(cache)
+
+    def test_data_parallel_detector_rejected(self):
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR, data_parallel=True)
+        import jax
+        with pytest.raises(ValueError, match="data_parallel"):
+            FaceServer(det, devices=jax.devices()[:2])
+        det.dispose()
+
+
 class TestFaceToDict:
     def test_round_trips_json(self, server, landmark_jpeg):
         faces = server._det.detect_faces_from_bytes(
