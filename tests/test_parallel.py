@@ -270,6 +270,21 @@ class TestReplicaPool:
             ReplicaPool(det)
         det.dispose()
 
+    def test_pinned_pipeline_accepts_list_input(self, detector, img):
+        """A plain list of frames through a device-pinned pipeline must
+        stack before device_put (device_put maps over lists as pytrees,
+        which would break shape validation)."""
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               ServingPipeline)
+        small = img[::4, ::4]
+        pipe = ServingPipeline(detector, FaceDetectionMode.FAST,
+                               device=jax.devices()[1])
+        try:
+            out = pipe.submit([small, small]).result(timeout=300)
+        finally:
+            pipe.close()
+        assert len(out) == 2 and all(len(faces) == 1 for faces in out)
+
     def test_submit_after_close_raises(self, detector):
         from face_detection_tflite_tpu import ReplicaPool
         pool = ReplicaPool(detector, devices=jax.devices()[:1])
