@@ -366,25 +366,26 @@ def _cmd_serve(args) -> int:
     from .pipeline.server import FaceServer
     global _serve_stop
     det = _make_detector(args, with_segmentation=args.with_segmentation)
-    if args.mode_warmup:
-        w, h = (int(v) for v in args.mode_warmup.lower().split("x"))
-        print(f"warming fast/standard/full programs for {w}x{h}...",
-              flush=True)
-        det.warmup((h, w, 3), batch_size=1)
     devices = None
     if args.replicas:
         import jax
         avail = jax.devices()
-        if args.replicas > len(avail):
-            print(f"error: --replicas {args.replicas} but only "
-                  f"{len(avail)} device(s) visible", file=sys.stderr)
+        if args.replicas < 0 or args.replicas > len(avail):
+            print(f"error: --replicas {args.replicas} out of range "
+                  f"(0..{len(avail)} device(s) visible)", file=sys.stderr)
             det.dispose()
             return 1
         devices = avail[:args.replicas]
+    if args.mode_warmup:
+        w, h = (int(v) for v in args.mode_warmup.lower().split("x"))
+        print(f"warming fast/standard/full programs for {w}x{h}"
+              + (f" on {len(devices)} replica chips" if devices else "")
+              + "...", flush=True)
+        det.warmup((h, w, 3), batch_size=1, devices=devices)
     server = FaceServer(det, host=args.host, port=args.port,
                         batch_window_ms=args.batch_window_ms,
                         max_batch=args.max_batch, devices=devices).start()
-    print(f"serving on http://{server.address}  "
+    print(f"serving on {server.address}  "
           f"(POST /v1/detect, /v1/segment, /v1/embed; GET /metrics)"
           + (f"  [{len(devices)} detect replicas]" if devices else ""),
           flush=True)

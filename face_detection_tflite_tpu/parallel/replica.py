@@ -30,6 +30,7 @@ from concurrent.futures import Future
 from typing import Optional, Sequence
 
 import jax
+import numpy as np
 
 from ..pipeline.config import FaceDetectionMode
 from ..pipeline.serving import ServingPipeline
@@ -78,13 +79,30 @@ class ReplicaPool:
     def submit(self, images) -> Future:
         """Enqueues one batch on the next chip (round-robin); returns a
         Future of list[list[Face]].  Accepts what ServingPipeline.submit
-        accepts (encoded bytes list / numpy / device array)."""
+        accepts (encoded bytes list / numpy / device array).
+
+        A replica whose bounded queue is full (slow — or wedged, which
+        the TPU relay is documented to do) is SKIPPED in favor of the
+        next chip, so one bad replica delays only batches already queued
+        on it; a submit blocks only when every replica's queue is full
+        (backpressure, preserving the pool-wide memory bound)."""
+        if isinstance(images, (list, tuple)) and images and \
+                isinstance(images[0], (bytes, bytearray)):
+            # Decode ONCE on the caller thread; a full-queue failover
+            # must not re-decode per attempted replica.
+            from ..utils.image import decode_images
+            images = np.stack(decode_images(list(images)))
         with self._lock:
             if self._closed:
                 raise RuntimeError("ReplicaPool is closed")
-            pipe = self._pipes[self._next]
+            start = self._next
             self._next = (self._next + 1) % len(self._pipes)
-        return pipe.submit(images)
+        for i in range(len(self._pipes)):
+            fut = self._pipes[(start + i) % len(self._pipes)].try_submit(
+                images)
+            if fut is not None:
+                return fut
+        return self._pipes[start].submit(images)
 
     def map_batches(self, batches) -> list:
         """Convenience: submits every batch, returns results in order."""

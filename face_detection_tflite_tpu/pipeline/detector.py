@@ -317,6 +317,9 @@ class FaceDetector:
         #: immediately on overflow, shrunk after a streak of low counts.
         self._spec_state: dict[tuple, dict] = {}
         self._spec_lock = threading.Lock()
+        #: Per-device weight copies for replica (device-pinned) serving;
+        #: populated by _replica_params, freed in dispose.
+        self._replica_params_cache: dict = {}
         self._disposed = False
         #: Per-stage wall-clock timing accumulator (WebDetectTimings analog);
         #: always on — the overhead is two perf_counter() calls per stage.
@@ -697,7 +700,8 @@ class FaceDetector:
             return self._fetch(out2, self._readback_scale(h, w))
 
     def warmup(self, image_shape: tuple, batch_size: int = 1,
-               modes: Optional[Sequence[FaceDetectionMode]] = None) -> None:
+               modes: Optional[Sequence[FaceDetectionMode]] = None,
+               devices: Optional[Sequence] = None) -> None:
         """Pre-compiles the programs for an (H, W) bucket so the first real
         request doesn't pay compile latency (a serving-startup nicety; the
         persistent compile cache makes this fast on restarts).
@@ -705,6 +709,13 @@ class FaceDetector:
         Default warms ALL THREE modes — a serving process that only ever
         calls STANDARD must not pay a surprise first-hit compile because
         the default warmed something else (VERDICT r1 weak #8).
+
+        ``devices`` additionally warms the replica (device-pinned) path
+        per chip: jit executables are specialized per device placement,
+        so a ReplicaPool's non-default chips would otherwise pay their
+        (cache-assisted) compile on their first live batch.  Warms the
+        main dispatch/finish path per chip; the rare overflow re-run
+        program warms on the default device only.
         """
         h, w = image_shape[:2]
         if self.bucket_images:
@@ -741,6 +752,14 @@ class FaceDetector:
                                  valid), self._readback_scale(h, w))
             else:
                 self.detect_faces_batch(dummy, mode)
+        for d in devices or ():
+            self._replica_params(d)
+            pinned = np.zeros((batch_size, h, w, 3), np.uint8)
+            for mode in modes or (FaceDetectionMode.FAST,
+                                  FaceDetectionMode.STANDARD,
+                                  FaceDetectionMode.FULL):
+                self._stream_finish(
+                    self._stream_dispatch(pinned, mode, device=d), mode)
 
     def detect_faces(self, image: np.ndarray,
                      mode: FaceDetectionMode = FaceDetectionMode.FULL
@@ -912,11 +931,14 @@ class FaceDetector:
         compiled programs on several chips concurrently — the reference's
         isolate-pool shape — so each chip needs a resident weight copy.
         """
-        self._check_disposed()
         with self._programs_lock:
-            cache = getattr(self, "_replica_params_cache", None)
-            if cache is None:
-                cache = self._replica_params_cache = {}
+            # Disposed check INSIDE the lock: dispose() sets _disposed
+            # before clearing this cache under the same lock, so a racing
+            # caller either raises here or its insert is wiped by the
+            # clear — never a cached device_put(None) or a weight copy
+            # surviving dispose.
+            self._check_disposed()
+            cache = self._replica_params_cache
             if device not in cache:
                 cache[device] = jax.device_put(self._params, device)
             return cache[device]
@@ -1608,8 +1630,11 @@ class FaceDetector:
         self._disposed = True
         self._programs.clear()
         self._spec_state.clear()
-        if getattr(self, "_replica_params_cache", None):
-            self._replica_params_cache.clear()  # per-device weight copies
+        with self._programs_lock:
+            # After _disposed is visible: a concurrent _replica_params
+            # holding the lock either inserted (wiped here) or will see
+            # _disposed and raise (see _replica_params).
+            self._replica_params_cache.clear()
         self._decode_cache = None
         self._devput_cache = None  # frees the cached device-resident frame
         if self._embedding is not None:

@@ -214,6 +214,7 @@ class FaceServer:
                 "detector (it shards each batch across the mesh instead)")
         self._pools: dict = {}
         self._pools_lock = threading.Lock()
+        self._pools_closed = False
         self.registry = MetricsRegistry()
         m = self.registry
         self._m_requests = m.counter(
@@ -244,6 +245,11 @@ class FaceServer:
     def _pool_for_mode(self, mode: FaceDetectionMode):
         """Lazy per-mode ReplicaPool over ``self._devices``."""
         with self._pools_lock:
+            if self._pools_closed:
+                # A batcher thread that outlived close()'s join timeout
+                # must not create a pool nobody will ever shut down; the
+                # error resolves that group's request futures.
+                raise RuntimeError("server is closed")
             pool = self._pools.get(mode)
             if pool is None:
                 from ..parallel.replica import ReplicaPool
@@ -280,6 +286,7 @@ class FaceServer:
             self._httpd = None
         self._batcher.close()
         with self._pools_lock:
+            self._pools_closed = True
             pools, self._pools = list(self._pools.values()), {}
         for pool in pools:  # after the batcher: no new submissions
             pool.close()

@@ -84,6 +84,16 @@ class ServingPipeline:
         Decode and the H2D transfer happen on the caller thread so they
         overlap the device compute of earlier batches.
         """
+        return self._submit_impl(images, block=True)
+
+    def try_submit(self, images) -> Optional[Future]:
+        """Like :meth:`submit`, but returns None instead of blocking when
+        the bounded queue is full (ReplicaPool uses this to fail over to
+        another chip's pipeline rather than stalling every stream behind
+        one slow/wedged replica)."""
+        return self._submit_impl(images, block=False)
+
+    def _submit_impl(self, images, block: bool) -> Optional[Future]:
         if isinstance(images, (list, tuple)) and images and \
                 isinstance(images[0], (bytes, bytearray)):
             from ..utils.image import decode_images
@@ -110,7 +120,13 @@ class ServingPipeline:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("ServingPipeline is closed")
-            self._q.put((images, fut))
+            if block:
+                self._q.put((images, fut))
+            else:
+                try:
+                    self._q.put_nowait((images, fut))
+                except queue.Full:
+                    return None
         return fut
 
     def _run(self):

@@ -291,10 +291,10 @@ class TestServe:
         th.join(60)
         assert not th.is_alive() and box["rc"] == 0
 
-    def test_serve_too_many_replicas_errors(self, capsys):
+    def test_serve_replicas_out_of_range_errors(self, capsys):
         import jax
-        n = len(jax.devices()) + 1
-        rc = cli.main(["serve", "--port", "0", "--replicas", str(n),
-                       "--model-dir", MODELS_DIR])
-        assert rc == 1
-        assert "only" in capsys.readouterr().err
+        for bad in (len(jax.devices()) + 1, -2):
+            rc = cli.main(["serve", "--port", "0", "--replicas", str(bad),
+                           "--model-dir", MODELS_DIR])
+            assert rc == 1
+            assert "out of range" in capsys.readouterr().err

@@ -291,3 +291,108 @@ class TestReplicaPool:
         pool.close()
         with pytest.raises(RuntimeError):
             pool.submit(np.zeros((1, 64, 64, 3), np.uint8))
+
+    def test_try_submit_returns_none_when_queue_full(self):
+        """ServingPipeline.try_submit must not block on a full bounded
+        queue — the failover primitive ReplicaPool relies on."""
+        import threading
+
+        from concurrent.futures import Future as _F
+        from face_detection_tflite_tpu import ServingPipeline
+
+        entered, release = threading.Event(), threading.Event()
+
+        class SlowDet:
+            _segmentation = None
+
+            def _stream_dispatch(self, raw, mode, device=None):
+                entered.set()
+                release.wait(30)
+                return ("h", len(raw))
+
+            def _stream_finish(self, handle, mode):
+                return [[] for _ in range(handle[1])]
+
+        pipe = ServingPipeline(SlowDet(), depth=1)
+        batch = np.zeros((1, 16, 16, 3), np.uint8)
+        try:
+            f1 = pipe.submit(batch)          # worker pops, stalls
+            assert entered.wait(10)
+            f2 = pipe.submit(batch)          # occupies the depth-1 queue
+            assert pipe.try_submit(batch) is None  # full -> no block
+            release.set()
+            assert f1.result(timeout=30) == [[]]
+            assert f2.result(timeout=30) == [[]]
+            assert isinstance(pipe.try_submit(batch), _F)  # drained again
+        finally:
+            release.set()
+            pipe.close()
+
+    def test_full_queue_fails_over_to_next_replica(self, detector):
+        """One stalled replica must not stall the pool: submits skip a
+        full queue and land on the next chip (CLAUDE.md documents the
+        relay can wedge a single program execution); only when EVERY
+        queue is full does submit block (backpressure)."""
+        from concurrent.futures import Future as _F
+        from face_detection_tflite_tpu import ReplicaPool
+
+        class StubPipe:
+            def __init__(self, full):
+                self.full = full
+                self.accepted = 0
+                self.forced = 0
+
+            def try_submit(self, images):
+                if self.full:
+                    return None
+                self.accepted += 1
+                f = _F()
+                f.set_result([[] for _ in range(len(images))])
+                return f
+
+            def submit(self, images):  # the blocking fallback
+                self.forced += 1
+                f = _F()
+                f.set_result([[] for _ in range(len(images))])
+                return f
+
+            def close(self, wait=True):
+                pass
+
+        pool = ReplicaPool(detector, devices=jax.devices()[:2])
+        wedged, healthy = StubPipe(full=True), StubPipe(full=False)
+        pool._pipes = [wedged, healthy]
+        batch = np.zeros((1, 16, 16, 3), np.uint8)
+        try:
+            for _ in range(4):
+                assert pool.submit(batch).result(timeout=10) == [[]]
+            # every batch skipped the wedged replica, none forced a block
+            assert healthy.accepted == 4
+            assert wedged.accepted == 0 and wedged.forced == 0
+            # all queues full -> blocking fallback on the round-robin pick
+            healthy.full = True
+            assert pool.submit(batch).result(timeout=10) == [[]]
+            assert wedged.forced + healthy.forced == 1
+        finally:
+            pool.close()
+
+    def test_replica_params_after_dispose_raises(self):
+        from face_detection_tflite_tpu import (FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        det.dispose()
+        with pytest.raises(RuntimeError, match="dispose"):
+            det._replica_params(jax.devices()[0])
+
+    def test_warmup_devices_precompiles_replicas(self, img):
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        det.warmup((64, 64, 3), devices=jax.devices()[:2],
+                   modes=[FaceDetectionMode.FAST])
+        assert set(jax.devices()[:2]) <= set(det._replica_params_cache)
+        det.dispose()
+        assert not det._replica_params_cache
