@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="process every Nth frame")
     vid.add_argument("--max-frames", type=int, default=None)
     vid.add_argument("--batch-size", type=int, default=8)
+    vid.add_argument("--replicas", type=int, default=0, metavar="N",
+                     help="spread frame batches over the first N chips "
+                          "(per-chip weight replicas; results stay in "
+                          "frame order; 0 = single default device)")
     vid.add_argument("--smooth", default="one_euro",
                      choices=["one_euro", "ema", "none"],
                      help="temporal landmark smoothing (default: the "
@@ -282,6 +286,16 @@ def _cmd_video(args) -> int:
     from .pipeline.smoothing import FaceSmoother
     det = _make_detector(args, enable_tracking=True)
     mode = FaceDetectionMode(args.mode)
+    devices = None
+    if args.replicas:
+        import jax
+        avail = jax.devices()
+        if args.replicas < 0 or args.replicas > len(avail):
+            print(f"error: --replicas {args.replicas} out of range "
+                  f"(0..{len(avail)} device(s) visible)", file=sys.stderr)
+            det.dispose()
+            return 1
+        devices = avail[:args.replicas]
     smoother = (None if args.smooth == "none"
                 else FaceSmoother(alpha=0.5, method=args.smooth))
 
@@ -317,7 +331,7 @@ def _cmd_video(args) -> int:
         for res in det.detect_faces_from_video(
                 args.video, mode, frame_stride=args.stride,
                 batch_size=args.batch_size, max_frames=args.max_frames,
-                max_dim=args.max_dim or None):
+                max_dim=args.max_dim or None, devices=devices):
             faces = (smoother.smooth(res.faces, t_sec=res.timestamp_s)
                      if smoother else res.faces)
             frames += 1

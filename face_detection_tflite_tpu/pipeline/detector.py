@@ -1225,15 +1225,17 @@ class FaceDetector:
                                 *, frame_stride: int = 1,
                                 batch_size: int = 8,
                                 max_frames: Optional[int] = None,
-                                max_dim: Optional[int] = None):
+                                max_dim: Optional[int] = None,
+                                devices: Optional[Sequence] = None):
         """Iterates VideoFrameResult over a video file (frames batched on
         device, tracking applied in stream order).  Analog of the
         reference's `detectFacesFromVideo`; ``max_dim`` is the camera
-        paths' maxDim knob extended to video frames."""
+        paths' maxDim knob extended to video frames; ``devices`` spreads
+        frame batches over per-chip replicas (results stay in order)."""
         from .video import process_video
         return process_video(self, path, mode, frame_stride=frame_stride,
                              batch_size=batch_size, max_frames=max_frames,
-                             max_dim=max_dim)
+                             max_dim=max_dim, devices=devices)
 
     # -- embeddings -------------------------------------------------------------
 

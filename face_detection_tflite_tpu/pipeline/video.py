@@ -70,7 +70,8 @@ def process_video(detector, path: str,
                   mode: FaceDetectionMode = FaceDetectionMode.FULL,
                   *, frame_stride: int = 1, batch_size: int = 8,
                   max_frames: Optional[int] = None,
-                  max_dim: Optional[int] = None
+                  max_dim: Optional[int] = None,
+                  devices: Optional[list] = None
                   ) -> Iterator[VideoFrameResult]:
     """Runs the detector over a video file, batching frames on device.
 
@@ -86,6 +87,13 @@ def process_video(detector, path: str,
     Host decode runs on a prefetch thread one batch ahead of the device:
     cv2's decode and XLA's blocking wait both release the GIL, so frame
     N+1's decode overlaps frame N's compute instead of serializing with it.
+
+    ``devices`` spreads consecutive frame batches round-robin over a
+    per-chip replica pool (`parallel/replica.ReplicaPool`): up to
+    ``len(devices)+1`` batches compute concurrently while results — and
+    therefore tracking — still drain in frame order (detection is
+    stateless; tracking is a host-side attach, so batch N+1 never needs
+    batch N's tracker state before ITS attach runs).
     """
     import queue as _queue
 
@@ -118,16 +126,35 @@ def process_video(detector, path: str,
     thread.start()
 
     pending: list[tuple[int, float, np.ndarray]] = []
+    pool = None
+    inflight: collections.deque = collections.deque()
+    if devices:
+        from ..parallel.replica import ReplicaPool
+        pool = ReplicaPool(detector, devices=devices, mode=mode)
+    max_inflight = (len(devices) + 1) if devices else 1
+
+    def emit(metas, gen0, per_frame):
+        for (fi, ts, _), faces in zip(metas, per_frame):
+            faces = detector._attach_tracking(faces, gen0)
+            yield VideoFrameResult(fi, ts, faces)
+
+    def drain_oldest():
+        metas, gen0, fut = inflight.popleft()
+        yield from emit(metas, gen0, fut.result())
 
     def flush():
         if not pending:
             return
         gen0 = detector._tracking_generation  # snapshot before the batch
         batch = np.stack([f for _, _, f in pending])
+        if pool is not None:
+            inflight.append((list(pending), gen0, pool.submit(batch)))
+            pending.clear()
+            while len(inflight) > max_inflight:
+                yield from drain_oldest()
+            return
         per_frame = detector.detect_faces_batch(batch, mode)
-        for (fi, ts, _), faces in zip(pending, per_frame):
-            faces = detector._attach_tracking(faces, gen0)
-            yield VideoFrameResult(fi, ts, faces)
+        yield from emit(pending, gen0, per_frame)
         pending.clear()
 
     try:
@@ -141,8 +168,12 @@ def process_video(detector, path: str,
         if reader_error:
             raise reader_error[0]
         yield from flush()
+        while inflight:
+            yield from drain_oldest()
     finally:
         stop.set()
+        if pool is not None:
+            pool.close(wait=False)
 
 
 class FrameThrottle:

@@ -291,6 +291,33 @@ class TestVideo:
             # original_size reflects the 320x213 -> 160x107 downscale
             assert r.faces[0].original_size == (160, 106)
 
+    def test_multichip_replicas_match_single_device(self, video_path):
+        """devices= spreads frame batches over per-chip replicas with
+        results (and tracking IDs) still in frame order — identical to
+        the single-device run."""
+        import jax
+
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           enable_tracking=True, model_dir=MODELS_DIR)
+        ref = list(det.detect_faces_from_video(
+            video_path, FaceDetectionMode.STANDARD, batch_size=2))
+        det.reset_tracking()
+        got = list(det.detect_faces_from_video(
+            video_path, FaceDetectionMode.STANDARD, batch_size=2,
+            devices=jax.devices()[:3]))
+        assert [r.frame_index for r in got] == [r.frame_index for r in ref]
+        assert set(jax.devices()[:3]) <= set(det._replica_params_cache)
+        for r, g in zip(ref, got):
+            assert len(r.faces) == len(g.faces) == 1
+            np.testing.assert_allclose(g.faces[0].mesh.points,
+                                       r.faces[0].mesh.points, atol=1e-3)
+        ids = [f.tracking_id for r in got for f in r.faces]
+        assert ids and all(i == ids[0] for i in ids)
+        det.dispose()
+
 
 @pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no sample assets")
 class TestMultiFaceVideo:
