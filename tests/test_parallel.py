@@ -376,6 +376,47 @@ class TestReplicaPool:
         finally:
             pool.close()
 
+    def test_concurrent_submitters_stress(self, detector, img):
+        """Many threads submitting to one pool: every future resolves,
+        results are correct, and a racing close() either accepts a batch
+        (and resolves it) or raises — never hangs or drops one."""
+        import threading
+
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               ReplicaPool)
+        small = np.ascontiguousarray(img[::4, ::4])
+        batch = np.stack([small])
+        pool = ReplicaPool(detector, devices=jax.devices()[:4],
+                           mode=FaceDetectionMode.FAST)
+        futs, errs = [], []
+        lock = threading.Lock()
+
+        def submitter(n):
+            for _ in range(n):
+                try:
+                    f = pool.submit(batch)
+                except RuntimeError as e:
+                    with lock:
+                        errs.append(e)
+                    return
+                with lock:
+                    futs.append(f)
+
+        threads = [threading.Thread(target=submitter, args=(5,))
+                   for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        assert not errs  # no close() racing yet
+        for f in futs:
+            out = f.result(timeout=300)
+            assert len(out) == 1 and len(out[0]) == 1
+        assert len(futs) == 30
+        pool.close()
+        with pytest.raises(RuntimeError):
+            pool.submit(batch)
+
     def test_replica_params_after_dispose_raises(self):
         from face_detection_tflite_tpu import (FaceDetectionModel,
                                                FaceDetector)
