@@ -896,7 +896,8 @@ class FaceDetector:
     def detect_faces_batch_stream(self, batches,
                                   mode: FaceDetectionMode =
                                   FaceDetectionMode.FULL,
-                                  *, depth: int = 1):
+                                  *, depth: int = 1,
+                                  devices: Optional[Sequence] = None):
         """Software-pipelined detection over an iterable of image batches.
 
         Yields one ``list[list[Face]]`` per input batch, in order, while
@@ -911,14 +912,25 @@ class FaceDetector:
         Batches may be numpy or device arrays of shape [B, H, W, 3]; all
         images within a batch share a shape, different batches may differ
         (each (H, W) compiles once).
+
+        ``devices`` rotates consecutive batches over per-chip weight
+        replicas (results stay in order; ``depth`` is raised to cover the
+        rotation so every chip holds one batch in flight) — the
+        generator-shaped sibling of :class:`~..parallel.replica.ReplicaPool`.
         """
         self._check_disposed()
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        if devices:
+            devices = list(devices)
+            depth = max(depth, len(devices))
+            for d in devices:
+                self._replica_params(d)  # materialize before dispatching
         import collections
         pending: collections.deque = collections.deque()
-        for raw in batches:
-            pending.append(self._stream_dispatch(raw, mode))
+        for i, raw in enumerate(batches):
+            dev = devices[i % len(devices)] if devices else None
+            pending.append(self._stream_dispatch(raw, mode, device=dev))
             if len(pending) > depth:
                 yield self._stream_finish(pending.popleft(), mode)
         while pending:

@@ -376,6 +376,25 @@ class TestReplicaPool:
         finally:
             pool.close()
 
+    def test_batch_stream_devices_rotation(self, detector, img):
+        """detect_faces_batch_stream(devices=) rotates chips per batch;
+        results match the single-device stream in order."""
+        from face_detection_tflite_tpu import FaceDetectionMode
+        small = np.ascontiguousarray(img[::4, ::4])
+        batches = [np.stack([np.roll(small, 2 * i, axis=1)])
+                   for i in range(5)]
+        ref = list(detector.detect_faces_batch_stream(
+            batches, FaceDetectionMode.STANDARD))
+        got = list(detector.detect_faces_batch_stream(
+            batches, FaceDetectionMode.STANDARD,
+            devices=jax.devices()[:3]))
+        assert len(ref) == len(got) == 5
+        assert set(jax.devices()[:3]) <= set(detector._replica_params_cache)
+        for r, g in zip(ref, got):
+            assert len(r[0]) == len(g[0]) == 1
+            np.testing.assert_allclose(g[0][0].mesh.points,
+                                       r[0][0].mesh.points, atol=1e-3)
+
     def test_concurrent_submitters_stress(self, detector, img):
         """Many threads submitting to one pool: every future resolves,
         results are correct, and a racing close() either accepts a batch
