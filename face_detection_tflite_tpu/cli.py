@@ -286,16 +286,9 @@ def _cmd_video(args) -> int:
     from .pipeline.smoothing import FaceSmoother
     det = _make_detector(args, enable_tracking=True)
     mode = FaceDetectionMode(args.mode)
-    devices = None
-    if args.replicas:
-        import jax
-        avail = jax.devices()
-        if args.replicas < 0 or args.replicas > len(avail):
-            print(f"error: --replicas {args.replicas} out of range "
-                  f"(0..{len(avail)} device(s) visible)", file=sys.stderr)
-            det.dispose()
-            return 1
-        devices = avail[:args.replicas]
+    devices = _resolve_replica_devices(args, det)
+    if devices is _REPLICAS_ERROR:
+        return 1
     smoother = (None if args.smooth == "none"
                 else FaceSmoother(alpha=0.5, method=args.smooth))
 
@@ -370,6 +363,28 @@ def _cmd_video(args) -> int:
     return 0
 
 
+#: Sentinel: --replicas was out of range (error already printed, the
+#: detector disposed); callers return exit code 1.
+_REPLICAS_ERROR = object()
+
+
+def _resolve_replica_devices(args, det):
+    """Maps --replicas N to the first N visible devices (shared by the
+    serve and video commands).  Returns None when replicas is 0/unset,
+    the device list otherwise, or _REPLICAS_ERROR after printing the
+    range error and disposing ``det``."""
+    if not args.replicas:
+        return None
+    import jax
+    avail = jax.devices()
+    if args.replicas < 0 or args.replicas > len(avail):
+        print(f"error: --replicas {args.replicas} out of range "
+              f"(0..{len(avail)} device(s) visible)", file=sys.stderr)
+        det.dispose()
+        return _REPLICAS_ERROR
+    return avail[:args.replicas]
+
+
 #: Set by tests (or another thread) to stop a blocking `serve` command.
 _serve_stop = None
 
@@ -380,16 +395,9 @@ def _cmd_serve(args) -> int:
     from .pipeline.server import FaceServer
     global _serve_stop
     det = _make_detector(args, with_segmentation=args.with_segmentation)
-    devices = None
-    if args.replicas:
-        import jax
-        avail = jax.devices()
-        if args.replicas < 0 or args.replicas > len(avail):
-            print(f"error: --replicas {args.replicas} out of range "
-                  f"(0..{len(avail)} device(s) visible)", file=sys.stderr)
-            det.dispose()
-            return 1
-        devices = avail[:args.replicas]
+    devices = _resolve_replica_devices(args, det)
+    if devices is _REPLICAS_ERROR:
+        return 1
     if args.mode_warmup:
         w, h = (int(v) for v in args.mode_warmup.lower().split("x"))
         print(f"warming fast/standard/full programs for {w}x{h}"

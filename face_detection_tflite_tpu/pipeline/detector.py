@@ -922,6 +922,11 @@ class FaceDetector:
         if depth < 1:
             raise ValueError("depth must be >= 1")
         if devices:
+            if self._mesh is not None:
+                raise ValueError(
+                    "devices= replica rotation cannot be combined with "
+                    "data_parallel=True (which shards each batch across "
+                    "the mesh instead — pick one shape)")
             devices = list(devices)
             depth = max(depth, len(devices))
             for d in devices:

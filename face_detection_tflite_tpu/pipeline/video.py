@@ -121,20 +121,24 @@ def process_video(detector, path: str,
         finally:
             _put(None)
 
+    pool = None
+    inflight: collections.deque = collections.deque()
+    if devices:
+        # BEFORE the prefetch thread starts: a pool-init failure (e.g. a
+        # data_parallel detector) must not leave a reader thread spinning
+        # against the bounded queue with an open VideoCapture.
+        from ..parallel.replica import ReplicaPool
+        pool = ReplicaPool(detector, devices=devices, mode=mode)
+    max_inflight = (len(devices) + 1) if devices else 1
+
     thread = threading.Thread(target=_reader, daemon=True,
                               name="fdt-video-prefetch")
     thread.start()
 
     pending: list[tuple[int, float, np.ndarray]] = []
-    pool = None
-    inflight: collections.deque = collections.deque()
-    if devices:
-        from ..parallel.replica import ReplicaPool
-        pool = ReplicaPool(detector, devices=devices, mode=mode)
-    max_inflight = (len(devices) + 1) if devices else 1
 
     def emit(metas, gen0, per_frame):
-        for (fi, ts, _), faces in zip(metas, per_frame):
+        for (fi, ts), faces in zip(metas, per_frame):
             faces = detector._attach_tracking(faces, gen0)
             yield VideoFrameResult(fi, ts, faces)
 
@@ -147,15 +151,18 @@ def process_video(detector, path: str,
             return
         gen0 = detector._tracking_generation  # snapshot before the batch
         batch = np.stack([f for _, _, f in pending])
+        # Keep only (frame_index, timestamp) past this point: np.stack
+        # already copied the pixels, and inflight entries would otherwise
+        # pin every decoded frame of up to max_inflight batches.
+        metas = [(fi, ts) for fi, ts, _ in pending]
+        pending.clear()
         if pool is not None:
-            inflight.append((list(pending), gen0, pool.submit(batch)))
-            pending.clear()
+            inflight.append((metas, gen0, pool.submit(batch)))
             while len(inflight) > max_inflight:
                 yield from drain_oldest()
             return
         per_frame = detector.detect_faces_batch(batch, mode)
-        yield from emit(pending, gen0, per_frame)
-        pending.clear()
+        yield from emit(metas, gen0, per_frame)
 
     try:
         while True:

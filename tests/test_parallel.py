@@ -421,18 +421,20 @@ class TestReplicaPool:
                 with lock:
                     futs.append(f)
 
-        threads = [threading.Thread(target=submitter, args=(5,))
-                   for _ in range(6)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(300)
-        assert not errs  # no close() racing yet
-        for f in futs:
-            out = f.result(timeout=300)
-            assert len(out) == 1 and len(out[0]) == 1
-        assert len(futs) == 30
-        pool.close()
+        try:
+            threads = [threading.Thread(target=submitter, args=(5,))
+                       for _ in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(300)
+            assert not errs  # no close() racing yet
+            for f in futs:
+                out = f.result(timeout=300)
+                assert len(out) == 1 and len(out[0]) == 1
+            assert len(futs) == 30
+        finally:
+            pool.close()
         with pytest.raises(RuntimeError):
             pool.submit(batch)
 
