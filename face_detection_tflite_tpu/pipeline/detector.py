@@ -1562,6 +1562,12 @@ class FaceDetector:
             report["segmentation"] = nbytes(self._segmentation.model.params)
         report["total_weights"] = sum(v for v in report.values())
         report["compiled_programs"] = len(self._programs)
+        if self._replica_params_cache:
+            # Replica serving duplicates the pipeline weights per pinned
+            # chip (ReplicaPool / device-pinned streams).
+            report["replica_copies"] = len(self._replica_params_cache)
+            report["replica_weights"] = sum(
+                nbytes(p) for p in self._replica_params_cache.values())
         return report
 
     def cost_report(self, image_shape: tuple,

@@ -447,6 +447,14 @@ class TestReplicaPool:
         with pytest.raises(RuntimeError, match="dispose"):
             det._replica_params(jax.devices()[0])
 
+    def test_memory_report_counts_replica_copies(self, detector):
+        detector._replica_params(jax.devices()[1])
+        rep = detector.memory_report()
+        one = sum(leaf.nbytes for leaf in
+                  jax.tree_util.tree_leaves(detector._params))
+        assert rep["replica_copies"] >= 1
+        assert rep["replica_weights"] == one * rep["replica_copies"]
+
     def test_warmup_devices_precompiles_replicas(self, img):
         from face_detection_tflite_tpu import (FaceDetectionMode,
                                                FaceDetectionModel,
