@@ -71,10 +71,26 @@ class ReplicaPool:
         self._next = 0
         self._lock = threading.Lock()
         self._closed = False
+        #: Per-replica dispatch counters (index-aligned with devices):
+        #: accepted = batches enqueued on this chip; skipped = times its
+        #: full queue made a submit fail over past it.
+        self._accepted = [0] * len(devices)
+        self._skipped = [0] * len(devices)
 
     @property
     def num_replicas(self) -> int:
         return len(self._devices)
+
+    @property
+    def stats(self) -> list:
+        """Per-replica load counters, for balance/health visibility:
+        ``[{"device", "accepted", "skipped_full"}, ...]``.  A replica
+        whose ``skipped_full`` climbs while ``accepted`` stalls is slow
+        or wedged (its queue stays full)."""
+        with self._lock:
+            return [{"device": str(d), "accepted": a, "skipped_full": s}
+                    for d, a, s in zip(self._devices, self._accepted,
+                                       self._skipped)]
 
     def submit(self, images) -> Future:
         """Enqueues one batch on the next chip (round-robin); returns a
@@ -98,11 +114,18 @@ class ReplicaPool:
             start = self._next
             self._next = (self._next + 1) % len(self._pipes)
         for i in range(len(self._pipes)):
-            fut = self._pipes[(start + i) % len(self._pipes)].try_submit(
-                images)
+            k = (start + i) % len(self._pipes)
+            fut = self._pipes[k].try_submit(images)
             if fut is not None:
+                with self._lock:
+                    self._accepted[k] += 1
                 return fut
-        return self._pipes[start].submit(images)
+            with self._lock:
+                self._skipped[k] += 1
+        fut = self._pipes[start].submit(images)
+        with self._lock:
+            self._accepted[start] += 1
+        return fut
 
     def map_batches(self, batches) -> list:
         """Convenience: submits every batch, returns results in order."""

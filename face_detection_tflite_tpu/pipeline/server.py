@@ -400,6 +400,10 @@ class FaceServer:
             "segmentation_ready": det.is_segmentation_ready,
             "replica_devices": ([str(d) for d in self._devices]
                                 if self._devices else None),
+            "replica_stats": (
+                {str(mode): pool.stats
+                 for mode, pool in list(self._pools.items())}
+                if self._devices else None),
         }
 
     # -- plumbing --------------------------------------------------------------

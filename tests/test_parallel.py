@@ -373,6 +373,16 @@ class TestReplicaPool:
             healthy.full = True
             assert pool.submit(batch).result(timeout=10) == [[]]
             assert wedged.forced + healthy.forced == 1
+            # load counters expose the imbalance (health visibility)
+            stats = pool.stats
+            accepted = {s["device"]: s["accepted"] for s in stats}
+            skipped = {s["device"]: s["skipped_full"] for s in stats}
+            d0, d1 = (str(d) for d in jax.devices()[:2])
+            # round-robin starts alternate, so only even-start submits
+            # skipped the wedged chip; the forced fallback counts as its
+            # one accepted batch
+            assert accepted[d1] == 4 and accepted[d0] == 1
+            assert skipped[d0] >= 2
         finally:
             pool.close()
 
