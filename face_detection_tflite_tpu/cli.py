@@ -11,6 +11,7 @@ One binary covers the same flows:
     fdt-tpu embed a.jpg b.jpg            # similarity + distance
     fdt-tpu serve --port 8080            # HTTP front-end (FaceServer)
     fdt-tpu info                         # backend / models / memory
+    fdt-tpu doctor [--run]               # deployment self-check
 
 Heavy imports (jax, the detector) happen inside each subcommand so
 `--help` stays instant and `info` can report a missing backend cleanly.
@@ -141,6 +142,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="add XLA cost analysis (FLOPs / bytes) of the "
                         "fused fast/standard/full programs for a WxH "
                         "image bucket")
+    doc = sub.add_parser(
+        "doctor",
+        help="deployment self-check: model assets, device backend, "
+             "compile cache, native decode (+ --run: tiny end-to-end "
+             "detect)")
+    doc.add_argument("--model-dir", default=None,
+                     help="directory holding the .tflite assets "
+                          "(default: package assets / FDT_TPU_MODEL_DIR)")
+    doc.add_argument("--run", action="store_true",
+                     help="also run one tiny end-to-end detect "
+                          "(compiles a small program; slow on a cold "
+                          "TPU cache)")
+    doc.add_argument("--json", action="store_true",
+                     help="machine-readable check list")
     sub.add_parser("version", help="print package version")
     return ap
 
@@ -451,6 +466,125 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_doctor(args) -> int:
+    """Fresh-deployment self-check.
+
+    The reference's analog is its initialize-time validation + the
+    integration suite's environment preflight; a server deployment needs
+    the same answers from one command: are the model assets installed,
+    is the device backend alive, will compiles persist, is the native
+    decode pool loaded.  Required failures exit 1 with the fix printed.
+    """
+    checks: list = []
+
+    def add(name, ok, detail, required=True):
+        checks.append({"check": name, "ok": bool(ok), "detail": detail,
+                       "required": required})
+
+    # 1. model assets (required; embedding/multiclass ship out-of-repo
+    #    upstream, so their absence is expected and optional).
+    from .pipeline.config import MODEL_FILES
+    from .pipeline.detector import resolve_model_dir
+    optional_models = {"embedding", "segmenter_multiclass"}
+    model_dir = None
+    try:
+        model_dir = resolve_model_dir(args.model_dir)
+    except FileNotFoundError as e:
+        add("model assets", False, str(e))
+    if model_dir:
+        missing = sorted(f for k, f in MODEL_FILES.items()
+                         if k not in optional_models
+                         and not os.path.isfile(os.path.join(model_dir, f)))
+        add("model assets",
+            not missing,
+            f"{model_dir}: all core .tflite files present" if not missing
+            else f"{model_dir}: missing {', '.join(missing)} — run "
+                 "`python tools/fetch_models.py`")
+        extras = sorted(
+            f for k, f in MODEL_FILES.items() if k in optional_models
+            and not os.path.isfile(os.path.join(model_dir, f)))
+        npz = os.path.join(model_dir, "mobilefacenet.npz")
+        if "mobilefacenet.tflite" in extras and os.path.isfile(npz):
+            extras.remove("mobilefacenet.tflite")  # imported weights found
+        add("optional models", not extras,
+            "trained embedding/multiclass models present"
+            if not extras else
+            f"absent (expected; out-of-repo upstream): {', '.join(extras)}"
+            " — import via tools/import_weights.py or drop the .tflite in",
+            required=False)
+
+    # 2. device backend (main() already ran the hang watchdog).
+    import jax
+    devs = jax.devices()
+    add("device backend", len(devs) > 0,
+        f"{jax.default_backend()}: "
+        + ", ".join(str(d) for d in devs[:8])
+        + (" …" if len(devs) > 8 else ""))
+
+    # 3. persistent compile cache (optional: absence only slows restarts).
+    if os.environ.get("FDT_NO_COMPILE_CACHE"):
+        add("compile cache", True, "disabled via FDT_NO_COMPILE_CACHE=1",
+            required=False)
+    else:
+        cache_dir = os.environ.get(
+            "FDT_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         f"fdt_tpu_xla_{jax.default_backend()}"))
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            writable = os.access(cache_dir, os.W_OK)
+        except OSError:
+            writable = False
+        n = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
+        add("compile cache", writable,
+            f"{cache_dir}: {n} cached programs"
+            + ("" if n else " (cold — first compiles are 20-240 s on TPU;"
+               " tools/warm_tpu.py pre-warms the serving set)")
+            if writable else
+            f"{cache_dir} not writable — set FDT_COMPILE_CACHE_DIR",
+            required=False)
+
+    # 4. native decode pool (optional: PIL fallback covers correctness).
+    from .utils.native import native_available
+    add("native decode", native_available(),
+        "C++ JPEG/PNG/WebP pool loaded" if native_available() else
+        "not built (PIL fallback active; `make -C runtime` to build)",
+        required=False)
+
+    # 5. opt-in end-to-end smoke.
+    if args.run and model_dir and checks[0]["ok"]:
+        import time
+
+        import numpy as np
+
+        from .pipeline.config import FaceDetectionMode
+        from .pipeline.detector import FaceDetector
+        try:
+            det = FaceDetector(model_dir=model_dir, max_faces=2)
+            img = np.zeros((64, 64, 3), np.uint8)
+            t0 = time.perf_counter()
+            faces = det.detect_faces(img, mode=FaceDetectionMode.FAST)
+            ms = (time.perf_counter() - t0) * 1e3
+            det.dispose()
+            add("end-to-end detect", True,
+                f"64x64 FAST: {len(faces)} faces in {ms:.0f} ms "
+                "(includes compile on a cold cache)")
+        except Exception as e:  # any failure is the finding itself
+            add("end-to-end detect", False, f"{type(e).__name__}: {e}")
+
+    failed = [c for c in checks if c["required"] and not c["ok"]]
+    if args.json:
+        print(json.dumps({"ok": not failed, "checks": checks}, indent=2))
+    else:
+        for c in checks:
+            mark = "ok  " if c["ok"] else ("FAIL" if c["required"]
+                                           else "warn")
+            print(f"{mark}  {c['check']}: {c['detail']}")
+        print("doctor: " + ("all required checks passed" if not failed
+                            else f"{len(failed)} required check(s) FAILED"))
+    return 0 if not failed else 1
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "version":
@@ -465,7 +599,8 @@ def main(argv=None) -> int:
     try:
         return {"detect": _cmd_detect, "segment": _cmd_segment,
                 "embed": _cmd_embed, "video": _cmd_video,
-                "serve": _cmd_serve, "info": _cmd_info}[args.cmd](args)
+                "serve": _cmd_serve, "info": _cmd_info,
+                "doctor": _cmd_doctor}[args.cmd](args)
     except (ValueError, FileNotFoundError) as e:
         # Undecodable images, missing files/models — the reference maps
         # these to FormatException/ArgumentError (face_detector.dart:

@@ -298,3 +298,37 @@ class TestServe:
                            "--model-dir", MODELS_DIR])
             assert rc == 1
             assert "out of range" in capsys.readouterr().err
+
+
+class TestDoctor:
+    """`fdt-tpu doctor` — the fresh-deployment self-check."""
+
+    def test_green_with_assets(self, capsys):
+        rc, out = _run(capsys, ["doctor", "--model-dir", MODELS_DIR])
+        assert rc == 0
+        assert "all required checks passed" in out
+        assert "model assets" in out and "device backend" in out
+
+    def test_json_contract(self, capsys):
+        rc, out = _run(capsys, ["doctor", "--model-dir", MODELS_DIR,
+                                "--json"])
+        assert rc == 0
+        doc = json.loads(out)
+        assert doc["ok"] is True
+        names = {c["check"] for c in doc["checks"]}
+        assert {"model assets", "device backend", "compile cache",
+                "native decode"} <= names
+        for c in doc["checks"]:
+            if c["required"]:
+                assert c["ok"], c
+
+    def test_missing_assets_fail_with_fix(self, capsys, tmp_path):
+        rc, out = _run(capsys, ["doctor", "--model-dir", str(tmp_path)])
+        assert rc == 1
+        assert "FAIL" in out and "fetch_models" in out
+
+    def test_run_end_to_end(self, capsys):
+        rc, out = _run(capsys, ["doctor", "--model-dir", MODELS_DIR,
+                                "--run"])
+        assert rc == 0
+        assert "end-to-end detect" in out and "0 faces" in out
