@@ -37,7 +37,6 @@ def main():
     from face_detection_tflite_tpu.ops.letterbox import (letterbox_image,
                                                          letterbox_params)
     from face_detection_tflite_tpu.pipeline.detector import resolve_model_dir
-    from face_detection_tflite_tpu.utils.image import load_image
 
     dev = jax.devices()[0]
     print("device:", dev.platform, dev.device_kind, flush=True)

@@ -487,10 +487,18 @@ def _cmd_doctor(args) -> int:
     from .pipeline.detector import resolve_model_dir
     optional_models = {"embedding", "segmenter_multiclass"}
     model_dir = None
-    try:
-        model_dir = resolve_model_dir(args.model_dir)
-    except FileNotFoundError as e:
-        add("model assets", False, str(e))
+    if args.model_dir and not os.path.isdir(args.model_dir):
+        # resolve_model_dir falls through a nonexistent explicit dir to
+        # env/package defaults — correct for the pipeline, wrong for a
+        # self-check: `doctor --model-dir /typo` must not validate a
+        # DIFFERENT directory and report all-green for the wrong install.
+        add("model assets", False,
+            f"--model-dir {args.model_dir}: not a directory")
+    else:
+        try:
+            model_dir = resolve_model_dir(args.model_dir)
+        except FileNotFoundError as e:
+            add("model assets", False, str(e))
     if model_dir:
         missing = sorted(f for k, f in MODEL_FILES.items()
                          if k not in optional_models
@@ -506,30 +514,47 @@ def _cmd_doctor(args) -> int:
         npz = os.path.join(model_dir, "mobilefacenet.npz")
         if "mobilefacenet.tflite" in extras and os.path.isfile(npz):
             extras.remove("mobilefacenet.tflite")  # imported weights found
+        embed_untrained = ("mobilefacenet.tflite" in extras
+                           or "mobilefacenet.npz" in extras)
         add("optional models", not extras,
             "trained embedding/multiclass models present"
             if not extras else
             f"absent (expected; out-of-repo upstream): {', '.join(extras)}"
-            " — import via tools/import_weights.py or drop the .tflite in",
+            " — import via tools/import_weights.py or drop the .tflite in"
+            + ("; embeddings will run RANDOM-INIT (cannot discriminate "
+               "identities)" if embed_untrained else ""),
             required=False)
 
-    # 2. device backend (main() already ran the hang watchdog).
+    # 2. device backend (main() already ran the hang watchdog).  A silent
+    #    error->CPU fallback inside ensure_backend IS the failure this
+    #    self-check exists to catch — "ok device backend: cpu" on a broken
+    #    TPU deployment would defeat it.
     import jax
+
+    from .utils.backend import backend_fallback_reason
     devs = jax.devices()
-    add("device backend", len(devs) > 0,
-        f"{jax.default_backend()}: "
-        + ", ".join(str(d) for d in devs[:8])
-        + (" …" if len(devs) > 8 else ""))
+    fell_back = backend_fallback_reason()
+    if fell_back:
+        add("device backend", False,
+            f"accelerator init FAILED, silently fell back to cpu: "
+            f"{fell_back} (set FDT_FORCE_CPU=1 if CPU is intended)")
+    else:
+        add("device backend", len(devs) > 0,
+            f"{jax.default_backend()}: "
+            + ", ".join(str(d) for d in devs[:8])
+            + (" …" if len(devs) > 8 else "")
+            + (" (FDT_FORCE_CPU)" if os.environ.get("FDT_FORCE_CPU")
+               else ""))
 
     # 3. persistent compile cache (optional: absence only slows restarts).
     if os.environ.get("FDT_NO_COMPILE_CACHE"):
         add("compile cache", True, "disabled via FDT_NO_COMPILE_CACHE=1",
             required=False)
     else:
-        cache_dir = os.environ.get(
-            "FDT_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         f"fdt_tpu_xla_{jax.default_backend()}"))
+        # Single-sourced with the pipeline's cache enabling (ADVICE r3:
+        # a duplicated default here would drift if the pipeline's moves).
+        from .pipeline.detector import default_compile_cache_dir
+        cache_dir = default_compile_cache_dir()
         try:
             os.makedirs(cache_dir, exist_ok=True)
             writable = os.access(cache_dir, os.W_OK)
@@ -551,26 +576,31 @@ def _cmd_doctor(args) -> int:
         "not built (PIL fallback active; `make -C runtime` to build)",
         required=False)
 
-    # 5. opt-in end-to-end smoke.
-    if args.run and model_dir and checks[0]["ok"]:
+    # 5. opt-in end-to-end smoke.  Gate on the named model-assets check
+    #    (positional checks[0] silently re-targets if the list reorders).
+    assets_ok = any(c["check"] == "model assets" and c["ok"] for c in checks)
+    if args.run and model_dir and assets_ok:
         import time
 
         import numpy as np
 
         from .pipeline.config import FaceDetectionMode
         from .pipeline.detector import FaceDetector
+        det = None
         try:
             det = FaceDetector(model_dir=model_dir, max_faces=2)
             img = np.zeros((64, 64, 3), np.uint8)
             t0 = time.perf_counter()
             faces = det.detect_faces(img, mode=FaceDetectionMode.FAST)
             ms = (time.perf_counter() - t0) * 1e3
-            det.dispose()
             add("end-to-end detect", True,
                 f"64x64 FAST: {len(faces)} faces in {ms:.0f} ms "
                 "(includes compile on a cold cache)")
         except Exception as e:  # any failure is the finding itself
             add("end-to-end detect", False, f"{type(e).__name__}: {e}")
+        finally:
+            if det is not None:
+                det.dispose()
 
     failed = [c for c in checks if c["required"] and not c["ok"]]
     if args.json:

@@ -47,6 +47,19 @@ _DEFAULT_MODEL_DIRS = (
 _cache_enabled = False
 
 
+def default_compile_cache_dir(backend: str | None = None) -> str:
+    """Resolved persistent-compile-cache directory (FDT_COMPILE_CACHE_DIR
+    or ~/.cache/fdt_tpu_xla_<backend>).  Single source for the pipeline
+    (_enable_compilation_cache) and `fdt-tpu doctor`, so the self-check
+    always reports the directory the pipeline actually uses."""
+    if backend is None:
+        backend = jax.default_backend()
+    return os.environ.get(
+        "FDT_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     f"fdt_tpu_xla_{backend}"))
+
+
 def _enable_compilation_cache() -> None:
     """Turns on JAX's persistent compilation cache (opt out with
     FDT_NO_COMPILE_CACHE=1).  The pipeline compiles one program per
@@ -56,11 +69,7 @@ def _enable_compilation_cache() -> None:
     if _cache_enabled or os.environ.get("FDT_NO_COMPILE_CACHE"):
         return
     try:
-        backend = jax.default_backend()
-        cache_dir = os.environ.get(
-            "FDT_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         f"fdt_tpu_xla_{backend}"))
+        cache_dir = default_compile_cache_dir()
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -385,6 +394,18 @@ class FaceDetector:
             self._segmentation.place_on(self._seg_device)
 
     @property
+    def is_tracking_enabled(self) -> bool:
+        """Whether temporal tracking IDs are attached to results
+        (`isTrackingEnabled`, face_detector.dart:170)."""
+        return self._tracking_enabled
+
+    @property
+    def max_missed_frames(self) -> int:
+        """Frames a track survives without a match before retirement
+        (`maxMissedFrames`, face_detector.dart:177)."""
+        return self._tracker.max_missed_frames
+
+    @property
     def embed_in_full(self) -> bool:
         """Whether MobileFaceNet rides the fused FULL program (read-only:
         compiled programs and models.embedding are built from the
@@ -392,22 +413,38 @@ class FaceDetector:
         image sizes from new ones)."""
         return self._embed_in_full
 
+    def _embedding_weight_path(self) -> Optional[str]:
+        """First installed trained-weight source for MobileFaceNet, or
+        None (-> RANDOM-INIT weights, recognition cannot discriminate)."""
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        candidates = (
+            os.path.join(self._model_dir, MODEL_FILES["embedding"]),
+            # `python tools/import_weights.py mobilefacenet` output —
+            # trained weights imported from a user-supplied checkpoint
+            # reach the detector with zero code.
+            os.path.join(self._model_dir, "mobilefacenet.npz"),
+            os.path.join(pkg, "assets", "checkpoints", "mobilefacenet.npz"),
+        )
+        return next((c for c in candidates if os.path.exists(c)), None)
+
+    @property
+    def is_embedding_pretrained(self) -> bool:
+        """Whether trained MobileFaceNet weights back the embedding path.
+        False means the architecture runs with RANDOM-INIT weights —
+        structurally complete, but embeddings cannot discriminate
+        identities (the reference ships trained weights:
+        face_embedding.dart:46, pubspec.yaml:45).  Surfaced in /v1/info,
+        /v1/embed and `fdt-tpu doctor`."""
+        if self._embedding is not None:
+            return self._embedding.is_pretrained
+        return self._embedding_weight_path() is not None
+
     @property
     def embedding_model(self) -> FaceEmbedding:
         if self._embedding is None:
-            pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            candidates = (
-                os.path.join(self._model_dir, MODEL_FILES["embedding"]),
-                # `python tools/import_weights.py mobilefacenet` output —
-                # trained weights imported from a user-supplied checkpoint
-                # reach the detector with zero code.
-                os.path.join(self._model_dir, "mobilefacenet.npz"),
-                os.path.join(pkg, "assets", "checkpoints",
-                             "mobilefacenet.npz"),
-            )
-            path = next((c for c in candidates if os.path.exists(c)), None)
             self._embedding = FaceEmbedding.load(
-                path, allow_untrained=self._allow_untrained_embeddings)
+                self._embedding_weight_path(),
+                allow_untrained=self._allow_untrained_embeddings)
         return self._embedding
 
     # -- detection -------------------------------------------------------------
@@ -1445,10 +1482,11 @@ class FaceDetector:
         compute in parallel on a multicore CPU.  Here the mask program
         dispatches async first and the HOST stages (dispatch, readback,
         materialize) overlap, but one TPU chip executes programs
-        serially, so device compute is additive: measured 148 ms combined
-        vs 179 serial sum vs 119 max for a 16-image batch
-        (benchmarks/results.json `combined_detect_segment`).  Full max()
-        behavior needs a second chip (the data-parallel mesh path)."""
+        serially, so device compute is additive.  Measured numbers live
+        in ONE place: benchmarks/results.json `combined_detect_segment`
+        (combined_ms_batch vs sum_ms_batch vs max_ms_batch,
+        overlap_ratio).  Full max() behavior needs a second chip (the
+        data-parallel mesh path)."""
         self._check_disposed()
         if self._segmentation is None:
             self._load_segmentation(self._segmentation_model)

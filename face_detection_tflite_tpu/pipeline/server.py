@@ -397,6 +397,11 @@ class FaceServer:
             "memory_report": det.memory_report(),
             "ready": det.is_ready,
             "embedding_ready": det.is_embedding_ready,
+            # False = RANDOM-INIT MobileFaceNet weights (embeddings cannot
+            # discriminate identities; import trained weights via
+            # tools/import_weights.py).  Mirrors /v1/embed's per-response
+            # "pretrained" flag.
+            "embedding_pretrained": det.is_embedding_pretrained,
             "segmentation_ready": det.is_segmentation_ready,
             "replica_devices": ([str(d) for d in self._devices]
                                 if self._devices else None),

@@ -19,6 +19,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
+from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np

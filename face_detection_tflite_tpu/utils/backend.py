@@ -21,7 +21,20 @@ import os
 import sys
 import threading
 
-__all__ = ["ensure_backend"]
+__all__ = ["ensure_backend", "backend_fallback_reason"]
+
+#: Set when ensure_backend() silently swapped to the CPU platform because
+#: accelerator init RAISED.  ``None`` otherwise (including the explicit
+#: FDT_FORCE_CPU path — a requested CPU backend is not a failure).
+#: `fdt-tpu doctor` uses this to FAIL the backend check on a broken TPU
+#: deployment instead of reporting "ok device backend: cpu" (the exact
+#: failure the self-check exists to catch).
+_fallback_reason: str | None = None
+
+
+def backend_fallback_reason() -> str | None:
+    """Why the backend silently fell back to CPU, or None if it didn't."""
+    return _fallback_reason
 
 
 def ensure_backend(timeout_s: float | None = None) -> None:
@@ -30,6 +43,7 @@ def ensure_backend(timeout_s: float | None = None) -> None:
     See module docstring.  ``timeout_s`` defaults to the
     ``FDT_DEVICE_TIMEOUT`` env var (300 s).
     """
+    global _fallback_reason
     import jax
 
     if os.environ.get("FDT_FORCE_CPU"):
@@ -57,5 +71,6 @@ def ensure_backend(timeout_s: float | None = None) -> None:
               file=sys.stderr, flush=True)
         os._exit(1)
     if "error" in box:
+        _fallback_reason = repr(box["error"])
         jax.config.update("jax_platforms", "cpu")
         jax.devices()

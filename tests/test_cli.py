@@ -332,3 +332,38 @@ class TestDoctor:
                                 "--run"])
         assert rc == 0
         assert "end-to-end detect" in out and "0 faces" in out
+
+    def test_model_dir_typo_fails_not_falls_through(self, capsys):
+        """ADVICE r3: `doctor --model-dir /typo` must FAIL naming the bad
+        path, not silently validate the package-default directory."""
+        rc, out = _run(capsys, ["doctor", "--model-dir", "/no/such/dir"])
+        assert rc == 1
+        assert "not a directory" in out and "/no/such/dir" in out
+
+    def test_backend_cpu_fallback_marks_fail(self, capsys, monkeypatch):
+        """ADVICE r3 (medium): a silent accelerator-init->CPU fallback in
+        ensure_backend must FAIL the backend check — 'ok device backend:
+        cpu' on a broken TPU deployment defeats the self-check."""
+        from face_detection_tflite_tpu.utils import backend
+        monkeypatch.setattr(backend, "_fallback_reason",
+                            "RuntimeError('plugin init failed')")
+        rc, out = _run(capsys, ["doctor", "--model-dir", MODELS_DIR])
+        assert rc == 1
+        assert "FAIL" in out and "fell back to cpu" in out
+
+    def test_untrained_embedding_noted(self, capsys):
+        """VERDICT r3 next #6: doctor's optional-models line says what the
+        absence MEANS (random-init embeddings can't discriminate)."""
+        rc, out = _run(capsys, ["doctor", "--model-dir", MODELS_DIR,
+                                "--json"])
+        doc = json.loads(out)
+        opt = next(c for c in doc["checks"] if c["check"] == "optional models")
+        from face_detection_tflite_tpu import FaceDetector
+        det = FaceDetector(model_dir=MODELS_DIR)
+        try:
+            if det.is_embedding_pretrained:
+                assert opt["ok"] or "mobilefacenet" not in opt["detail"]
+            else:
+                assert "RANDOM-INIT" in opt["detail"]
+        finally:
+            det.dispose()

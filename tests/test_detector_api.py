@@ -82,6 +82,23 @@ class TestTrackingIntegration:
         faces = d.detect_faces(group_img, FaceDetectionMode.FAST)
         assert all(f.tracking_id is None for f in faces)
 
+    def test_tracking_config_getters(self):
+        """`isTrackingEnabled`/`maxMissedFrames` analogs
+        (face_detector.dart:170,177) — read-only properties."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         enable_tracking=True, max_missed_frames=7,
+                         model_dir=MODELS_DIR)
+        assert d.is_tracking_enabled is True
+        assert d.max_missed_frames == 7
+        d2 = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                          model_dir=MODELS_DIR)
+        assert d2.is_tracking_enabled is False
+        assert d2.max_missed_frames == 3  # kDefaultMaxMissedFrames
+        with pytest.raises(AttributeError):
+            d.is_tracking_enabled = False
+        with pytest.raises(AttributeError):
+            d.max_missed_frames = 9
+
 
 class TestLifecycle:
     def test_dispose_blocks_use(self):

@@ -8,7 +8,6 @@ recognition/multiclass with zero code.
 """
 
 import os
-import shutil
 import sys
 
 import numpy as np

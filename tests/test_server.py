@@ -13,11 +13,9 @@ import threading
 import time
 import urllib.request
 import urllib.error
-from concurrent.futures import Future
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from face_detection_tflite_tpu import (FaceDetectionMode, FaceDetectionModel,
                                        FaceDetector, FaceServer,
@@ -198,6 +196,9 @@ class TestHttpEndpoints:
         assert d["model_version"] >= 1
         assert "standard" in d["modes"]
         assert isinstance(d["accelerator_report"], dict)
+        # VERDICT r3 next #6: trained-weights status is deployment info,
+        # not just a per-/v1/embed-response flag.
+        assert isinstance(d["embedding_pretrained"], bool)
 
     def test_detect_standard(self, server, landmark_jpeg):
         status, d = _post(f"{server.address}/v1/detect?mode=standard",

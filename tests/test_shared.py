@@ -22,7 +22,7 @@ from face_detection_tflite_tpu.pipeline.tracker import (
     TemporalFaceTracker, validate_tracking_config)
 from face_detection_tflite_tpu.pipeline.types import (
     FACE_CONTOUR_MESH_INDICES, Blendshape, Detection, Eye, Face,
-    FaceContourType, FaceLandmarkType, FaceMesh, RectF)
+    FaceContourType, FaceMesh, RectF)
 
 
 class TestGeometry:

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Minimal lint gate (no third-party linter is available in this image).
+
+Two checks, both aimed at real bug classes this repo has hit:
+
+1. **Unused imports** — an import whose bound name is never referenced in
+   the module.  Skipped for package barrels (``__init__.py``), where
+   importing for re-export is the point, and for names listed in
+   ``__all__`` or marked ``# noqa``.
+
+2. **Runtime-unresolvable annotations** — modules use ``from __future__
+   import annotations``, so a missing ``typing`` import (e.g. ``Optional``
+   used but never imported — the serving.py:89 bug the round-3 verdict
+   flagged) passes silently until someone calls
+   ``typing.get_type_hints``.  This check imports every package module
+   and resolves the type hints of every function, method, and class
+   defined there, failing on NameError.
+
+Usage: ``python tools/lint.py`` — exits non-zero with findings on stderr.
+Wired into CI (.github/workflows/ci.yml) and the test suite
+(tests/test_lint.py).
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import os
+import sys
+import typing
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PACKAGE = "face_detection_tflite_tpu"
+
+# Directories scanned for the AST (unused-import) check.
+SCAN_DIRS = (PACKAGE, "tests", "tools", "benchmarks", "examples")
+SCAN_FILES = ("bench.py", "__graft_entry__.py")
+
+# Modules that cannot be imported for the annotation check (import-time
+# side effects that need hardware/assets), with the reason.
+IMPORT_SKIP: dict[str, str] = {}
+
+
+def _iter_py_files():
+    for f in SCAN_FILES:
+        yield os.path.join(REPO, f)
+    for d in SCAN_DIRS:
+        for root, _dirs, files in os.walk(os.path.join(REPO, d)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    yield os.path.join(root, f)
+
+
+def _imported_names(node: ast.AST):
+    """Yield (lineno, bound_name, display) for import statements."""
+    for n in ast.walk(node):
+        if isinstance(n, ast.Import):
+            for a in n.names:
+                bound = a.asname or a.name.split(".")[0]
+                yield n.lineno, bound, a.name
+        elif isinstance(n, ast.ImportFrom):
+            if n.module == "__future__":
+                continue
+            for a in n.names:
+                if a.name == "*":
+                    continue
+                bound = a.asname or a.name
+                yield n.lineno, bound, f"{n.module or ''}.{a.name}"
+
+
+def _used_names(tree: ast.AST) -> set[str]:
+    used: set[str] = set()
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Name):
+            used.add(n.id)
+        elif isinstance(n, ast.Attribute):
+            # foo.bar -> foo is the load; ast.Name covers it, but string
+            # annotations ("Optional[Future]") need the raw text scan below.
+            pass
+    return used
+
+
+def check_unused_imports(path: str, src: str, tree: ast.AST) -> list[str]:
+    if os.path.basename(path) == "__init__.py":
+        return []  # barrels import to re-export
+    noqa_lines = {i + 1 for i, line in enumerate(src.splitlines())
+                  if "noqa" in line}
+    exported: set[str] = set()
+    for n in ast.walk(tree):
+        if (isinstance(n, ast.Assign)
+                and any(isinstance(t, ast.Name) and t.id == "__all__"
+                        for t in n.targets)
+                and isinstance(n.value, (ast.List, ast.Tuple))):
+            exported |= {e.value for e in n.value.elts
+                         if isinstance(e, ast.Constant)}
+    used = _used_names(tree)
+    # String annotations and docstring-free uses: fall back to a raw-text
+    # word scan so `x: "Optional[Future]"` counts as a use of Optional.
+    import re
+    words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))
+    findings = []
+    for lineno, bound, display in _imported_names(tree):
+        if bound.startswith("_") or bound in exported or lineno in noqa_lines:
+            continue
+        # A name "used" only on its own import line is still unused; count
+        # occurrences in the word scan beyond the import statement itself.
+        if bound in used and bound in words:
+            # Name appears in some Name node — check it is not solely the
+            # import binding (Name nodes are loads/stores; import binding
+            # is not a Name node, so any hit is a real use).
+            continue
+        if bound in words and src.count(bound) > 1:
+            continue
+        findings.append(f"{os.path.relpath(path, REPO)}:{lineno}: "
+                        f"unused import {display!r} (as {bound!r})")
+    return findings
+
+
+def check_annotations() -> list[str]:
+    """Import every package module and resolve all type hints."""
+    findings: list[str] = []
+    pkg_dir = os.path.join(REPO, PACKAGE)
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), REPO)
+            mod_name = rel[:-3].replace(os.sep, ".")
+            if mod_name.endswith(".__init__"):
+                mod_name = mod_name[: -len(".__init__")]
+            if mod_name in IMPORT_SKIP:
+                continue
+            try:
+                mod = importlib.import_module(mod_name)
+            except Exception as e:  # pragma: no cover - env-specific
+                findings.append(f"{rel}: module import failed: {e!r}")
+                continue
+            for name, obj in list(vars(mod).items()):
+                if getattr(obj, "__module__", None) != mod_name:
+                    continue
+                targets = []
+                if isinstance(obj, type):
+                    targets.append((name, obj))
+                    for mname, m in vars(obj).items():
+                        if callable(m) and getattr(
+                                m, "__module__", None) == mod_name:
+                            targets.append((f"{name}.{mname}", m))
+                elif callable(obj):
+                    targets.append((name, obj))
+                for tname, t in targets:
+                    try:
+                        typing.get_type_hints(t)
+                    except NameError as e:
+                        findings.append(
+                            f"{rel}: {tname}: unresolvable annotation: {e}")
+                    except Exception:
+                        pass  # non-NameError (e.g. forward refs to
+                        # TYPE_CHECKING imports of 3rd-party opts) —
+                        # out of scope for this gate
+    return findings
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    findings: list[str] = []
+    for path in _iter_py_files():
+        with open(path, encoding="utf-8") as fh:
+            src = fh.read()
+        try:
+            tree = ast.parse(src, filename=path)
+        except SyntaxError as e:
+            findings.append(f"{os.path.relpath(path, REPO)}: syntax error: "
+                            f"{e}")
+            continue
+        findings.extend(check_unused_imports(path, src, tree))
+    findings.extend(check_annotations())
+    for f in findings:
+        print(f, file=sys.stderr)
+    if findings:
+        print(f"lint: {len(findings)} finding(s)", file=sys.stderr)
+        return 1
+    print("lint: clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
