@@ -43,6 +43,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def calibrate_peak_gflops(precision: str) -> float:
+    """Measured peak matmul GFLOP/s on this device at the pipeline's MXU
+    precision tier — the denominator for the utilization figures below.
+
+    Calibrated in the same run because the relay's delivered throughput
+    (~50-100 GFLOP/s, CLAUDE.md) is orders of magnitude below real v5e
+    peak and drifts; a datasheet constant would make `utilization`
+    fiction.  Unique inputs per timed call (the relay memoizes identical
+    calls); best-of over sizes/iters since peak is a max, not a mean.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # The detector's "mixed"/"serving" tiers pin individual stages; the
+    # bulk of their matmul FLOPs run at the bf16x3 ("high") tier.
+    prec = jax.lax.Precision(
+        {"mixed": "high", "serving": "high"}.get(precision, precision))
+    best = 0.0
+    for n, iters in ((2048, 3), (4096, 2)):
+        a = jnp.ones((n, n), jnp.float32)
+        b = jnp.ones((n, n), jnp.float32)
+        f = jax.jit(lambda x, y: jax.lax.dot(x, y, precision=prec))
+        jax.block_until_ready(f(a, b))  # compile + warm
+        flops = 2.0 * n * n * n
+        for i in range(iters):
+            a = a.at[0, 0].set(float(i + 2))  # defeat the call memoizer
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(a, b))
+            dt = time.perf_counter() - t0
+            best = max(best, flops / dt / 1e9)
+    return best
+
+
 def main():
     import jax  # noqa: F401  (backend init below)
 
@@ -191,6 +225,37 @@ def main():
 
     faces_per_sec = max(nf / dt_std, nf / dt_serve)
 
+    # -- MFU / FLOP-utilization (VERDICT r3 #1) ---------------------------
+    # Turns the throughput headline into a checkable utilization claim:
+    # XLA's own post-fusion FLOP count per mode (cost_report, AOT cost
+    # analysis — no extra device work) divided by the measured wall time,
+    # against a matmul peak calibrated in this same run on this device.
+    # Wall time includes host dispatch + Face assembly, so `utilization`
+    # is a lower bound on device compute utilization.
+    peak_gflops = calibrate_peak_gflops(precision)
+    mfu = {"peak_gflops_measured": round(peak_gflops, 2),
+           "peak_probe": "best large-matmul GFLOP/s at the pipeline's "
+                         "MXU precision tier, same run/device"}
+    for mode in modes:
+        cr = det.cost_report((h, w), mode, batch_size=batch)
+        achieved = cr["flops"] / med[mode] / 1e9
+        mfu[mode.name.lower()] = {
+            "flops_per_image": cr["flops_per_image"],
+            "bytes_per_image": cr["bytes_per_image"],
+            "achieved_gflops": round(achieved, 2),
+            "utilization": round(achieved / peak_gflops, 4),
+        }
+    # Serving reuses the standard-mode program; only the timing differs.
+    cr_std = mfu[FaceDetectionMode.STANDARD.name.lower()]
+    serve_gflops = cr_std["flops_per_image"] * batch / dt_serve / 1e9
+    mfu["serving"] = {
+        "flops_per_image": cr_std["flops_per_image"],
+        "bytes_per_image": cr_std["bytes_per_image"],
+        "achieved_gflops": round(serve_gflops, 2),
+        "utilization": round(serve_gflops / peak_gflops, 4),
+    }
+    log("mfu: " + json.dumps(mfu))
+
     log("stage timings (mean ms over the run): "
         + json.dumps(det.timings.report()))
 
@@ -215,6 +280,7 @@ def main():
         "value": round(faces_per_sec, 2),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / REFERENCE_FACES_PER_SEC, 3),
+        "mfu": mfu,
     }))
 
 

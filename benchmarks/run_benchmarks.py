@@ -96,11 +96,24 @@ def main():
             mode_samples[m].append(
                 bench(lambda m=m: det.detect_faces_batch(fresh(), m),
                       n=per_round, warm=0))
+    # MFU / FLOP-utilization (VERDICT r3 #1): XLA's post-fusion FLOP count
+    # per mode against a matmul peak calibrated in this same run.  Wall
+    # time includes host dispatch + Face assembly, so utilization is a
+    # lower bound on device compute utilization.
+    from bench import calibrate_peak_gflops
+    peak_gflops = calibrate_peak_gflops("high")
+    results["peak_gflops_measured"] = round(peak_gflops, 2)
     for m in det_modes:
         dt = float(np.median(mode_samples[m]))
+        cr = det.cost_report((h, w), m, batch_size=batch)
+        achieved = cr["flops"] / dt / 1e9
         results["configs"][f"detect_{m.value}"] = {
             "ms_per_image": round(dt / batch * 1e3, 3),
             "images_per_sec": round(batch / dt, 2),
+            "flops_per_image": cr["flops_per_image"],
+            "bytes_per_image": cr["bytes_per_image"],
+            "achieved_gflops": round(achieved, 2),
+            "utilization": round(achieved / peak_gflops, 4),
         }
 
     # The 3.3 MB host->device upload of one 853x1280 frame, measured alone.
