@@ -158,6 +158,7 @@ class FaceDetector:
                  precision: str = "highest",
                  adaptive: bool = True,
                  bucket_images: bool = False,
+                 bucket_batches: bool = True,
                  data_parallel: bool = False,
                  num_candidates: Optional[int] = None,
                  use_pallas_nms: Optional[bool] = None,
@@ -193,6 +194,15 @@ class FaceDetector:
         #: the early min_face_size gate is deferred to the host (the padded
         #: width would over-reject).  Recommended for serving mixed sizes.
         self.bucket_images = bucket_images
+        #: Pad the BATCH dimension up to a bucket ladder (powers of two to
+        #: 16, then multiples of 16) with zero images, trimmed on device
+        #: before readback.  Variable micro-batch sizes (an HTTP batcher
+        #: drain, a tail batch of a video) otherwise compile one program
+        #: PER observed batch size — 20-240 s each on the relay's compile
+        #: service.  Zero-pad rows detect nothing and cannot change real
+        #: rows' results (per-image independence, asserted bitwise in
+        #: __graft_entry__.dryrun_multichip).
+        self.bucket_batches = bucket_batches
         #: Pack the mesh/iris landmark readback as int16 at ~0.08 px
         #: resolution (1280 px frames; mean quantization error ~0.02 px
         #: vs the 1 px parity budget).  Landmarks dominate the packed
@@ -346,7 +356,7 @@ class FaceDetector:
     #: as getters over final fields too (`face_detector.dart:138-158`).
     _PROGRAM_BAKED = frozenset({
         "max_faces", "min_score", "min_face_size", "num_candidates",
-        "use_pallas_nms", "bucket_images"})
+        "use_pallas_nms", "bucket_images", "bucket_batches"})
 
     def __setattr__(self, name, value):
         if name in self._PROGRAM_BAKED and getattr(self, "_init_done",
@@ -860,13 +870,15 @@ class FaceDetector:
         if self.adaptive:
             out = self._detect_adaptive(images, mode,
                                         _predispatched=_predispatched)
+            if next(iter(out.values())).shape[0] > b:
+                out = {k: v[:b] for k, v in out.items()}  # batch-bucket pad
         else:
-            handle, pad_b = self._dispatch_full(images, mode)
-            if pad_b:
-                # Trim the data-parallel padding rows ON DEVICE: fetching
-                # first would pack and transfer the pad fraction of the
-                # slab (readback is the measured bottleneck) only to
-                # discard it on the host.
+            handle, _ = self._dispatch_full(images, mode)
+            if next(iter(handle.values())).shape[0] > b:
+                # Trim batch-bucket + data-parallel padding rows ON
+                # DEVICE: fetching first would pack and transfer the pad
+                # fraction of the slab (readback is the measured
+                # bottleneck) only to discard it on the host.
                 handle = {k: v[:b] for k, v in handle.items()}
             out = self._fetch(handle, self._readback_scale(bh, bw))
         return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
@@ -884,11 +896,16 @@ class FaceDetector:
         b, h, w, _ = images.shape
         if b == 0:
             return None
+        pad_rows = (self._batch_bucket(b) - b) if self.bucket_batches \
+            else 0
         if self.bucket_images:
             hb, wb = self._bucket(h), self._bucket(w)
-            if (hb, wb) != (h, w):
-                images = jnp.pad(
-                    images, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+        else:
+            hb, wb = h, w
+        if (pad_rows, hb, wb) != (0, h, w):
+            images = jnp.pad(
+                images,
+                ((0, pad_rows), (0, hb - h), (0, wb - w), (0, 0)))
         return images, b, (w, h)
 
     def _dispatch_full(self, images, mode: FaceDetectionMode, params=None):
@@ -1037,13 +1054,26 @@ class FaceDetector:
         images, det, pad_b, b, bh, bw, wh = item
         if self.adaptive:
             out = self._finish_speculative(images, det, mode)
+            if next(iter(out.values())).shape[0] > b:
+                out = {k: v[:b] for k, v in out.items()}  # batch-bucket pad
         else:
-            if pad_b:
-                # On-device pad trim before the packed readback (see
-                # detect_faces_batch).
+            if next(iter(det.values())).shape[0] > b:
+                # On-device trim of batch-bucket/data-parallel pad rows
+                # before the packed readback (see detect_faces_batch).
                 det = {k: v[:b] for k, v in det.items()}
             out = self._fetch(det, self._readback_scale(bh, bw))
         return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
+
+    @staticmethod
+    def _batch_bucket(b: int) -> int:
+        """Batch-size ladder: 1,2,4,8,16,32,48,... (pow2 to 16, then
+        multiples of 16) — bounds both compile count and pad waste."""
+        if b > 16:
+            return -(-b // 16) * 16
+        n = 1
+        while n < b:
+            n *= 2
+        return n
 
     @staticmethod
     def _bucket(v: int, step: int = 256) -> int:

@@ -363,6 +363,49 @@ class TestImageBucketing:
         assert d.detect_faces(img, FaceDetectionMode.FAST) == []
 
 
+class TestBatchBucketing:
+    def test_padded_batches_match_unbucketed(self):
+        """bucket_batches pads the batch dim with zero rows (trimmed on
+        device): per-image results must be IDENTICAL to the unbucketed
+        run, and odd drain sizes must share one compiled program."""
+        img = np.asarray(Image.fromarray(
+            _img("landmark-ex1.jpg")).resize((320, 214)))
+        on = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                          model_dir=MODELS_DIR, max_faces=8)
+        off = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                           model_dir=MODELS_DIR, max_faces=8,
+                           bucket_batches=False)
+        assert on.bucket_batches and not off.bucket_batches
+        for b in (3, 5):
+            batch = np.stack([img] * b)
+            fa = on.detect_faces_batch(batch, FaceDetectionMode.STANDARD)
+            fb = off.detect_faces_batch(batch, FaceDetectionMode.STANDARD)
+            assert len(fa) == len(fb) == b
+            for la, lb in zip(fa, fb):
+                assert len(la) == len(lb) > 0
+                for a, c in zip(la, lb):
+                    np.testing.assert_array_equal(a.mesh.points,
+                                                  c.mesh.points)
+        # 3 -> 4 and 5 -> 8: two buckets; unbucketed compiles per size too,
+        # but a 4th distinct drain size would add a program only there.
+        fa = on.detect_faces_batch(np.stack([img] * 4),
+                                   FaceDetectionMode.STANDARD)
+        assert len(fa) == 4
+        on.dispose(), off.dispose()
+
+    def test_bucket_ladder(self):
+        bb = FaceDetector._batch_bucket
+        assert [bb(b) for b in (1, 2, 3, 5, 9, 16, 17, 33)] == \
+            [1, 2, 4, 8, 16, 16, 32, 48]
+
+    def test_frozen_post_init(self):
+        d = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                         model_dir=MODELS_DIR)
+        with pytest.raises(AttributeError):
+            d.bucket_batches = False
+        d.dispose()
+
+
 class TestMemoryReport:
     def test_weight_footprint_and_dispose(self):
         d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
