@@ -51,6 +51,113 @@ def _synthetic_state_dict(seed=0, prelu_scalar=False):
     return sd
 
 
+def _insightface_state_dict(seed=7):
+    """State dict with the key layout of the most common public
+    MobileFaceNet checkpoint (TreB1eN/InsightFace_Pytorch
+    model_mobilefacenet.pth): Conv_block = conv+bn+prelu, Linear_block =
+    conv+bn, Depth_Wise = conv/conv_dw/project, Residual = model.N
+    Sequential, and a 2-D nn.Linear + BatchNorm1d TAIL (not a 1x1 conv).
+    Values are random; what this pins is that the real-world NAMING and
+    MODULE NESTING map through the order-based importer."""
+    from face_detection_tflite_tpu.models.embedding import (_MFN_BLOCKS,
+                                                            build_mobilefacenet)
+    template = build_mobilefacenet().params
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def conv_block(mod, tmpl_name, prelu=True, linear_tail=False):
+        kh, kw, cin_g, cout = template[f"{tmpl_name}_w"].shape
+        if linear_tail:
+            sd[f"{mod}.weight"] = rng.normal(
+                0, 0.1, (cout, cin_g)).astype(np.float32)  # nn.Linear 2-D
+            bn = "bn"  # sibling BatchNorm1d module, not nested
+        else:
+            sd[f"{mod}.conv.weight"] = rng.normal(
+                0, 0.1, (cout, cin_g, kh, kw)).astype(np.float32)
+            bn = f"{mod}.bn"
+        sd[f"{bn}.weight"] = rng.uniform(0.5, 1.5, (cout,)).astype(
+            np.float32)
+        sd[f"{bn}.bias"] = rng.normal(0, 0.1, (cout,)).astype(np.float32)
+        sd[f"{bn}.running_mean"] = rng.normal(0, 0.1, (cout,)).astype(
+            np.float32)
+        sd[f"{bn}.running_var"] = rng.uniform(0.5, 2.0, (cout,)).astype(
+            np.float32)
+        sd[f"{bn}.num_batches_tracked"] = np.asarray(100)
+        if prelu:
+            sd[f"{mod}.prelu.weight"] = rng.uniform(
+                0.1, 0.4, (cout,)).astype(np.float32)
+
+    conv_block("conv1", "stem")
+    conv_block("conv2_dw", "stem_dw")
+    # InsightFace groups the 15 bottleneck units as Depth_Wise downsamplers
+    # (conv_23/34/45) + Residual stacks (conv_3/4/5); unit order matches
+    # the paper layout both sides use.
+    flat_units = []
+    for bi, (_t, _c, n, _s) in enumerate(_MFN_BLOCKS):
+        for ri in range(n):
+            flat_units.append((bi, ri))
+    names = (["conv_23"] + [f"conv_3.model.{i}" for i in range(4)] +
+             ["conv_34"] + [f"conv_4.model.{i}" for i in range(6)] +
+             ["conv_45"] + [f"conv_5.model.{i}" for i in range(2)])
+    assert len(names) == len(flat_units)
+    for mod, (bi, ri) in zip(names, flat_units):
+        conv_block(f"{mod}.conv", f"b{bi}_{ri}_e")
+        conv_block(f"{mod}.conv_dw", f"b{bi}_{ri}_d")
+        conv_block(f"{mod}.project", f"b{bi}_{ri}_p", prelu=False)
+    conv_block("conv_6_sep", "head")
+    conv_block("conv_6_dw", "gdconv", prelu=False)
+    conv_block("linear", "out", prelu=False, linear_tail=True)
+    return sd
+
+
+class TestInsightFaceLayout:
+    """VERDICT r3 #6a: the importer maps a checkpoint users actually
+    have — InsightFace_Pytorch naming, module nesting, and the 2-D
+    Linear + BatchNorm1d tail."""
+
+    def test_import_via_torch_file_and_load(self, tmp_path):
+        import torch
+
+        from face_detection_tflite_tpu.models.embedding import (
+            FaceEmbedding, build_mobilefacenet)
+        from import_weights import import_mobilefacenet
+        sd = _insightface_state_dict()
+        ckpt = tmp_path / "model_mobilefacenet.pth"
+        torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v))
+                                   for k, v in sd.items()}}, ckpt)
+        params = import_mobilefacenet(str(ckpt))
+        template = build_mobilefacenet().params
+        assert set(params) == set(template)
+        for k in template:
+            assert params[k].shape == template[k].shape, k
+        npz = tmp_path / "mobilefacenet.npz"
+        np.savez_compressed(npz, **params)
+        emb = FaceEmbedding.load(str(npz))
+        img = np.random.default_rng(0).integers(
+            0, 255, (200, 200, 3), dtype=np.uint8)
+        vec = emb.embed(img, (60.0, 90.0), (140.0, 90.0))
+        assert vec.shape == (192,)
+        assert np.isfinite(vec).all()
+        np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-5)
+
+    def test_linear_tail_folds_like_conv(self):
+        """The 2-D tail must fold to the same values as the equivalent
+        1x1-conv form of the same checkpoint."""
+        from import_weights import import_mobilefacenet_state_dict
+        sd = _insightface_state_dict()
+        as_conv = dict(sd)
+        as_conv["linear.conv.weight"] = \
+            as_conv.pop("linear.weight")[:, :, None, None]
+        # nest the tail BN so it reads as a conv block
+        for s in ("weight", "bias", "running_mean", "running_var",
+                  "num_batches_tracked"):
+            as_conv[f"linear.bn.{s}"] = as_conv.pop(f"bn.{s}")
+        a = import_mobilefacenet_state_dict(sd)
+        b = import_mobilefacenet_state_dict(as_conv)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 class TestFoldBn:
     def test_fold_matches_direct_computation(self):
         rng = np.random.default_rng(1)

@@ -101,8 +101,14 @@ def import_mobilefacenet_state_dict(state_dict) -> dict:
 
     bn_keys = {f"{p}.{s}" for p in bn_prefixes
                for s in ("weight", "bias", "running_mean", "running_var")}
-    convs = [(k, v) for k, v in items
-             if v.ndim == 4 and k.endswith(".weight")]
+    # 4-D tensors are convs; a 2-D `.weight` is a final nn.Linear (the
+    # InsightFace_Pytorch MobileFaceNet tail: Linear + BatchNorm1d) —
+    # mathematically a 1x1 conv, so reshape (out, in) -> OIHW and fold
+    # its BN exactly like the convs.
+    convs = [(k, v if v.ndim == 4 else v[:, :, None, None])
+             for k, v in items
+             if v.ndim in (2, 4) and k.endswith(".weight")
+             and k not in bn_keys]
     # 1-D tensors that are neither BN components nor conv biases = PReLU
     # slopes (MobileFaceNet convs carry no bias pre-fold).
     prelus = [(k, v) for k, v in items
