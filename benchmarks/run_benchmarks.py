@@ -435,6 +435,14 @@ def main():
         det.detect_faces_batch(fresh(), FaceDetectionMode.FULL)
     results["stage_timings_ms"] = det.timings.report()
 
+    # Merge-write: preserve configs produced by the sibling harnesses
+    # (serve_http_bench.py -> serving_http*, soak.py -> serving_soak)
+    # rather than clobbering the file.
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        for k, v in prev.get("configs", {}).items():
+            results["configs"].setdefault(k, v)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))

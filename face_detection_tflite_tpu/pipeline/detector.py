@@ -1158,7 +1158,7 @@ class FaceDetector:
 
         The TPU analog of the reference's decode-reuse cache
         (face_detector.dart:1390-1430, "saves ~16 ms at 12 MP"): on
-        remote-attached devices a 1280x853 upload costs ~76 ms
+        remote-attached devices a 1280x853 upload costs ~90 ms
         (benchmarks/results.json `h2d_single_image`), and the
         detect->embed flow otherwise pays it twice.
 

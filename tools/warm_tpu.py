@@ -65,6 +65,16 @@ def main() -> int:
         t0 = time.time()
         det.detect_faces_batch(np.array(batch), mode)
         log(f"bench {mode.name:8s} b={args.batch}: {time.time()-t0:.1f}s")
+    # The HTTP micro-batcher drains into the batch-bucket ladder; warm
+    # the smaller STANDARD buckets so serve_http_bench / FaceServer cold
+    # starts don't compile during traffic.
+    for b in (1, 2, 4, 8):
+        if b < args.batch:
+            t0 = time.time()
+            det.detect_faces_batch(
+                np.array(np.broadcast_to(img, (b,) + img.shape)),
+                FaceDetectionMode.STANDARD)
+            log(f"bucket standard b={b}: {time.time()-t0:.1f}s")
     det.dispose()
 
     # Driver entry program (single-chip compile check shape).
