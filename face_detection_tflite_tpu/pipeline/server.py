@@ -73,9 +73,12 @@ class _Batcher:
     One dispatch thread owns the detector's detect path.  Requests queue
     as (image, mode, flags, Future); the thread drains whatever arrived
     within ``window_ms`` of the first item (capped at ``max_batch``),
-    groups by (image shape, mode), and runs one ``detect_faces_batch``
-    per group.  A lone request therefore waits at most ``window_ms``;
-    concurrent same-shape requests ride one program execution.
+    groups by (image shape, mode), and submits one batched execution per
+    group — through ``pool_for_mode``'s executor (ServingPipeline or
+    ReplicaPool; groups dispatch asynchronously and overlap) when given,
+    else a synchronous ``detect_faces_batch`` on this thread.  A lone
+    request therefore waits at most ``window_ms``; concurrent same-shape
+    requests ride one program execution.
     """
 
     def __init__(self, detector, window_ms: float = 4.0,
@@ -233,7 +236,7 @@ class FaceServer:
         self._batcher = _Batcher(
             detector, batch_window_ms, max_batch,
             metrics={"batch_size": self._m_batch},
-            pool_for_mode=self._pool_for_mode if self._devices else None)
+            pool_for_mode=self._executor_for_mode)
         # Non-batched detector entry points (segment/embed/combined) are
         # serialized against each other; the detect path is owned by the
         # batcher thread.  (The fused programs are pure — this lock only
@@ -242,20 +245,32 @@ class FaceServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._serve_thread: Optional[threading.Thread] = None
 
-    def _pool_for_mode(self, mode: FaceDetectionMode):
-        """Lazy per-mode ReplicaPool over ``self._devices``."""
+    def _executor_for_mode(self, mode: FaceDetectionMode):
+        """Lazy per-mode batch executor: a ReplicaPool over
+        ``self._devices`` for multi-chip serving, else a ServingPipeline
+        on the default device.  Either way the batcher's shape-groups
+        dispatch ASYNCHRONOUSLY (futures resolve from the executor's
+        worker), so batch N+1's decode/H2D/dispatch overlaps batch N's
+        compute+readback instead of serializing on the batcher thread —
+        measured 9.96 vs 11.85 img/s HTTP-vs-raw before this
+        (results.json serving_http/serving_http_raw, round 4)."""
         with self._pools_lock:
             if self._pools_closed:
                 # A batcher thread that outlived close()'s join timeout
-                # must not create a pool nobody will ever shut down; the
-                # error resolves that group's request futures.
+                # must not create an executor nobody will ever shut
+                # down; the error resolves that group's request futures.
                 raise RuntimeError("server is closed")
-            pool = self._pools.get(mode)
-            if pool is None:
-                from ..parallel.replica import ReplicaPool
-                pool = self._pools[mode] = ReplicaPool(
-                    self._det, devices=self._devices, mode=mode)
-            return pool
+            ex = self._pools.get(mode)
+            if ex is None:
+                if self._devices:
+                    from ..parallel.replica import ReplicaPool
+                    ex = ReplicaPool(self._det, devices=self._devices,
+                                     mode=mode)
+                else:
+                    from .serving import ServingPipeline
+                    ex = ServingPipeline(self._det, mode, depth=2)
+                self._pools[mode] = ex
+            return ex
 
     # -- lifecycle -----------------------------------------------------------
 
