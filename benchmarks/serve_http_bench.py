@@ -239,9 +239,12 @@ def main():
         results["serving_http_raw"] = {
             "batch_size": bsz,
             "images_per_sec": round(done / dt, 2),
-            "note": "same decoded pixels via raw ServingPipeline "
-                    "(host-numpy batches, no HTTP/decode/batcher); the "
-                    "gap to serving_http.req_per_sec is the HTTP layer",
+            "note": "same decoded pixels via one raw ServingPipeline "
+                    "submitter (host-numpy batches, no HTTP/decode/"
+                    "batcher) — the overhead comparator; since r4 the "
+                    "server itself runs groups through a pipelined "
+                    "executor and can exceed this single-submitter "
+                    "number",
         }
         print(json.dumps({"serving_http_raw": results["serving_http_raw"]},
                          indent=1), file=sys.stderr)
