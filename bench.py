@@ -48,8 +48,8 @@ def calibrate_peak_gflops(precision: str) -> float:
     precision tier — the denominator for the utilization figures below.
 
     Calibrated in the same run because the relay's delivered throughput
-    (~50-100 GFLOP/s, CLAUDE.md) is orders of magnitude below real v5e
-    peak and drifts; a datasheet constant would make `utilization`
+    (measured ~5 TFLOP/s dense-matmul peak, CLAUDE.md) is far below real
+    v5e peak and drifts; a datasheet constant would make `utilization`
     fiction.  Unique inputs per timed call (the relay memoizes identical
     calls); best-of over sizes/iters since peak is a max, not a mean.
     """
@@ -189,15 +189,32 @@ def main():
     # serving-only block after the mode rounds would reintroduce the
     # cross-block relay-drift artifact interleaving exists to kill
     # (the headline takes max(standard, serving)).
-    def time_serving(pipe):
-        total = 0.0
-        for staged in stage_chunks(iters):
-            t0 = time.perf_counter()
-            futs = [pipe.submit(imgs) for imgs in staged]
-            for fu in futs:
-                fu.result()
-            total += time.perf_counter() - t0
-        return total / iters
+    #
+    # COMPLETION-TIMESTAMP form (round 4).  Two earlier forms were both
+    # biased: chunk-staging drained the pipeline every `iters` batches
+    # (un-overlapped tail ~17% — 389.9 vs the 12-min soak's 472.8
+    # faces/s), while naive submission timing over-reads by the
+    # pipeline's internal buffering (queue depth 3 + worker pending 4 ≈ 7
+    # batches regenerate between interleaved samples; measured a
+    # fictitious 619 faces/s).  Each sample now submits a stream and
+    # derives the rate from COMPLETION timestamps after the first
+    # `skip` > buffer completions — pure steady-state inter-completion
+    # rate, cross-checked against the long-soak number
+    # (results.json serving_soak).
+    def time_serving(pipe, n=16, skip=9, depth=3):
+        times: list = []
+        window: list = []
+        for _ in range(n):
+            fut = pipe.submit(next_images())
+            fut.add_done_callback(
+                lambda f: times.append(time.perf_counter()))
+            window.append(fut)
+            while len(window) > depth:
+                window.pop(0).result()
+        for fu in window:
+            fu.result()
+        times.sort()
+        return (times[-1] - times[skip - 1]) / (n - skip)
 
     # Interleaved rounds -> per-config median (robust to relay drift).
     samples = {mode: [] for mode in modes}
@@ -220,7 +237,7 @@ def main():
     nf = n_faces[FaceDetectionMode.STANDARD]
     dt_serve = float(np.median(serve_samples))
     log(f"serving : {dt_serve*1e3:7.2f} ms/batch  "
-        f"{nf/dt_serve:7.1f} faces/sec  "
+        f"{nf/dt_serve:7.1f} faces/sec  steady inter-completion rate  "
         f"(rounds: {[round(s*1e3, 1) for s in serve_samples]})")
 
     faces_per_sec = max(nf / dt_std, nf / dt_serve)

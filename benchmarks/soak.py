@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--minutes", type=float, default=12.0)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="downscale the frame by this factor (CPU-control "
+                         "runs need a high batch rate to resolve small "
+                         "per-batch growth)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = ap.parse_args()
@@ -59,6 +63,8 @@ def main():
     d = resolve_model_dir()
     img = load_image(os.path.join(os.path.dirname(d), "samples",
                                   "landmark-ex1.jpg"))
+    if args.scale > 1:
+        img = img[::args.scale, ::args.scale]
     h, w, _ = img.shape
     det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA, max_faces=16,
                        model_dir=d, precision="high")
@@ -126,6 +132,8 @@ def main():
     entry = {
         "duration_min": round((time.monotonic() - t_begin) / 60.0, 1),
         "batch": args.batch,
+        "frame": [h, w],
+        "batches_done": i,
         "faces_per_sec_steady": round(float(np.median(minutes)), 1),
         "faces_per_sec_per_minute": [round(m, 1) for m in minutes],
         "drift_last_vs_first_half": round(
