@@ -399,3 +399,62 @@ class TestFaceToDict:
         # fast mode still has the roll-only pose fallback
         assert "head_euler_angles" in d
         json.dumps(d)
+
+
+class TestPipelinedExecutorPath:
+    """Round 4: the default detect path routes shape-groups through a lazy
+    per-mode ServingPipeline (FaceServer._executor_for_mode) instead of a
+    synchronous detect_faces_batch on the batcher thread."""
+
+    def test_default_executor_is_serving_pipeline(self, server,
+                                                  landmark_jpeg):
+        from face_detection_tflite_tpu.pipeline.serving import (
+            ServingPipeline)
+        status, d = _post(f"{server.address}/v1/detect?mode=standard",
+                          landmark_jpeg)
+        assert status == 200 and len(d["faces"]) == 1
+        ex = server._pools.get(FaceDetectionMode.STANDARD)
+        assert isinstance(ex, ServingPipeline)
+
+    def test_pipeline_error_returns_500_and_server_survives(
+            self, landmark_jpeg):
+        """An exception inside the pipelined dispatch must resolve the
+        request futures (500 JSON), not wedge the executor; subsequent
+        requests succeed."""
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        orig = det._stream_dispatch
+        boom = {"on": False}
+
+        def patched(raw, mode, device=None):
+            if boom["on"]:
+                raise RuntimeError("injected dispatch failure")
+            return orig(raw, mode, device=device)
+
+        det._stream_dispatch = patched
+        srv = FaceServer(det, batch_window_ms=10.0).start()
+        try:
+            status, d = _post(f"{srv.address}/v1/detect", landmark_jpeg)
+            assert status == 200
+            boom["on"] = True
+            status, d = _post(f"{srv.address}/v1/detect", landmark_jpeg)
+            assert status == 500
+            assert "injected dispatch failure" in d["error"]
+            boom["on"] = False
+            status, d = _post(f"{srv.address}/v1/detect", landmark_jpeg)
+            assert status == 200 and len(d["faces"]) == 1
+        finally:
+            srv.close()
+            det.dispose()
+
+    def test_close_shuts_executors(self):
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        srv = FaceServer(det, batch_window_ms=5.0).start()
+        ex = srv._executor_for_mode(FaceDetectionMode.FAST)
+        srv.close()
+        with pytest.raises(RuntimeError):
+            ex.submit(np.zeros((1, 32, 32, 3), np.uint8))
+        with pytest.raises(RuntimeError):
+            srv._executor_for_mode(FaceDetectionMode.FULL)
+        det.dispose()
