@@ -144,6 +144,9 @@ def main():
     ap.add_argument("--replica", action="store_true",
                     help="also measure FaceServer(devices=[chip0])")
     ap.add_argument("--skip-raw", action="store_true")
+    ap.add_argument("--skip-http", action="store_true",
+                    help="skip the default-server phase (re-measure only "
+                         "raw/replica phases)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = ap.parse_args()
@@ -178,37 +181,39 @@ def main():
 
     results = {}
 
-    with FaceServer(det, max_batch=16) as server:
-        # settle: two sequential requests through the full HTTP path
-        drive(server.address, bodies, 1, 2.0)
-        lat, errs, elapsed = drive(server.address, bodies, args.clients,
-                                   args.duration)
-        conn = http.client.HTTPConnection(
-            server.address.split("//", 1)[1], timeout=60)
-        conn.request("GET", "/metrics")
-        metrics_text = conn.getresponse().read().decode()
-        conn.close()
-        hist = parse_histogram(metrics_text, "fdt_detect_batch_size")
-        lat_np = np.asarray(lat)
-        results["serving_http"] = {
-            "clients": args.clients,
-            "duration_s": round(elapsed, 1),
-            "requests": len(lat),
-            "errors": errs,
-            "req_per_sec": round(len(lat) / elapsed, 2),
-            "latency_ms_p50": round(float(np.percentile(lat_np, 50)), 1),
-            "latency_ms_p99": round(float(np.percentile(lat_np, 99)), 1),
-            "batch_size_mean": round(hist["mean"], 2),
-            "batch_size_median_bucket_le": hist_median_bucket(
-                hist["buckets"]),
-            "batch_size_histogram": hist["buckets"],
-            "note": "end-to-end on the relay-attached chip: JPEG decode + "
-                    "micro-batch + H2D + fused standard program + JSON; "
-                    "H2D link (~40 MB/s) is the cap (see "
-                    "serving_pipeline_jpeg)",
-        }
-        print(json.dumps({"serving_http": results["serving_http"]},
-                         indent=1), file=sys.stderr)
+    if not args.skip_http:
+        with FaceServer(det, max_batch=16) as server:
+            # settle: two sequential requests through the full HTTP path
+            drive(server.address, bodies, 1, 2.0)
+            lat, errs, elapsed = drive(server.address, bodies, args.clients,
+                                       args.duration)
+            conn = http.client.HTTPConnection(
+                server.address.split("//", 1)[1], timeout=60)
+            conn.request("GET", "/metrics")
+            metrics_text = conn.getresponse().read().decode()
+            conn.close()
+            hist = parse_histogram(metrics_text, "fdt_detect_batch_size")
+            lat_np = np.asarray(lat)
+            results["serving_http"] = {
+                "clients": args.clients,
+                "duration_s": round(elapsed, 1),
+                "requests": len(lat),
+                "errors": errs,
+                "req_per_sec": round(len(lat) / elapsed, 2),
+                "latency_ms_p50": round(float(np.percentile(lat_np, 50)), 1),
+                "latency_ms_p99": round(float(np.percentile(lat_np, 99)), 1),
+                "batch_size_mean": round(hist["mean"], 2),
+                "batch_size_median_bucket_le": hist_median_bucket(
+                    hist["buckets"]),
+                "batch_size_histogram": hist["buckets"],
+                "note": "end-to-end on the relay-attached chip: JPEG decode + "
+                        "micro-batch + H2D + fused standard program + JSON; "
+                        "H2D link (~40 MB/s) is the cap (see "
+                        "serving_pipeline_jpeg)",
+            }
+            print(json.dumps({"serving_http": results["serving_http"]},
+                             indent=1), file=sys.stderr)
+
 
     if not args.skip_raw:
         # Raw comparator: same decoded pixels, host-numpy batches of the
@@ -216,7 +221,9 @@ def main():
         # decode, no batcher).
         from face_detection_tflite_tpu.utils.image import decode_image
         decoded = [decode_image(b) for b in bodies]
-        bsz = max(1, int(round(results["serving_http"]["batch_size_mean"])))
+        bsz = max(1, int(round(
+            results["serving_http"]["batch_size_mean"]))) \
+            if "serving_http" in results else 8
         batches = [np.stack([decoded[(i + j) % len(decoded)]
                              for j in range(bsz)])
                    for i in range(0, 4 * len(decoded), bsz)]
@@ -257,7 +264,7 @@ def main():
             # jit cache entries, so it compiles separately from the
             # default path (an unwarmed replica server spent its whole
             # first measurement window loading programs: 0.84 req/s).
-            pool = server._pool_for_mode(FaceDetectionMode.STANDARD)
+            pool = server._executor_for_mode(FaceDetectionMode.STANDARD)
             for b in (1, 2, 4, 8, 16):
                 pool.submit(np.stack([img] * b)).result()
                 print(f"warmed replica batch bucket {b}", file=sys.stderr)
