@@ -92,10 +92,11 @@ class ReplicaPool:
                     for d, a, s in zip(self._devices, self._accepted,
                                        self._skipped)]
 
-    def submit(self, images) -> Future:
+    def submit(self, images, orig_sizes=None) -> Future:
         """Enqueues one batch on the next chip (round-robin); returns a
         Future of list[list[Face]].  Accepts what ServingPipeline.submit
-        accepts (encoded bytes list / numpy / device array).
+        accepts (encoded bytes list / numpy / device array, plus
+        ``orig_sizes`` for bucket-padded mixed-size batches).
 
         A replica whose bounded queue is full (slow — or wedged, which
         the TPU relay is documented to do) is SKIPPED in favor of the
@@ -115,14 +116,14 @@ class ReplicaPool:
             self._next = (self._next + 1) % len(self._pipes)
         for i in range(len(self._pipes)):
             k = (start + i) % len(self._pipes)
-            fut = self._pipes[k].try_submit(images)
+            fut = self._pipes[k].try_submit(images, orig_sizes=orig_sizes)
             if fut is not None:
                 with self._lock:
                     self._accepted[k] += 1
                 return fut
             with self._lock:
                 self._skipped[k] += 1
-        fut = self._pipes[start].submit(images)
+        fut = self._pipes[start].submit(images, orig_sizes=orig_sizes)
         with self._lock:
             self._accepted[start] += 1
         return fut

@@ -1014,14 +1014,19 @@ class FaceDetector:
                 cache[device] = jax.device_put(self._params, device)
             return cache[device]
 
-    def _stream_dispatch(self, raw, mode: FaceDetectionMode, device=None):
+    def _stream_dispatch(self, raw, mode: FaceDetectionMode, device=None,
+                         orig_sizes=None):
         """Prepares a batch and dispatches its first-phase program
         (non-blocking).  Returns an opaque handle for
         :meth:`_stream_finish`; None marks an empty batch.
 
         ``device`` pins this batch's compute to one chip (weights from
         :meth:`_replica_params`); incompatible with ``data_parallel``
-        (which shards each batch over the whole mesh instead)."""
+        (which shards each batch over the whole mesh instead).
+        ``orig_sizes`` carries per-image (w, h) when the caller
+        pre-padded mixed-size images into one shared bucket (the serving
+        executors' mixed-size consolidation) — coordinates rescale to
+        each image's own size in :meth:`_stream_finish`."""
         self._check_disposed()
         prep = self._prepare_batch(raw)
         if prep is None:
@@ -1044,14 +1049,14 @@ class FaceDetector:
                 det, pad_b = self._dispatch_full(images, mode,
                                                  params=params)
         return (images, det, pad_b, b, images.shape[1], images.shape[2],
-                wh)
+                list(orig_sizes) if orig_sizes is not None else [wh] * b)
 
     def _stream_finish(self, item, mode: FaceDetectionMode
                        ) -> list[list[Face]]:
         """Blocks on a :meth:`_stream_dispatch` handle and builds faces."""
         if item is None:  # order-preserving marker for an empty batch
             return []
-        images, det, pad_b, b, bh, bw, wh = item
+        images, det, pad_b, b, bh, bw, orig_sizes = item
         if self.adaptive:
             out = self._finish_speculative(images, det, mode)
             if next(iter(out.values())).shape[0] > b:
@@ -1062,7 +1067,7 @@ class FaceDetector:
                 # before the packed readback (see detect_faces_batch).
                 det = {k: v[:b] for k, v in det.items()}
             out = self._fetch(det, self._readback_scale(bh, bw))
-        return self._postprocess_slab(out, b, bh, bw, [wh] * b, mode)
+        return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
 
     @staticmethod
     def _batch_bucket(b: int) -> int:

@@ -137,22 +137,42 @@ class _Batcher:
             if first is None:
                 break
             items = self._drain(first)
+            # With a bucket_images detector, MIXED-size requests sharing a
+            # size bucket consolidate into ONE padded batch (per-image
+            # true sizes ride along for the coordinate rescale); exact
+            # shapes group separately otherwise.
+            bfn = (self._det._bucket
+                   if getattr(self._det, "bucket_images", False) else None)
             groups: dict = {}
             for img, mode, fut in items:
-                groups.setdefault((img.shape, mode), []).append((img, fut))
+                key = (((bfn(img.shape[0]), bfn(img.shape[1])), mode)
+                       if bfn else (img.shape, mode))
+                groups.setdefault(key, []).append((img, fut))
             for (shape, mode), members in groups.items():
-                imgs = np.stack([m[0] for m in members])
+                sizes = None
+                if bfn:
+                    kh, kw = shape
+                    imgs = np.stack([
+                        np.pad(m[0], ((0, kh - m[0].shape[0]),
+                                      (0, kw - m[0].shape[1]), (0, 0)))
+                        for m in members])
+                    sizes = [(m[0].shape[1], m[0].shape[0])
+                             for m in members]
+                else:
+                    imgs = np.stack([m[0] for m in members])
                 hist = self._metrics.get("batch_size")
                 if hist is not None:
                     hist.observe(len(members))
                 try:
                     if self._pool_for_mode is not None:
                         self._pool_for_mode(mode).submit(
-                            imgs).add_done_callback(
+                            imgs, orig_sizes=sizes).add_done_callback(
                                 lambda pf, members=members:
                                     _resolve_group(pf, members))
                         continue  # resolves asynchronously, per chip
-                    results = self._det.detect_faces_batch(imgs, mode)
+                    results = (self._det.detect_faces_batch(
+                        imgs, mode, _orig_sizes=sizes) if sizes else
+                        self._det.detect_faces_batch(imgs, mode))
                 except Exception as e:  # noqa: BLE001 — resolve futures
                     for _, fut in members:
                         if not fut.cancelled():

@@ -76,7 +76,7 @@ class ServingPipeline:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, images) -> Future:
+    def submit(self, images, orig_sizes=None) -> Future:
         """Enqueues a batch; returns a Future of list[list[Face]] (or
         list[(list[Face], SegmentationMask)] with ``with_segmentation``).
 
@@ -84,17 +84,23 @@ class ServingPipeline:
         [B, H, W, 3] batch, or an already device-resident jax array.
         Decode and the H2D transfer happen on the caller thread so they
         overlap the device compute of earlier batches.
+        ``orig_sizes`` (list of per-image (w, h)) marks a batch whose
+        images were pre-padded into one shared size bucket — outputs
+        rescale to each image's own dimensions (mixed-size serving).
         """
-        return self._submit_impl(images, block=True)
+        return self._submit_impl(images, block=True,
+                                 orig_sizes=orig_sizes)
 
-    def try_submit(self, images) -> Optional[Future]:
+    def try_submit(self, images, orig_sizes=None) -> Optional[Future]:
         """Like :meth:`submit`, but returns None instead of blocking when
         the bounded queue is full (ReplicaPool uses this to fail over to
         another chip's pipeline rather than stalling every stream behind
         one slow/wedged replica)."""
-        return self._submit_impl(images, block=False)
+        return self._submit_impl(images, block=False,
+                                 orig_sizes=orig_sizes)
 
-    def _submit_impl(self, images, block: bool) -> Optional[Future]:
+    def _submit_impl(self, images, block: bool,
+                     orig_sizes=None) -> Optional[Future]:
         if isinstance(images, (list, tuple)) and images and \
                 isinstance(images[0], (bytes, bytearray)):
             from ..utils.image import decode_images
@@ -122,10 +128,10 @@ class ServingPipeline:
             if self._closed:
                 raise RuntimeError("ServingPipeline is closed")
             if block:
-                self._q.put((images, fut))
+                self._q.put((images, orig_sizes, fut))
             else:
                 try:
-                    self._q.put_nowait((images, fut))
+                    self._q.put_nowait((images, orig_sizes, fut))
                 except queue.Full:
                     return None
         return fut
@@ -161,7 +167,7 @@ class ServingPipeline:
                 continue
             if item is None:
                 break
-            images, fut = item
+            images, orig_sizes, fut = item
             # Transition QUEUED -> RUNNING; a Future the caller cancelled
             # while queued is skipped here.  Once RUNNING, cancel() can no
             # longer succeed, so the set_result/set_exception in
@@ -177,8 +183,9 @@ class ServingPipeline:
                     if self._with_segmentation and images.shape[0]
                     else None)
                 pending.append(
-                    (fut, self._det._stream_dispatch(images, self._mode,
-                                                     device=self._device),
+                    (fut, self._det._stream_dispatch(
+                        images, self._mode, device=self._device,
+                        orig_sizes=orig_sizes),
                      seg_handle))
             except Exception as e:
                 fut.set_exception(e)

@@ -305,7 +305,8 @@ class TestReplicaPool:
         class SlowDet:
             _segmentation = None
 
-            def _stream_dispatch(self, raw, mode, device=None):
+            def _stream_dispatch(self, raw, mode, device=None,
+                                 orig_sizes=None):
                 entered.set()
                 release.wait(30)
                 return ("h", len(raw))
@@ -342,7 +343,7 @@ class TestReplicaPool:
                 self.accepted = 0
                 self.forced = 0
 
-            def try_submit(self, images):
+            def try_submit(self, images, orig_sizes=None):
                 if self.full:
                     return None
                 self.accepted += 1
@@ -350,7 +351,7 @@ class TestReplicaPool:
                 f.set_result([[] for _ in range(len(images))])
                 return f
 
-            def submit(self, images):  # the blocking fallback
+            def submit(self, images, orig_sizes=None):  # blocking fallback
                 self.forced += 1
                 f = _F()
                 f.set_result([[] for _ in range(len(images))])
@@ -512,9 +513,9 @@ class TestReplicaLoadMechanics:
         barrier = threading.Barrier(n, timeout=120)
         orig = detector._stream_dispatch
 
-        def patched(raw, mode, device=None):
+        def patched(raw, mode, device=None, orig_sizes=None):
             barrier.wait()  # BrokenBarrierError -> future -> test failure
-            return orig(raw, mode, device=device)
+            return orig(raw, mode, device=device, orig_sizes=orig_sizes)
 
         detector._stream_dispatch = patched
         try:
@@ -543,11 +544,11 @@ class TestReplicaLoadMechanics:
         entered = threading.Event()  # chip-0 worker has DEQUEUED a batch
         orig = detector._stream_dispatch
 
-        def patched(raw, mode, device=None):
+        def patched(raw, mode, device=None, orig_sizes=None):
             if device == devs[0]:
                 entered.set()
                 assert wedge.wait(300), "test wedge never released"
-            return orig(raw, mode, device=device)
+            return orig(raw, mode, device=device, orig_sizes=orig_sizes)
 
         detector._stream_dispatch = patched
         # Batch i carries (i % 3) + 1 images: result lengths later prove

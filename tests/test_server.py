@@ -426,10 +426,10 @@ class TestPipelinedExecutorPath:
         orig = det._stream_dispatch
         boom = {"on": False}
 
-        def patched(raw, mode, device=None):
+        def patched(raw, mode, device=None, orig_sizes=None):
             if boom["on"]:
                 raise RuntimeError("injected dispatch failure")
-            return orig(raw, mode, device=device)
+            return orig(raw, mode, device=device, orig_sizes=orig_sizes)
 
         det._stream_dispatch = patched
         srv = FaceServer(det, batch_window_ms=10.0).start()
@@ -458,3 +458,66 @@ class TestPipelinedExecutorPath:
         with pytest.raises(RuntimeError):
             srv._executor_for_mode(FaceDetectionMode.FULL)
         det.dispose()
+
+
+class TestMixedSizeConsolidation:
+    """With a bucket_images detector, mixed-size requests sharing a size
+    bucket ride ONE padded device batch (per-image sizes rescale the
+    outputs)."""
+
+    def test_two_sizes_one_batch(self):
+        import io
+        import threading as _t
+
+        from PIL import Image
+
+        from face_detection_tflite_tpu.pipeline.serving import (
+            ServingPipeline)
+        det = FaceDetector(model=FaceDetectionModel.SHORT_RANGE,
+                           model_dir=MODELS_DIR, bucket_images=True)
+        base = Image.open(os.path.join(SAMPLES, "landmark-ex1.jpg"))
+
+        def jpeg(size):
+            buf = io.BytesIO()
+            base.convert("RGB").resize(size).save(buf, format="JPEG",
+                                                  quality=92)
+            return buf.getvalue()
+
+        a, b = jpeg((320, 214)), jpeg((300, 240))  # both -> 256x512 bucket
+        srv = FaceServer(det, batch_window_ms=250.0).start()
+        try:
+            results = {}
+
+            def post(name, body):
+                results[name] = _post(
+                    f"{srv.address}/v1/detect?mode=standard", body)
+
+            threads = [_t.Thread(target=post, args=("a", a)),
+                       _t.Thread(target=post, args=("b", b))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(300)
+            for name, (status, d) in results.items():
+                assert status == 200, (name, d)
+                assert len(d["faces"]) == 1, name
+                bb = d["faces"][0]["bounding_box"]
+                # normalized to each image's OWN size, not the bucket
+                assert 0.0 < bb["xmin"] < bb["xmax"] <= 1.0
+                assert 0.0 < bb["ymin"] < bb["ymax"] <= 1.0
+            # consolidation: one batched execution of size 2 (histogram
+            # observes member count per group)
+            child = srv._m_batch._self_child()
+            assert child.total == 2.0 and child.n == 1, (
+                child.total, child.n)
+            # parity vs the direct single-image path
+            direct = det.detect_faces_from_bytes(
+                a, FaceDetectionMode.STANDARD)
+            got = results["a"][1]["faces"][0]["bounding_box"]
+            assert got["xmin"] == pytest.approx(
+                direct[0].bounding_box.xmin, abs=1e-4)
+            ex = srv._pools.get(FaceDetectionMode.STANDARD)
+            assert isinstance(ex, ServingPipeline)
+        finally:
+            srv.close()
+            det.dispose()
