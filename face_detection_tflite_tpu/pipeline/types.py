@@ -313,6 +313,8 @@ class FaceBlendshapes:
     def __getitem__(self, b) -> float:
         if isinstance(b, Blendshape):
             return float(self.scores[b.value])
+        if isinstance(b, str):
+            return self.by_name(b)
         return float(self.scores[b])
 
     def by_name(self, name: str) -> float:

@@ -346,6 +346,22 @@ class TestTypes:
         assert face.left_eye_open_probability == pytest.approx(0.7)
         assert face.right_eye_open_probability == pytest.approx(1.0)
 
+    def test_blendshape_string_indexing(self):
+        """`face.blendshapes["jawOpen"]` — the docs/API.md-advertised string
+        form must match enum and int indexing (regression: __getitem__ only
+        handled enum/int)."""
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        scores = np.zeros(52, np.float32)
+        scores[Blendshape.jawOpen.value] = 0.42
+        face = Face(det, None, np.zeros((0, 3)), (100, 100),
+                    blendshape_scores=scores)
+        bs = face.blendshapes
+        assert bs["jawOpen"] == pytest.approx(0.42)
+        assert bs[Blendshape.jawOpen] == bs["jawOpen"] == bs[
+            Blendshape.jawOpen.value]
+        with pytest.raises(ValueError):
+            bs["notABlendshape"]
+
     def test_tracking_id_attach(self):
         det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
         face = Face(det, None, np.zeros((0, 3)), (100, 100))
