@@ -48,10 +48,21 @@ def calibrate_peak_gflops(precision: str) -> float:
     precision tier — the denominator for the utilization figures below.
 
     Calibrated in the same run because the relay's delivered throughput
-    (measured ~5 TFLOP/s dense-matmul peak, CLAUDE.md) is far below real
-    v5e peak and drifts; a datasheet constant would make `utilization`
-    fiction.  Unique inputs per timed call (the relay memoizes identical
-    calls); best-of over sizes/iters since peak is a max, not a mean.
+    drifts and is far below real v5e peak; a datasheet constant would
+    make `utilization` fiction.
+
+    CHAINED-ENQUEUE form (round-4 correction): the first version timed
+    one matmul per `block_until_ready` and read ~5 TFLOP/s — but a
+    per-call sync on this relay charges a full ~20 ms round trip, which
+    DOMINATES a ~3 ms matmul and understated peak ~8x (measured: the
+    same matmul chains at 43+ TFLOP/s,
+    benchmarks/experiments/matmul_peak_probe.py), inflating every
+    utilization figure by the same factor.  This form enqueues a
+    dependency chain of matmuls (each consumes the previous output, so
+    the device serializes them and the relay cannot memoize — inputs
+    differ every step) and pays ONE hard host fetch at the end: the same
+    methodology every pipeline measurement here uses (docs/PERF.md
+    "Measurement methodology").
     """
     import jax
     import jax.numpy as jnp
@@ -60,20 +71,28 @@ def calibrate_peak_gflops(precision: str) -> float:
     # bulk of their matmul FLOPs run at the bf16x3 ("high") tier.
     prec = jax.lax.Precision(
         {"mixed": "high", "serving": "high"}.get(precision, precision))
+    n, chain = 4096, 32
+    base = jnp.ones((n, n), jnp.float32)
+
+    @jax.jit
+    def step(i, y):
+        # In-kernel input bump (no pre-staged buffer pool — 32 x 64 MB of
+        # live device buffers risks wedging the relay, CLAUDE.md) and a
+        # 1/n rescale so chained values stay ~1 instead of overflowing.
+        x = base.at[0, 0].set(i)
+        return jax.lax.dot(x, y, precision=prec) * (1.0 / n)
+
+    flops = 2.0 * n * n * n
+    y = step(jnp.float32(1.0), base)
+    np.asarray(y[:1, :1])  # compile + warm, HARD host sync
     best = 0.0
-    for n, iters in ((2048, 3), (4096, 2)):
-        a = jnp.ones((n, n), jnp.float32)
-        b = jnp.ones((n, n), jnp.float32)
-        f = jax.jit(lambda x, y: jax.lax.dot(x, y, precision=prec))
-        jax.block_until_ready(f(a, b))  # compile + warm
-        flops = 2.0 * n * n * n
-        for i in range(iters):
-            a = a.at[0, 0].set(float(i + 2))  # defeat the call memoizer
-            jax.block_until_ready(a)
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(a, b))
-            dt = time.perf_counter() - t0
-            best = max(best, flops / dt / 1e9)
+    for r in range(2):
+        t0 = time.perf_counter()
+        for i in range(chain):
+            y = step(jnp.float32(r * chain + i + 2), y)
+        np.asarray(y[:1, :1])  # one hard fetch syncs the whole chain
+        dt = time.perf_counter() - t0
+        best = max(best, flops * chain / dt / 1e9)
     return best
 
 
@@ -251,8 +270,10 @@ def main():
     # is a lower bound on device compute utilization.
     peak_gflops = calibrate_peak_gflops(precision)
     mfu = {"peak_gflops_measured": round(peak_gflops, 2),
-           "peak_probe": "best large-matmul GFLOP/s at the pipeline's "
-                         "MXU precision tier, same run/device"}
+           "peak_probe": "chained-enqueue large-matmul GFLOP/s at the "
+                         "pipeline's MXU precision tier, same run/device "
+                         "(per-call-sync form was RTT-polluted ~8x low; "
+                         "see benchmarks/experiments/matmul_peak_probe)"}
     for mode in modes:
         cr = det.cost_report((h, w), mode, batch_size=batch)
         achieved = cr["flops"] / med[mode] / 1e9
