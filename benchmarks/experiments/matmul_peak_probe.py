@@ -8,18 +8,21 @@ cost DOMINATES a ~3 ms 4096^2 matmul and understated the peak ~8x
 (5.1-5.7 TFLOP/s recorded vs 43+ TFLOP/s chained), inflating every
 recorded utilization figure by the same factor.
 
-Measured on the TPU v5 lite relay (2026-08-19, this script, IDLE host):
+Measured on the TPU v5 lite relay (2026-08-19, this script, IDLE host,
+best-of-2 chains; the recorded artifact is
+benchmarks/results.json `configs.device_peaks` — cite that, single
+chains jitter enough to reorder the bf16 tiers):
 
-  per-call sync, f32 precision=high .....   ~5.2 TFLOP/s  (RTT-bound)
-  chained f32 highest (fp32) ............   25.0 TFLOP/s  (5.50 ms/call)
-  chained f32 high (bf16x3) .............   44.8 TFLOP/s  (3.07 ms/call)
-  chained f32 default (bf16 passes) .....   57.8 TFLOP/s  (2.38 ms/call)
-  chained bf16 native operands ..........   83.5 TFLOP/s  (1.65 ms/call)
-  chained int8 x int8 -> int32 ..........   85.2 TFLOP/s  (1.61 ms/call)
+  per-call sync, f32 precision=high .....   ~5.5 TFLOP/s  (RTT-bound)
+  chained f32 highest (fp32) ............   26.5 TFLOP/s  (5.18 ms/call)
+  chained f32 high (bf16x3) .............   45.6 TFLOP/s  (3.01 ms/call)
+  chained f32 default (bf16 passes) .....   81.8 TFLOP/s  (1.68 ms/call)
+  chained bf16 native operands ..........   84.5 TFLOP/s  (1.63 ms/call)
+  chained int8 x int8 -> int32 .........    101.2 TFLOP/s  (1.36 ms/call)
 
-A proper precision ladder (fp32 : bf16x3 : bf16 ~ 1 : 1.8 : 2.3-3.3;
+A proper precision ladder (fp32 : bf16x3 : bf16 ~ 1 : 1.7 : 3.1;
 int8 fastest) — the MXU story one expects, delivered through the relay
-at ~42% of real-v5e native-bf16 peak.  int8 at 1.9x the "high" tier is
+at ~43% of real-v5e native-bf16 peak.  int8 at ~2.2x the "high" tier is
 a real-silicon opportunity for an int8 detector tier, but remains
 unshipped: the detector's conv block is overhead-bound on this relay
 (high 18.5 -> default-bf16 12.4 ms/batch measured — nowhere near the
@@ -42,8 +45,12 @@ Two measurement-methodology lessons this script witnesses:
    read as "pathological lowering" until re-measured cleanly.
 
 Run: python benchmarks/experiments/matmul_peak_probe.py
+     (--record merges the ladder into benchmarks/results.json as
+     ``device_peaks`` so the docs' peak claims are artifact-checkable)
 """
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -55,6 +62,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", action="store_true",
+                    help="merge the measured ladder into results.json "
+                         "as 'device_peaks'")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "results.json"))
+    args = ap.parse_args()
+
     from face_detection_tflite_tpu.utils.backend import ensure_backend
     ensure_backend()
     import jax
@@ -62,6 +77,7 @@ def main():
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}")
+    ladder = {}
     n = 4096
     flops = 2.0 * n * n * n
     base = jnp.ones((n, n), jnp.float32)
@@ -97,13 +113,21 @@ def main():
 
         y = step(jnp.float32(1.0), src)
         np.asarray(y[:1, :1])  # compile + warm, hard sync
-        t0 = time.perf_counter()
-        for i in range(chain):
-            y = step(jnp.float32(i + 2), y)
-        np.asarray(y[:1, :1])  # one hard fetch syncs the chain
-        dt = time.perf_counter() - t0
-        print(f"{tag:31s}: {flops * chain / dt / 1e9:9.1f} GFLOP/s "
-              f"({dt / chain * 1e3:.2f} ms/call, chain={chain})")
+        # Best-of-2 chains: relay jitter on a single chain is large
+        # enough to reorder adjacent tiers (observed: bf16-default and
+        # bf16-native swapping between ~53 and ~84 TFLOP/s run-to-run).
+        best_dt = float("inf")
+        for r in range(2):
+            t0 = time.perf_counter()
+            for i in range(chain):
+                y = step(jnp.float32(r * chain + i + 2), y)
+            np.asarray(y[:1, :1])  # one hard fetch syncs the chain
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        gflops = flops * chain / best_dt / 1e9
+        ladder[tag.strip()] = round(gflops, 1)
+        print(f"{tag:31s}: {gflops:9.1f} GFLOP/s "
+              f"({best_dt / chain * 1e3:.2f} ms/call, chain={chain}, "
+              f"best of 2)")
 
     inv_n = 1.0 / n  # keep chained values ~1 instead of overflowing
     for prec, tag in (
@@ -122,8 +146,26 @@ def main():
 
     # -- the shipped calibration (dependency-chained, bounded memory) -----
     from bench import calibrate_peak_gflops
+    shipped = calibrate_peak_gflops("high")
     print(f"calibrate_peak_gflops('high')  : "
-          f"{calibrate_peak_gflops('high'):9.1f} GFLOP/s (shipped form)")
+          f"{shipped:9.1f} GFLOP/s (shipped form)")
+
+    if args.record:
+        entry = {
+            "matmul_4096_gflops": ladder,
+            "shipped_calibration_high": round(shipped, 1),
+            "note": "chained-enqueue dense 4096^2 matmul, one hard fetch "
+                    "per 32-step chain, idle host; per-call-sync form is "
+                    "RTT-polluted ~8x low (see this script's docstring)",
+        }
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        merged.setdefault("configs", {})["device_peaks"] = entry
+        with open(args.out, "w") as f:
+            json.dump(merged, f, indent=1)
+        print(f"recorded device_peaks -> {args.out}")
 
 
 if __name__ == "__main__":
