@@ -1,7 +1,7 @@
 """face_detection_tflite_tpu — TPU-native MediaPipe-style face pipeline.
 
 A from-scratch JAX/XLA re-design of the capabilities of the
-`face_detection_tflite` Flutter package: BlazeFace detection (4 variants),
+`face_detection_tflite` Flutter package: BlazeFace detection (5 variants),
 468-pt FaceMesh, iris refinement, 52-coeff blendshapes, head pose, selfie
 segmentation, MobileFaceNet embeddings, gates, and temporal tracking — with
 every pipeline stage fused into batched XLA programs instead of

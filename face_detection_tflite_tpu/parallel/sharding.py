@@ -43,16 +43,22 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.device_put(batch, sh)
 
 
-def data_parallel(program, mesh: Mesh, axis_name: str = "data"):
+def data_parallel(program, mesh: Mesh, axis_name: str = "data",
+                  n_batch_args: int = 1):
     """Compiles a batched pipeline program for data-parallel execution.
 
-    ``program(params, images)`` must be the batched (vmapped) pipeline fn;
-    the returned callable expects the batch size to be divisible by the
-    mesh size.  Outputs stay sharded (one slab shard per chip) so host
-    materialization pulls only what it reads.
+    ``program(params, *batch_args)`` must be the batched (vmapped)
+    pipeline fn; the returned callable expects every batch argument's
+    leading axis to be divisible by the mesh size.  ``n_batch_args`` is
+    the number of batch-sharded arguments after params (1 for the fused
+    image program; 5 for the from_detections face-stage program, whose
+    images + detection slabs all shard on the batch axis).  Outputs stay
+    sharded (one slab shard per chip) so host materialization pulls only
+    what it reads.
     """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis_name))
 
     # A single sharding per argument broadcasts over that argument's pytree.
-    return jax.jit(program, in_shardings=(repl, shard), out_shardings=shard)
+    return jax.jit(program, in_shardings=(repl,) + (shard,) * n_batch_args,
+                   out_shardings=shard)

@@ -318,9 +318,17 @@ class FaceDetector:
             if len(_jax.devices()) > 1:
                 from ..parallel.sharding import make_mesh, shard_params
                 self._mesh = make_mesh()
-                self.adaptive = False
                 # Replicate the weights once; without this every call
-                # re-broadcasts the whole pytree to the mesh.
+                # re-broadcasts the whole pytree to the mesh.  The
+                # speculative (adaptive) fast path COMPOSES with the mesh:
+                # the fused slab program runs sharded, only det_count (one
+                # int/image) crosses to the host, the sticky bucket is the
+                # batch max across shards, and the rare overflow re-run
+                # dispatches the from_detections program sharded too —
+                # multi-chip users keep the reference's early-gating win
+                # (face_detector_core.dart:234-244, CHANGELOG 6.6.x
+                # 18->7 ms) instead of paying the full max_faces-slot
+                # per-face cost on every sharded batch (VERDICT r4 #1).
                 self._params = shard_params(self.models.params, self._mesh)
 
         self._programs: dict[tuple, object] = {}
@@ -619,10 +627,20 @@ class FaceDetector:
         key = (img_h, img_w, mode, "stage")
         with self._programs_lock:
             if key not in self._programs:
-                self._programs[key] = jax.jit(build_pipeline_program(
+                program = build_pipeline_program(
                     self.models, img_h, img_w, mode, from_detections=True,
                     with_embeddings=(self._embed_in_full and
-                                     mode == FaceDetectionMode.FULL)))
+                                     mode == FaceDetectionMode.FULL))
+                if self._mesh is not None:
+                    # The speculative overflow re-run shards like the main
+                    # program: images + the four detection-slab args all
+                    # partition on the batch axis (the slabs are already
+                    # device-resident shards from the sharded dispatch).
+                    from ..parallel.sharding import data_parallel as _dp
+                    self._programs[key] = _dp(program, self._mesh,
+                                              n_batch_args=5)
+                else:
+                    self._programs[key] = jax.jit(program)
             return self._programs[key]
 
     # -- speculative single-call dispatch ---------------------------------
@@ -657,7 +675,7 @@ class FaceDetector:
                 st["low"] = 0
 
     def _detect_adaptive(self, images, mode: FaceDetectionMode,
-                         _predispatched=None):
+                         _predispatched=None, real_b: Optional[int] = None):
         """Speculative single-call dispatch with sticky face buckets.
 
         ONE fused program computes detection (full max_faces NMS slab) and
@@ -670,20 +688,31 @@ class FaceDetector:
         round trip the round-1 two-phase path paid (docs/PERF.md).
         """
         handle = (_predispatched if _predispatched is not None else
-                  self._dispatch_speculative(images, mode))
+                  self._dispatch_speculative(images, mode, real_b=real_b))
         return self._finish_speculative(images, handle, mode)
 
     def _dispatch_speculative(self, images, mode: FaceDetectionMode,
-                              params=None):
+                              params=None, real_b: Optional[int] = None):
         """Dispatches the fused speculative program AND its packed
         device->host copy (both non-blocking), so a pipelined caller
         overlaps this batch's readback with the next batch's compute.
-        Returns an opaque (bucket, device slab, fetch handle, params)
-        tuple; ``params`` overrides the default-device weights for
-        replica (device-pinned) dispatch."""
+        Returns an opaque (bucket, device slab, fetch handle, params,
+        real_b) tuple; ``params`` overrides the default-device weights
+        for replica (device-pinned) dispatch.  ``real_b`` is the true
+        (pre-pad) batch size when the caller batch-bucket-padded
+        ``images``: pad rows are then sliced off ON DEVICE before the
+        packed readback, so their bytes never cross the relay (readback
+        is the measured bottleneck, BENCH_r02)."""
         if params is None:
             params = self._params
-        _, h, w, _ = images.shape
+        b, h, w, _ = images.shape
+        if self._mesh is not None:
+            # Explicit placement (like _dispatch_full) so the sharded
+            # program doesn't pay an implicit host->mesh transfer per
+            # call.  _prepare_batch already padded the batch to a mesh
+            # multiple.
+            from ..parallel.sharding import shard_batch
+            images = shard_batch(images, self._mesh)
         bucket = self._speculation_bucket(h, w, mode)
         with self.timings.stage(f"dispatch[slab{bucket}]"):
             det = self._program(h, w, mode, face_slab=bucket)(
@@ -695,13 +724,15 @@ class FaceDetector:
         # host then discarded unread.
         fetch = {k: v for k, v in det.items()
                  if k == "det_count" or not k.startswith("det_")}
+        if real_b is not None and real_b < b:
+            fetch = {k: v[:real_b] for k, v in fetch.items()}
         return bucket, det, self._fetch_async(
-            fetch, self._readback_scale(h, w)), params
+            fetch, self._readback_scale(h, w)), params, real_b
 
     def _finish_speculative(self, images, handle, mode: FaceDetectionMode):
         """Blocks on a speculative dispatch; re-runs the face stages on a
         wider slab iff an image overflowed the speculated bucket."""
-        bucket, det, fetch, params = handle
+        bucket, det, fetch, params, real_b = handle
         _, h, w, _ = images.shape
         # The wait on device compute and the device->host pull, timed as
         # ONE stage by default.  Splitting them (detailed_timings=True,
@@ -743,6 +774,11 @@ class FaceDetector:
                 params, images,
                 det["det_boxes"][:, :nb], det["det_raw_keypoints"][:, :nb],
                 det["det_scores"][:, :nb], det["det_valid"][:, :nb])
+        if real_b is not None and real_b < images.shape[0]:
+            # Same on-device pad-row trim as the primary readback: the
+            # overflow re-run ran on the padded batch (shapes must match
+            # the dispatched det slab), but pad rows stay off the wire.
+            out2 = {k: v[:real_b] for k, v in out2.items()}
         with self.timings.stage("face_readback"):
             return self._fetch(out2, self._readback_scale(h, w))
 
@@ -782,7 +818,14 @@ class FaceDetector:
                 # (4, 8, ...) still compile on first hit.
                 self.detect_faces_batch(dummy, mode)
                 prog = self._face_stage_program(h, w, mode)
-                b = dummy.shape[0]
+                # Warm at the PADDED batch the live overflow re-run will
+                # see (batch-bucket ladder, rounded to a mesh multiple
+                # under data_parallel — _finish_speculative receives
+                # _prepare_batch output).
+                b = self._batch_pad_target(dummy.shape[0])
+                warm_imgs = (jnp.pad(dummy, ((0, b - dummy.shape[0]),
+                                             (0, 0), (0, 0), (0, 0)))
+                             if b != dummy.shape[0] else dummy)
                 nf = min(2, self.max_faces)
                 boxes = jnp.tile(jnp.asarray(
                     [[[0.3, 0.3, 0.7, 0.7]]], jnp.float32), (b, nf, 1))
@@ -795,8 +838,9 @@ class FaceDetector:
                 # Use the PRODUCTION readback scale: warming the fp32
                 # packer while serving uses the quantized one would leave
                 # the first real overflow paying a cold packer compile.
-                self._fetch(prog(self._params, dummy, boxes, kp, scores,
-                                 valid), self._readback_scale(h, w))
+                self._fetch(prog(self._params, warm_imgs, boxes, kp,
+                                 scores, valid),
+                            self._readback_scale(h, w))
             else:
                 self.detect_faces_batch(dummy, mode)
         for d in devices or ():
@@ -869,7 +913,8 @@ class FaceDetector:
                       else [(w, h)] * b)
         if self.adaptive:
             out = self._detect_adaptive(images, mode,
-                                        _predispatched=_predispatched)
+                                        _predispatched=_predispatched,
+                                        real_b=b)
             if next(iter(out.values())).shape[0] > b:
                 out = {k: v[:b] for k, v in out.items()}  # batch-bucket pad
         else:
@@ -896,8 +941,7 @@ class FaceDetector:
         b, h, w, _ = images.shape
         if b == 0:
             return None
-        pad_rows = (self._batch_bucket(b) - b) if self.bucket_batches \
-            else 0
+        pad_rows = self._batch_pad_target(b) - b
         if self.bucket_images:
             hb, wb = self._bucket(h), self._bucket(w)
         else:
@@ -1043,7 +1087,8 @@ class FaceDetector:
             params = self._replica_params(device)
         pad_b = 0
         if self.adaptive:
-            det = self._dispatch_speculative(images, mode, params=params)
+            det = self._dispatch_speculative(images, mode, params=params,
+                                             real_b=b)
         else:
             with self.timings.stage("dispatch"):
                 det, pad_b = self._dispatch_full(images, mode,
@@ -1068,6 +1113,17 @@ class FaceDetector:
                 det = {k: v[:b] for k, v in det.items()}
             out = self._fetch(det, self._readback_scale(bh, bw))
         return self._postprocess_slab(out, b, bh, bw, orig_sizes, mode)
+
+    def _batch_pad_target(self, b: int) -> int:
+        """Post-pad batch size: the bucket-ladder size (when
+        bucket_batches), rounded up to a mesh multiple under
+        data_parallel — so BOTH dispatch paths (full and speculative)
+        receive shardable batches from _prepare_batch."""
+        t = self._batch_bucket(b) if self.bucket_batches else b
+        if self._mesh is not None:
+            n = int(self._mesh.devices.size)
+            t += (-t) % n
+        return t
 
     @staticmethod
     def _batch_bucket(b: int) -> int:
@@ -1251,7 +1307,19 @@ class FaceDetector:
             dev_batch = batch
             if self.adaptive and len(by_size) > 1:
                 dev_batch = jnp.asarray(batch)
-                pre = self._dispatch_speculative(dev_batch, mode)
+                # Pre-dispatch on the SAME batch-bucket-padded images that
+                # detect_faces_batch will prepare (its _prepare_batch is
+                # deterministic, so the padded values match exactly).
+                # Dispatching the raw group size instead would (a) compile
+                # one speculative program PER observed group size, defeating
+                # bucket_batches' compile bound, and (b) on face-count
+                # overflow hand _finish_speculative a det slab whose batch
+                # differs from the padded images — jax.vmap then raises
+                # "inconsistent sizes for array axes to be mapped"
+                # (ADVICE r4 high).
+                prep = self._prepare_batch(dev_batch)
+                pre = self._dispatch_speculative(prep[0], mode,
+                                                 real_b=prep[1])
             groups.append((idxs, dev_batch, sizes, pre))
         for idxs, dev_batch, sizes, pre in groups:
             faces_per = self.detect_faces_batch(

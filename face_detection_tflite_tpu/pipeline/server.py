@@ -149,21 +149,27 @@ class _Batcher:
                        if bfn else (img.shape, mode))
                 groups.setdefault(key, []).append((img, fut))
             for (shape, mode), members in groups.items():
-                sizes = None
-                if bfn:
-                    kh, kw = shape
-                    imgs = np.stack([
-                        np.pad(m[0], ((0, kh - m[0].shape[0]),
-                                      (0, kw - m[0].shape[1]), (0, 0)))
-                        for m in members])
-                    sizes = [(m[0].shape[1], m[0].shape[0])
-                             for m in members]
-                else:
-                    imgs = np.stack([m[0] for m in members])
-                hist = self._metrics.get("batch_size")
-                if hist is not None:
-                    hist.observe(len(members))
+                # The padding/stacking consolidation lives INSIDE the try:
+                # a malformed member (wrong rank/channels — unreachable via
+                # HTTP where decode_image guarantees HxWx3, but this thread
+                # must survive any caller) resolves that group's futures
+                # with the exception instead of killing the dispatch thread
+                # and wedging every later request.
                 try:
+                    sizes = None
+                    if bfn:
+                        kh, kw = shape
+                        imgs = np.stack([
+                            np.pad(m[0], ((0, kh - m[0].shape[0]),
+                                          (0, kw - m[0].shape[1]), (0, 0)))
+                            for m in members])
+                        sizes = [(m[0].shape[1], m[0].shape[0])
+                                 for m in members]
+                    else:
+                        imgs = np.stack([m[0] for m in members])
+                    hist = self._metrics.get("batch_size")
+                    if hist is not None:
+                        hist.observe(len(members))
                     if self._pool_for_mode is not None:
                         self._pool_for_mode(mode).submit(
                             imgs, orig_sizes=sizes).add_done_callback(

@@ -567,6 +567,54 @@ class TestBytesBatchPredispatch:
                                        atol=1e-3)
             assert bf[0].bounding_box == sf[0].bounding_box
 
+    def test_mixed_sizes_offladder_overflow(self):
+        """Regression (ADVICE r4 high): 3 multi-face JPEGs at one size +
+        1 at another, adaptive + bucket_batches defaults, FULL mode.
+        The off-ladder group of 3 batch-bucket-pads to 4; the
+        speculative pre-dispatch must run on that SAME padded batch —
+        it previously dispatched the raw group, so on face-count
+        overflow _finish_speculative paired padded images (batch 4)
+        with an unpadded det slab (batch 3) and jax.vmap raised
+        'inconsistent sizes for array axes to be mapped'."""
+        from PIL import Image
+        import io
+        group = Image.open(os.path.join(
+            SAMPLES, "group-shot-bounding-box-ex1.jpeg")).convert("RGB")
+
+        def jpg(im):
+            b = io.BytesIO()
+            im.save(b, "JPEG", quality=92)
+            return b.getvalue()
+
+        w, h = group.size
+        small = jpg(group.resize((w // 4, h // 4)))
+        other = jpg(group.resize((w // 5, h // 5)))
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        assert d.adaptive and d.bucket_batches  # the regression's defaults
+        res = d.detect_faces_from_bytes_batch(
+            [small, small, small, other], FaceDetectionMode.FULL)
+        assert len(res) == 4
+        # The group shot keeps several faces at quarter scale, so the
+        # 1-slot speculative bucket genuinely overflowed (re-run path).
+        assert all(len(r) >= 2 for r in res)
+        # Same-size entries rode one padded batch -> identical results.
+        assert res[0][0].bounding_box == res[1][0].bounding_box
+        d.dispose()
+
+    def test_speculative_pad_rows_trimmed_on_device(self):
+        """ADVICE r4 low: with real_b, batch-bucket pad rows are sliced
+        off ON DEVICE — they never enter the packed readback buffer."""
+        d = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                         model_dir=MODELS_DIR)
+        img = _img("landmark-ex1.jpg")
+        images, b, _ = d._prepare_batch(np.stack([img] * 3))  # pads to 4
+        assert images.shape[0] == 4 and b == 3
+        _, _, (buf, _, _, _), _, rb = d._dispatch_speculative(
+            images, FaceDetectionMode.STANDARD, real_b=b)
+        assert rb == 3 and buf.shape[0] == 3
+        d.dispose()
+
     def test_mixed_buckets_with_bucketing_enabled(self):
         """Predispatch composes with the bucket ladder: padded bucket
         batches still match per-image calls."""

