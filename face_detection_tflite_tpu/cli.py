@@ -135,6 +135,19 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--mode-warmup", default=None, metavar="WxH",
                    help="pre-compile fast/standard/full programs for a "
                         "WxH image bucket before the socket opens")
+    v.add_argument("--max-queue", type=int, default=128,
+                   help="bound on requests waiting for the batcher; "
+                        "beyond it detect/embed requests are shed with "
+                        "503 + Retry-After (0 = unbounded)")
+    v.add_argument("--recycle-after-batches", type=int, default=None,
+                   metavar="N",
+                   help="drain + rebuild the serving executors every N "
+                        "batched executions (listener stays up; compiled "
+                        "programs persist)")
+    v.add_argument("--max-rss-mb", type=float, default=None,
+                   help="recycle the serving executors whenever process "
+                        "RSS exceeds this many MB (long-soak remedy for "
+                        "relay-side H2D memory retention)")
     _add_common_detect_args(v)
 
     iw = sub.add_parser(
@@ -444,7 +457,10 @@ def _cmd_serve(args) -> int:
         det.warmup((h, w, 3), batch_size=1, devices=devices)
     server = FaceServer(det, host=args.host, port=args.port,
                         batch_window_ms=args.batch_window_ms,
-                        max_batch=args.max_batch, devices=devices).start()
+                        max_batch=args.max_batch, devices=devices,
+                        max_queue=args.max_queue,
+                        recycle_after_batches=args.recycle_after_batches,
+                        max_rss_mb=args.max_rss_mb).start()
     print(f"serving on {server.address}  "
           f"(POST /v1/detect, /v1/segment, /v1/embed; GET /metrics)"
           + (f"  [{len(devices)} detect replicas]" if devices else ""),

@@ -58,13 +58,20 @@ import numpy as np
 from .config import FaceDetectionMode
 from ..utils.metrics import MetricsRegistry
 
-__all__ = ["FaceServer"]
+__all__ = ["FaceServer", "ServerOverloaded"]
 
 _MODES = {"fast": FaceDetectionMode.FAST,
           "standard": FaceDetectionMode.STANDARD,
           "full": FaceDetectionMode.FULL}
 
 MAX_BODY_BYTES = 32 * 1024 * 1024
+
+
+class ServerOverloaded(RuntimeError):
+    """The bounded request queue is full: the server sheds this request
+    (HTTP 503 + Retry-After) instead of queueing without bound — under
+    sustained overload an unbounded queue grows RSS and every queued
+    request's latency monotonically, and nothing ever recovers."""
 
 
 class _Batcher:
@@ -79,37 +86,61 @@ class _Batcher:
     else a synchronous ``detect_faces_batch`` on this thread.  A lone
     request therefore waits at most ``window_ms``; concurrent same-shape
     requests ride one program execution.
+
+    ``max_queue`` > 0 bounds the waiting-request queue: a submit against
+    a full queue raises :class:`ServerOverloaded` (backpressure) rather
+    than growing the backlog without bound.  ``on_drain(n_groups)`` is
+    called on the dispatch thread after each drain's groups are
+    submitted — the FaceServer recycle hook (no group of THIS thread is
+    mid-flight there).
     """
 
     def __init__(self, detector, window_ms: float = 4.0,
                  max_batch: int = 16, metrics: Optional[dict] = None,
-                 pool_for_mode=None):
+                 pool_for_mode=None, max_queue: int = 0, on_drain=None):
         import queue
         self._det = detector
         self._window_s = window_ms / 1000.0
         self._max_batch = max_batch
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(0, max_queue))
         self._metrics = metrics or {}
         #: Optional mode -> ReplicaPool resolver (multi-chip serving):
         #: shape-groups are then submitted to the pool (non-blocking;
         #: member futures resolve from the pool future's callback)
         #: instead of running detect_faces_batch on this thread.
         self._pool_for_mode = pool_for_mode
+        self._on_drain = on_drain
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fdt-batcher")
         self._thread.start()
 
+    @property
+    def queue_depth(self) -> int:
+        return self._q.qsize()
+
     def submit(self, image: np.ndarray, mode: FaceDetectionMode) -> Future:
+        import queue
         if self._closed:
             raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._q.put((image, mode, fut))
+        try:
+            self._q.put_nowait((image, mode, fut))
+        except queue.Full:
+            raise ServerOverloaded(
+                f"request queue full ({self._q.maxsize} waiting); "
+                "retry later") from None
         return fut
 
     def close(self):
+        import queue
         self._closed = True
-        self._q.put(None)
+        while True:
+            try:
+                self._q.put(None, timeout=1.0)
+                break
+            except queue.Full:
+                continue  # the worker is draining; space frees up
         self._thread.join(timeout=10)
 
     def _drain(self, first):
@@ -187,6 +218,11 @@ class _Batcher:
                 for (_, fut), faces in zip(members, results):
                     if not fut.cancelled():
                         fut.set_result(faces)
+            if self._on_drain is not None:
+                try:
+                    self._on_drain(len(groups))
+                except Exception:  # noqa: BLE001 — the recycle hook must
+                    pass           # never kill the dispatch thread
         # resolve anything still queued after shutdown
         import queue
         while True:
@@ -217,6 +253,19 @@ def _flag(q: dict, name: str) -> bool:
     return v in ("1", "true", "yes")
 
 
+def _process_rss_mb() -> float:
+    """Resident set size of this process in MB (Linux /proc; 0.0 where
+    unavailable — pass an explicit rss_probe there)."""
+    try:
+        with open("/proc/self/status", encoding="ascii") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0
+
+
 class FaceServer:
     """Threaded HTTP server over a FaceDetector.
 
@@ -227,10 +276,34 @@ class FaceServer:
 
     def __init__(self, detector, host: str = "127.0.0.1", port: int = 0,
                  batch_window_ms: float = 4.0, max_batch: int = 16,
-                 devices=None):
+                 devices=None, max_queue: int = 128,
+                 recycle_after_batches: Optional[int] = None,
+                 max_rss_mb: Optional[float] = None, rss_probe=None):
         self._det = detector
         self._host = host
         self._requested_port = port
+        #: Backpressure bound: at most ``max_queue`` decoded requests wait
+        #: for the batcher (0 = unbounded).  Beyond it, detect/embed
+        #: requests are SHED with HTTP 503 + Retry-After instead of
+        #: queueing without bound — overload then costs the shed requests
+        #: only, while accepted ones keep bounded latency (measured:
+        #: benchmarks/serve_http_bench.py --clients ladder).
+        self._max_queue = max_queue
+        #: Worker-recycle knobs for long-running deployments: after
+        #: ``recycle_after_batches`` batched executions, or whenever
+        #: ``rss_probe()`` (default: /proc/self/status VmRSS, in MB)
+        #: exceeds ``max_rss_mb``, the serving executors are drained and
+        #: rebuilt between micro-batches and the detector's cached device
+        #: buffers dropped — the listener stays up and compiled programs
+        #: persist (in-process jit cache + the on-disk compile cache), so
+        #: the next request recreates executors in milliseconds.  This is
+        #: the in-framework remedy for the relay's per-H2D host memory
+        #: retention (docs/PERF.md "Soak": ~17 MB/min on re-upload
+        #: workloads; an axon artifact, not a framework leak).
+        self._recycle_after = recycle_after_batches
+        self._max_rss_mb = max_rss_mb
+        self._rss_probe = rss_probe or _process_rss_mb
+        self._batches_since_recycle = 0
         #: Multi-chip detect fan-out: with ``devices`` (a sequence of jax
         #: devices), each micro-batched shape-group rides a per-chip
         #: ReplicaPool pipeline (weights replicated per chip, round-robin
@@ -259,10 +332,21 @@ class FaceServer:
             "fdt_faces_detected_total", "Total faces returned")
         self._m_inflight = m.gauge(
             "fdt_requests_inflight", "Requests currently being handled")
+        self._m_queue = m.gauge(
+            "fdt_detect_queue_depth", "Requests waiting for the batcher")
+        self._m_shed = m.counter(
+            "fdt_requests_shed_total",
+            "Requests shed with 503 (bounded queue full)")
+        self._m_recycles = m.counter(
+            "fdt_worker_recycles_total",
+            "Serving-executor recycles (RSS bound / batch count)")
+        self._m_rss = m.gauge(
+            "fdt_process_rss_mb", "Process resident set size (MB)")
         self._batcher = _Batcher(
             detector, batch_window_ms, max_batch,
             metrics={"batch_size": self._m_batch},
-            pool_for_mode=self._executor_for_mode)
+            pool_for_mode=self._executor_for_mode,
+            max_queue=max_queue, on_drain=self._on_drain)
         # Non-batched detector entry points (segment/embed/combined) are
         # serialized against each other; the detect path is owned by the
         # batcher thread.  (The fused programs are pure — this lock only
@@ -297,6 +381,49 @@ class FaceServer:
                     ex = ServingPipeline(self._det, mode, depth=2)
                 self._pools[mode] = ex
             return ex
+
+    # -- worker recycle ---------------------------------------------------------
+
+    def _on_drain(self, n_groups: int) -> None:
+        """Batcher-thread hook after each drain's groups: updates the
+        queue/RSS gauges and recycles the serving executors when a bound
+        is crossed.  Runs between micro-batches on the dispatch thread,
+        so no group of this thread is mid-flight; executor close() drains
+        any asynchronously dispatched batches before returning."""
+        self._batches_since_recycle += n_groups
+        self._m_queue.set(self._batcher.queue_depth)
+        rss = None
+        if self._max_rss_mb is not None:
+            rss = float(self._rss_probe())
+            self._m_rss.set(rss)
+        if ((self._recycle_after is not None
+             and self._batches_since_recycle >= self._recycle_after)
+                or (rss is not None and rss > self._max_rss_mb)):
+            self.recycle()
+
+    def recycle(self) -> None:
+        """Drains and rebuilds the serving executors; the HTTP listener
+        stays up (VERDICT r4 #4).
+
+        In-flight executor batches finish (their close() joins the
+        worker), queued requests are untouched (they re-create executors
+        lazily on the next drain), weight pytrees persist on device, and
+        compiled programs persist in the detector's program cache — so a
+        recycle costs one executor rebuild (~ms), not a recompile.  Also
+        drops the detector's cached host/device frame buffers (the
+        one-entry decode/upload caches), the host-side state that can pin
+        relay buffers between requests."""
+        with self._pools_lock:
+            if self._pools_closed:
+                return
+            pools, self._pools = list(self._pools.values()), {}
+        for pool in pools:
+            pool.close()
+        det = self._det
+        det._devput_cache = None
+        det._decode_cache = None
+        self._batches_since_recycle = 0
+        self._m_recycles.inc()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -464,12 +591,15 @@ class FaceServer:
                 pass
 
             def _reply(self, status: int, payload, endpoint: str,
-                       t0: float, content_type="application/json"):
+                       t0: float, content_type="application/json",
+                       extra_headers=None):
                 body = (payload if isinstance(payload, bytes)
                         else json.dumps(payload).encode())
                 self.send_response(status)
                 self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 try:
                     self.wfile.write(body)
@@ -532,8 +662,13 @@ class FaceServer:
                     return
                 body = self.rfile.read(length)
                 server._m_inflight.inc()
+                extra = None
                 try:
                     status, payload = handler_fn(body, q)
+                except ServerOverloaded as e:  # bounded queue full: shed
+                    server._m_shed.inc()
+                    status, payload = 503, {"error": str(e)}
+                    extra = {"Retry-After": "1"}
                 except ValueError as e:       # decode / validation errors
                     status, payload = 400, {"error": str(e)}
                 except Exception as e:        # noqa: BLE001 — 500 boundary
@@ -541,6 +676,7 @@ class FaceServer:
                                                      f"{e}"}
                 finally:
                     server._m_inflight.dec()
-                self._reply(status, payload, endpoint, t0)
+                self._reply(status, payload, endpoint, t0,
+                            extra_headers=extra)
 
         return Handler
