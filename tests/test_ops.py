@@ -257,3 +257,71 @@ class TestResizeMatrix:
         ours = np.einsum("oh,hwc->owc", m, img)
         ref = cv2.resize(img, (32, out_s), interpolation=cv2.INTER_LINEAR)
         assert np.abs(ours - ref).max() < 1e-3
+
+
+class TestOpsCoverageGate:
+    """Direct exercises for op branches the pipeline-level suites reach
+    only indirectly (tools/coverage_gate.py targets)."""
+
+    def test_decode_accepts_2d_raw_scores(self):
+        """The detector graph emits [A, 1] logits; decode must accept
+        both that and the flat [A] form identically."""
+        rng = np.random.default_rng(0)
+        anchors = jnp.asarray(generate_anchors(SSD_FRONT))
+        raw_boxes = jnp.asarray(rng.normal(0, 10, (896, 16)),
+                                jnp.float32)
+        flat = jnp.asarray(rng.normal(0, 2, (896,)), jnp.float32)
+        a = decode_detections(raw_boxes, flat, anchors, 128.0)
+        b = decode_detections(raw_boxes, flat[:, None], anchors, 128.0)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_detection_postprocess_composes_stages(self):
+        """detection_postprocess == decode -> weighted NMS -> letterbox
+        removal (the documented one-call form)."""
+        from face_detection_tflite_tpu.ops.detections import (
+            detection_postprocess)
+        rng = np.random.default_rng(1)
+        anchors = jnp.asarray(generate_anchors(SSD_FRONT))
+        raw_boxes = jnp.asarray(rng.normal(0, 12, (896, 16)), jnp.float32)
+        raw_scores = jnp.asarray(rng.normal(0, 2, (896,)), jnp.float32)
+        padding = (0.1, 0.0, 0.1, 0.0)
+        got = detection_postprocess(raw_boxes, raw_scores, anchors, 128.0,
+                                    padding, max_detections=8)
+        boxes, kp, scores, valid = decode_detections(
+            raw_boxes, raw_scores, anchors, 128.0)
+        boxes, kp, scores, valid = weighted_nms(boxes, kp, scores, valid,
+                                                max_detections=8)
+        boxes, kp = remove_letterbox(boxes, kp, padding)
+        for x, y in zip(got, (boxes, kp, scores, valid)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_extract_rois_flip_x(self):
+        """flip_x mirrors the crop exactly (the right-eye iris path)."""
+        from face_detection_tflite_tpu.ops.warp import extract_rois
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.integers(0, 255, (64, 80, 3)), jnp.uint8)
+        cxs = jnp.asarray([40.0, 40.0])
+        cys = jnp.asarray([32.0, 32.0])
+        sizes = jnp.asarray([30.0, 30.0])
+        thetas = jnp.asarray([0.3, 0.3])
+        both = extract_rois(img, cxs, cys, sizes, thetas, out_size=16,
+                            flip_x=jnp.asarray([False, True]))
+        plain = extract_rois(img, cxs, cys, sizes, thetas, out_size=16)
+        np.testing.assert_array_equal(np.asarray(both[0]),
+                                      np.asarray(plain[0]))
+        np.testing.assert_array_equal(np.asarray(both[1]),
+                                      np.asarray(plain[1][:, ::-1, :]))
+
+    def test_segmentation_config_presets_and_validation(self):
+        from face_detection_tflite_tpu import SegmentationConfig
+        safe = SegmentationConfig.safe()
+        assert safe.precision == "highest" and safe.max_output_size == 1024
+        perf = SegmentationConfig.performance()
+        assert perf == SegmentationConfig()
+        fast = SegmentationConfig.fast()
+        assert fast.mask_dtype == "uint8"
+        with pytest.raises(ValueError, match="mask_dtype"):
+            SegmentationConfig(mask_dtype="float16")
+        with pytest.raises(ValueError, match="max_output_size"):
+            SegmentationConfig(max_output_size=0)

@@ -743,3 +743,166 @@ class TestSmootherStateIsolation:
         out0[:] = -7.0        # returned array mutated
         out1 = f.filter(np.ones((4, 2)), 1.0)
         assert np.all(out1 >= 0.0) and np.all(out1 <= 1.0)  # state untainted
+
+
+class TestSharedSurfaceComplete:
+    """Closes the pure-math coverage gate (VERDICT r4 #6,
+    tools/coverage_gate.py): direct unit tests for the shared-type
+    surface the heavier integration suites exercised only indirectly —
+    Face.to_dict, landmark getters, Eye edge shapes, precomputed head
+    angles, split_meshes edges, tracker/smoother degenerate branches."""
+
+    def _full_face(self):
+        rng = np.random.default_rng(0)
+        kp = rng.uniform(0.2, 0.8, (6, 2))
+        det = Detection(RectF(0.2, 0.2, 0.8, 0.9), 0.93, kp)
+        mesh = rng.uniform(0, 100, (468, 3))
+        iris = rng.uniform(0, 100, (152, 3))
+        scores = rng.uniform(0, 1, 52).astype(np.float32)
+        emb = rng.normal(size=192).astype(np.float32)
+        return Face(det, FaceMesh(mesh, 0.88), iris, (100, 120),
+                    blendshape_scores=scores, embedding=emb,
+                    head_angles=(5.0, -3.0, 1.5), tracking_id=4)
+
+    def test_to_dict_full_payload_json_round_trip(self):
+        import json
+        f = self._full_face()
+        d = f.to_dict(include_mesh=True, include_contours=True,
+                      include_iris=True, include_embedding=True)
+        j = json.loads(json.dumps(d))
+        assert j["score"] == pytest.approx(0.93)
+        assert j["tracking_id"] == 4
+        assert len(j["mesh"]) == 468
+        assert len(j["embedding"]) == 192
+        assert set(j["contours"]) == {t.name
+                                      for t in FACE_CONTOUR_MESH_INDICES}
+        assert "left_eye" in j["eyes"]
+        assert "iris_contour" in j["eyes"]["left_eye"]
+        # head angles come from the program-solved values, not re-derived
+        assert j["head_euler_angles"] == {"x": 5.0, "y": -3.0, "z": 1.5}
+        assert j["blendshapes"]["jawOpen"] == pytest.approx(
+            float(f.blendshapes[Blendshape.jawOpen]))
+        assert 0.0 <= j["smiling_probability"] <= 1.0
+        assert j["mesh_score"] == pytest.approx(0.88)
+        # minimal payload drops the heavyweight opt-ins (embedding is
+        # opt-OUT: include_embedding defaults True, 192 floats is small)
+        d2 = f.to_dict()
+        assert "mesh" not in d2 and "contours" not in d2
+        assert "embedding" in d2
+        assert "iris_contour" not in d2.get("eyes", {}).get("left_eye", {})
+        assert repr(f).startswith("Face(")
+
+    def test_landmark_getters_and_detection_keypoint(self):
+        from face_detection_tflite_tpu.pipeline.types import (
+            FaceLandmarkType)
+        f = self._full_face()
+        lm = f.landmarks
+        for name in ("nose_tip", "mouth", "left_eye_tragion",
+                     "right_eye_tragion", "left_eye", "right_eye"):
+            assert getattr(lm, name) is not None, name
+        assert np.allclose(lm[FaceLandmarkType.NOSE_TIP], lm.nose_tip)
+        assert {t for t, _ in lm.items()} == set(FaceLandmarkType)
+        x, y = f.detection_data.keypoint(FaceLandmarkType.NOSE_TIP)
+        assert (x, y) == (pytest.approx(lm.nose_tip[0] / 100),
+                          pytest.approx(lm.nose_tip[1] / 120))
+
+    def test_mesh_contours_property_and_mesh_score(self):
+        f = self._full_face()
+        c = f.mesh.contours
+        assert set(c) == set(FACE_CONTOUR_MESH_INDICES)
+        assert c[FaceContourType.FACE].shape == (36, 3)
+        assert f.mesh_score == pytest.approx(0.88)
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        meshless = Face(det, None, np.zeros((0, 3)), (100, 100))
+        assert meshless.mesh_score is None
+        assert meshless.left_eye_open_probability is None
+        assert meshless.right_eye_open_probability is None
+        assert f.blendshapes.as_dict()["jawOpen"] == pytest.approx(
+            float(f.blendshapes[Blendshape.jawOpen]))
+        assert len(f.blendshapes.as_dict()) == 52
+
+    def test_eye_from_points_edges(self):
+        assert Eye.from_points(np.zeros((4, 3))) is None  # < 5 points
+        eye = Eye.from_points(np.arange(15, dtype=float).reshape(5, 3))
+        assert eye is not None and eye.mesh.shape == (0, 3)  # iris-only
+
+    def test_eyes_from_ten_iris_points(self):
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        face = Face(det, None, np.arange(30, dtype=float).reshape(10, 3),
+                    (100, 100))
+        eyes = face.eyes
+        assert eyes.left_eye is not None and eyes.right_eye is not None
+
+    def test_width_fraction_zero_width_image(self):
+        det = Detection(RectF(0.1, 0.1, 0.9, 0.9), 0.9, np.zeros((6, 2)))
+        assert Face(det, None, np.zeros((0, 3)),
+                    (0, 100)).width_fraction == 0.0
+
+    def test_degenerate_mesh_head_pose_falls_back_to_roll(self):
+        """A mesh whose canonical frame is degenerate (all points
+        coincident) must fall back to the roll-only estimate, not crash
+        (types._np_head_euler returns None)."""
+        kp = np.zeros((6, 2))
+        kp[0], kp[1] = [0.4, 0.5], [0.6, 0.5]
+        det = Detection(RectF(0.3, 0.3, 0.7, 0.7), 0.9, kp)
+        face = Face(det, FaceMesh(np.zeros((468, 3))), np.zeros((0, 3)),
+                    (100, 100))
+        a = face.head_euler_angles
+        assert a.x == 0.0 and a.y == 0.0
+
+    def test_split_meshes_edges(self):
+        from face_detection_tflite_tpu import split_meshes_if_concatenated
+        assert split_meshes_if_concatenated(np.zeros((0, 3))) == []
+        out = split_meshes_if_concatenated(np.zeros((7, 3)))
+        assert len(out) == 1 and out[0].shape == (7, 3)  # non-multiple
+        assert len(split_meshes_if_concatenated(np.zeros((936, 3)))) == 2
+
+    def test_tracker_duplicate_candidate_and_degenerate_box(self):
+        tr = TemporalFaceTracker(max_missed_frames=3)
+        a = [0.2, 0.2, 0.6, 0.6]
+        (id1,) = tr.update([a])
+        # Two detections both scoring best against the SAME track: the
+        # second candidate is skipped (greedy global matching) and gets a
+        # fresh id.
+        ids = tr.update([a, [0.21, 0.2, 0.61, 0.6]])
+        assert ids[0] == id1 and ids[1] != id1
+        # Degenerate (inverted) boxes never match (candidate -> None):
+        # each frame assigns a fresh id.
+        (d1,) = tr.update([[0.5, 0.5, 0.4, 0.4]])
+        (d2,) = tr.update([[0.5, 0.5, 0.4, 0.4]])
+        assert d1 != d2
+
+    def test_one_euro_filter_reset(self):
+        from face_detection_tflite_tpu import OneEuroFilter
+        f = OneEuroFilter()
+        f.filter(np.asarray([1.0]), 0.0)
+        f.filter(np.asarray([2.0]), 0.1)
+        f.reset()
+        out = f.filter(np.asarray([5.0]), 0.2)
+        assert out[0] == 5.0  # fresh state: first sample passes through
+
+    def test_ema_smoother_preserves_blendshapes_and_embedding(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(alpha=0.5)
+        det = Detection(RectF(0.1, 0.1, 0.5, 0.5), 0.9, np.zeros((6, 2)))
+        scores = np.full(52, 0.25, np.float32)
+        f = Face(det, FaceMesh(np.zeros((468, 3)), 0.9), np.zeros((0, 3)),
+                 (100, 100), blendshape_scores=scores,
+                 embedding=np.ones(192, np.float32), tracking_id=3)
+        (out,) = s.smooth([f])
+        assert out.blendshapes is not None
+        assert float(out.blendshapes[Blendshape.jawOpen]) == 0.25
+        assert out.embedding is not None and out.tracking_id == 3
+
+    def test_one_euro_smoother_reuses_track_on_overlap(self):
+        from face_detection_tflite_tpu.pipeline.smoothing import FaceSmoother
+        s = FaceSmoother(method="one_euro")
+        det = Detection(RectF(0.1, 0.1, 0.5, 0.5), 0.9, np.zeros((6, 2)))
+
+        def face(v):
+            return Face(det, FaceMesh(np.full((468, 3), v), 0.9),
+                        np.zeros((0, 3)), (100, 100))
+
+        s.smooth([face(10.0)])
+        (out,) = s.smooth([face(20.0)])  # same box -> matches the track
+        assert 10.0 < out.mesh.points[0, 0] <= 20.0  # filtered, not fresh
