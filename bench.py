@@ -313,6 +313,35 @@ def main():
             log(f"batch curve standard b={b:3d}: {dt/b*1e3:6.2f} ms/img "
                 f"{b/dt:7.1f} img/s")
 
+    # Optional artifact record (VERDICT r4 #2: every prose perf number
+    # must exist in results.json or a BENCH file): with
+    # FDT_BENCH_RECORD_KEY=<key>, this run's numbers merge into
+    # benchmarks/results.json under configs.<key> — e.g. the serving-tier
+    # re-record is `FDT_BENCH_PRECISION=serving
+    # FDT_BENCH_RECORD_KEY=serving_tier python bench.py`.
+    record_key = os.environ.get("FDT_BENCH_RECORD_KEY")
+    if record_key:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "results.json")
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        merged.setdefault("configs", {})[record_key] = {
+            "precision": precision,
+            "batch": batch,
+            "faces_per_sec": round(faces_per_sec, 2),
+            "vs_baseline": round(faces_per_sec / REFERENCE_FACES_PER_SEC, 3),
+            "ms_batch_standard": round(dt_std * 1e3, 2),
+            "ms_batch_serving": round(dt_serve * 1e3, 2),
+            "serving_rounds_ms": [round(s * 1e3, 1) for s in serve_samples],
+            "note": "recorded by bench.py via FDT_BENCH_RECORD_KEY "
+                    "(headline = max(standard, serving) rate)",
+        }
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=1)
+        log(f"recorded configs.{record_key} in {out_path}")
+
     print(json.dumps({
         "metric": "faces/sec/chip (detect+mesh, batched, 1 face @1280x853)",
         "value": round(faces_per_sec, 2),

@@ -24,3 +24,36 @@ def test_lint_clean():
         capture_output=True, text=True, cwd=REPO, timeout=300, env=env)
     assert proc.returncode == 0, (
         f"lint findings:\n{proc.stderr}\n{proc.stdout}")
+
+
+def test_perf_number_provenance_rule(tmp_path):
+    """VERDICT r4 #2: the lint gate FAILS on a bolded perf claim with no
+    recorded artifact, passes recorded values at the printed precision,
+    and honors the explicit derived/historical escapes."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import lint as lint_mod
+
+    doc = tmp_path / "doc.md"
+    doc.write_text(
+        "headline **473.3 faces/s** recorded\n"                  # rounds ok
+        "orphan **544.7 faces/s** unrecorded\n"                  # FAIL
+        "ceiling **453 faces/s** <!-- lint: derived — 16/35.3ms -->\n"
+        "old **395.8 faces/s** <!-- lint: historical — BENCH_r02 -->\n"
+        "exact **12.54 req/s** recorded\n")
+    nums = {473.34, 12.54}
+    findings = lint_mod.check_perf_number_provenance(
+        docs=(str(doc),), nums=nums)
+    assert len(findings) == 1 and "544.7" in findings[0]
+    # precision matters: a doc printing MORE decimals than the artifact
+    # matches only if the artifact value rounds to it exactly
+    doc.write_text("**473.30 faces/s**\n")
+    assert lint_mod.check_perf_number_provenance(
+        docs=(str(doc),), nums={473.34}) != []
+
+
+def test_repo_docs_have_no_orphaned_perf_numbers():
+    """The live docs pass the provenance rule (the round-4 orphans —
+    474.7 and 544.7 faces/s — are re-recorded or corrected)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import lint as lint_mod
+    assert lint_mod.check_perf_number_provenance() == []

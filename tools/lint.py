@@ -160,6 +160,72 @@ def check_annotations() -> list[str]:
     return findings
 
 
+def _artifact_numbers() -> set[float]:
+    """Every numeric value recorded in benchmarks/results.json or any
+    BENCH_r*.json (recursively)."""
+    import glob
+    import json
+    nums: set[float] = set()
+
+    def walk(x):
+        if isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+        elif isinstance(x, (int, float)) and not isinstance(x, bool):
+            nums.add(float(x))
+
+    paths = [os.path.join(REPO, "benchmarks", "results.json")]
+    paths += sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for p in paths:
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as f:
+                walk(json.load(f))
+    return nums
+
+
+def check_perf_number_provenance(docs=("docs/PERF.md", "README.md"),
+                                 nums=None) -> list[str]:
+    """Every BOLDED throughput claim (`**N faces/s**`, `**N req/s**`,
+    `**N img/s**`) in docs/PERF.md and README.md must exist in a
+    recorded artifact (benchmarks/results.json or BENCH_r*.json), at
+    the precision the doc prints.  VERDICT r3 #4 and r4 #2: prose
+    discipline alone did not hold — 474.7 and 544.7 faces/s appeared in
+    round-4 prose with no recorded artifact.  Two explicit same-line
+    escapes exist, each requiring a stated reason in the comment:
+    ``<!-- lint: derived -->`` for arithmetic computed from recorded
+    component numbers, and ``<!-- lint: historical -->`` for
+    working-session numbers in the optimization narrative that predate
+    the recording discipline (each must name the nearest artifact)."""
+    import re
+    nums = _artifact_numbers() if nums is None else nums
+    pat = re.compile(
+        r"\*\*([0-9][0-9.,]*)\s*(?:faces/s(?:ec)?|req/s|img/s)\b")
+    findings: list[str] = []
+    for doc in docs:
+        path = doc if os.path.isabs(doc) else os.path.join(REPO, doc)
+        if not os.path.exists(path):
+            continue
+        with open(path, encoding="utf-8") as fh:
+            for lineno, line in enumerate(fh, 1):
+                if "lint: derived" in line or "lint: historical" in line:
+                    continue
+                for m in pat.finditer(line):
+                    txt = m.group(1).replace(",", "")
+                    val = float(txt)
+                    decs = len(txt.split(".")[1]) if "." in txt else 0
+                    if not any(round(n, decs) == val for n in nums):
+                        findings.append(
+                            f"{doc}:{lineno}: bolded perf claim "
+                            f"{m.group(0)!r} has no recorded artifact "
+                            "(benchmarks/results.json or BENCH_r*.json); "
+                            "re-record it or mark the line "
+                            "<!-- lint: derived -->")
+    return findings
+
+
 def main() -> int:
     sys.path.insert(0, REPO)
     findings: list[str] = []
@@ -174,6 +240,7 @@ def main() -> int:
             continue
         findings.extend(check_unused_imports(path, src, tree))
     findings.extend(check_annotations())
+    findings.extend(check_perf_number_provenance())
     for f in findings:
         print(f, file=sys.stderr)
     if findings:
