@@ -618,6 +618,11 @@ class TestBackpressure:
                     if e.code == 503:
                         saw_retry_after = e.headers.get(
                             "Retry-After") is not None
+                except (urllib.error.URLError, TimeoutError, OSError):
+                    # This probe was ACCEPTED into the (gated) queue and
+                    # timed out waiting — it now occupies the 1-slot
+                    # queue, so the next probe deterministically sheds.
+                    pass
                 time.sleep(0.05)
             assert saw_retry_after
             gate.set()
