@@ -161,6 +161,18 @@ def main():
                          "results.json: serving_http_curve (e.g. 1,4,16,48)")
     ap.add_argument("--curve-duration", type=float, default=30.0,
                     help="seconds per curve level")
+    ap.add_argument("--curve-max-batches", default="16,4",
+                    help="comma-separated micro-batch caps; the curve "
+                         "sweep runs once per cap, back-to-back, so the "
+                         "caps see the same relay phase")
+    ap.add_argument("--max-batch", type=int, default=16,
+                    help="FaceServer micro-batch cap. On an H2D-bound "
+                         "attachment (this relay: ~40 MB/s) per-image "
+                         "upload cost is constant, so batches past the "
+                         "compute-amortization point add pure latency; "
+                         "smaller caps keep several batches overlapping "
+                         "in the pipelined executor instead of one "
+                         "giant serial upload.")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = ap.parse_args()
@@ -196,53 +208,70 @@ def main():
     results = {}
 
     if args.curve:
-        # Saturation curve (VERDICT r4 #5): one server, increasing client
-        # levels — shows where req/s plateaus and how p50/p99 degrade,
-        # plus that the bounded queue sheds (503) instead of growing
-        # latency without bound.  Queue-depth gauge is scraped per level.
+        # Saturation curve (VERDICT r4 #5): one server per micro-batch
+        # cap, increasing client levels — shows where req/s plateaus and
+        # how p50/p99 degrade, plus that the bounded queue sheds (503)
+        # instead of growing latency without bound.  Queue-depth gauge is
+        # scraped per level.  Each cap in --curve-max-batches gets its
+        # own sweep back-to-back (same process, same relay phase) —
+        # measured round 5: on this H2D-bound relay the default cap (16)
+        # convoy-collapses at >=16 clients while cap 4 holds the
+        # bandwidth ceiling, see docs/PERF.md "Serving saturation curve".
         levels = [int(x) for x in args.curve.split(",")]
-        curve = []
-        with FaceServer(det, max_batch=16) as server:
-            drive(server.address, bodies, 1, 2.0)  # settle / warm
-            for c in levels:
-                lat, errs, shed, elapsed = drive(
-                    server.address, bodies, c, args.curve_duration)
-                conn = http.client.HTTPConnection(
-                    server.address.split("//", 1)[1], timeout=60)
-                conn.request("GET", "/metrics")
-                metrics_text = conn.getresponse().read().decode()
-                conn.close()
-                import re as _re
-                qd = _re.search(
-                    r"fdt_detect_queue_depth(?:{})? ([0-9.]+)",
-                    metrics_text)
-                lat_np = np.asarray(lat) if lat else np.asarray([0.0])
-                curve.append({
-                    "clients": c,
-                    "requests": len(lat),
-                    "errors": errs,
-                    "shed_503": shed,
-                    "req_per_sec": round(len(lat) / elapsed, 2),
-                    "latency_ms_p50": round(
-                        float(np.percentile(lat_np, 50)), 1),
-                    "latency_ms_p99": round(
-                        float(np.percentile(lat_np, 99)), 1),
-                    "queue_depth_last": float(qd.group(1)) if qd else None,
-                })
-                print(json.dumps(curve[-1]), file=sys.stderr)
+        caps = [int(x) for x in args.curve_max_batches.split(",")]
+        by_cap = {}
+        for cap in caps:
+            curve = []
+            with FaceServer(det, max_batch=cap) as server:
+                drive(server.address, bodies, 1, 2.0)  # settle / warm
+                for c in levels:
+                    lat, errs, shed, elapsed = drive(
+                        server.address, bodies, c, args.curve_duration)
+                    conn = http.client.HTTPConnection(
+                        server.address.split("//", 1)[1], timeout=60)
+                    conn.request("GET", "/metrics")
+                    metrics_text = conn.getresponse().read().decode()
+                    conn.close()
+                    import re as _re
+                    qd = _re.search(
+                        r"fdt_detect_queue_depth(?:{})? ([0-9.]+)",
+                        metrics_text)
+                    lat_np = np.asarray(lat) if lat else np.asarray([0.0])
+                    curve.append({
+                        "clients": c,
+                        "requests": len(lat),
+                        "errors": errs,
+                        "shed_503": shed,
+                        "req_per_sec": round(len(lat) / elapsed, 2),
+                        "latency_ms_p50": round(
+                            float(np.percentile(lat_np, 50)), 1),
+                        "latency_ms_p99": round(
+                            float(np.percentile(lat_np, 99)), 1),
+                        "queue_depth_last": (float(qd.group(1))
+                                             if qd else None),
+                    })
+                    print(f"max_batch={cap} " + json.dumps(curve[-1]),
+                          file=sys.stderr)
+            by_cap[str(cap)] = curve
         results["serving_http_curve"] = {
             "duration_s_per_level": args.curve_duration,
             "max_queue": 128,
-            "levels": curve,
-            "note": "one FaceServer, increasing concurrent keep-alive "
-                    "clients; req/s plateaus at the pipeline's capacity "
-                    "while p50/p99 grow with queueing; 503s (shed_503) "
-                    "appear only when the bounded queue (max_queue) "
-                    "fills — backpressure, not failure",
+            "by_max_batch": by_cap,
+            "note": "one FaceServer per micro-batch cap, increasing "
+                    "concurrent keep-alive clients back-to-back in one "
+                    "process; req/s plateaus at the attachment's H2D "
+                    "ceiling (~12 img/s on this relay) when batches stay "
+                    "near the compute-amortization point, while caps far "
+                    "past it convoy-collapse (per-image upload cost is "
+                    "constant on an H2D-bound link, so oversize batches "
+                    "add pure latency and defeat the executor's "
+                    "overlap); 503s (shed_503) appear only when the "
+                    "bounded queue (max_queue) fills — backpressure, "
+                    "not failure",
         }
 
     if not args.skip_http:
-        with FaceServer(det, max_batch=16) as server:
+        with FaceServer(det, max_batch=args.max_batch) as server:
             # settle: two sequential requests through the full HTTP path
             drive(server.address, bodies, 1, 2.0)
             lat, errs, shed, elapsed = drive(server.address, bodies,

@@ -279,6 +279,15 @@ class FaceServer:
                  devices=None, max_queue: int = 128,
                  recycle_after_batches: Optional[int] = None,
                  max_rss_mb: Optional[float] = None, rss_probe=None):
+        #: ``max_batch`` caps each micro-batch drain.  Tune it to the
+        #: host->device attachment: on a direct PCIe host big batches
+        #: amortize dispatch, but on a bandwidth-bound link (the dev
+        #: relay: ~40 MB/s H2D) per-image upload cost is constant, so
+        #: batches past the compute-amortization point (~4 on the relay)
+        #: add pure latency and serialize the pipelined executor's
+        #: overlap — measured saturation curves in docs/PERF.md
+        #: "Serving saturation curve" (results.json:
+        #: serving_http_curve.by_max_batch).
         self._det = detector
         self._host = host
         self._requested_port = port

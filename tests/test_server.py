@@ -666,6 +666,11 @@ class TestWorkerRecycle:
                          landmark_jpeg)
             assert s == 200 and len(d["faces"]) == 1
             assert srv.port == port0
+            # the batcher resolves response futures BEFORE the drain hook
+            # runs, so the counter can lag the HTTP response briefly
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline and self._recycles(srv) < 2:
+                time.sleep(0.05)
             assert self._recycles(srv) >= 2
         finally:
             srv.close()
