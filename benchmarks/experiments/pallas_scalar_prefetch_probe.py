@@ -10,9 +10,18 @@ image to a VMEM window.  That only helps if a within-window arbitrary
 gather lowers — which is exactly the Mosaic constraint.  This probe
 answers both halves:
 
-  A. scalar-prefetch-driven dynamic window DMA (no gather)   -> expect OK
-  B. within-window arbitrary 2-D tap gather (the warp's need) -> expect FAIL
-  C. within-window flat take_along_axis, shape-mismatched     -> expect FAIL
+  A. scalar-prefetch-driven dynamic window DMA (no gather)   -> OK (exact)
+  B. within-window arbitrary 2-D tap gather (the warp's need) -> FAIL
+     ("Only 2D gather is supported")
+  C. within-window flat take_along_axis, shape-mismatched     -> FAIL
+     ("Shape mismatch in input, indices and output")
+  D. direct 2-D advanced indexing win[yy, xx]                 -> FAIL
+     (Mosaic gather rule asserts indices.shape == input.shape + (1,):
+     only per-element single-axis selection lowers)
+
+Conclusion (docs/PERF.md round 5): the window DMA works but nothing can
+gather within the window, so a Pallas ROI warp stays inexpressible on
+this stack.
 
 Run on the TPU relay: PYTHONPATH=/root/repo:$PYTHONPATH python
 benchmarks/experiments/pallas_scalar_prefetch_probe.py
@@ -43,23 +52,23 @@ starts = jnp.asarray(rng.integers(0, H // K, (n_tiles,)), jnp.int32)
 # Dynamic window DMA: each grid step copies one row of a K-row window
 # whose position is chosen by a prefetched scalar.  Pure DMA, no gather.
 def kA(start_ref, win_ref, out_ref):
-    out_ref[:] = win_ref[0, :][None, :] * 2.0
+    out_ref[:] = win_ref[:TILE, :] * 2.0
 
 try:
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((K, W), lambda i, s: (s[i], 0))],
-        out_specs=pl.BlockSpec((1, W), lambda i, s: (i, 0)),
+        out_specs=pl.BlockSpec((TILE, W), lambda i, s: (i, 0)),
     )
     out = pl.pallas_call(
         kA,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, W), jnp.float32),
         grid_spec=grid_spec,
     )(starts, src)
-    ref = np.asarray(src).reshape(H // K * K // K if False else -1, W)  # noqa
-    expect = np.stack([np.asarray(src)[int(s) * K] * 2.0
-                       for s in np.asarray(starts)])
+    expect = np.concatenate(
+        [np.asarray(src)[int(s) * K:int(s) * K + TILE] * 2.0
+         for s in np.asarray(starts)])
     print("probe A (scalar-prefetch window DMA) OK, exact:",
           bool(np.allclose(np.asarray(out), expect)), flush=True)
 except Exception as e:
@@ -128,3 +137,36 @@ try:
     print("probe C (flat take_along_axis, mismatched) OK", flush=True)
 except Exception as e:
     print("probe C FAIL:", str(e)[:400], flush=True)
+
+# ---------------------------------------------------------------- probe D
+# Mosaic's probe-B error says "Only 2D gather is supported": try the
+# literal 2-D form — advanced indexing win[yy, xx] (two index arrays,
+# one output) instead of a flattened 1-D take.
+def kD(start_ref, win_ref, yy_ref, xx_ref, out_ref):
+    out_ref[:] = win_ref[:][yy_ref[:], xx_ref[:]]
+
+try:
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((K, W), lambda i, s: (s[i], 0)),
+                  pl.BlockSpec((TILE, OUT), lambda i, s: (i, 0)),
+                  pl.BlockSpec((TILE, OUT), lambda i, s: (i, 0))],
+        out_specs=pl.BlockSpec((TILE, OUT), lambda i, s: (i, 0)),
+    )
+    out = pl.pallas_call(
+        kD,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, OUT), jnp.float32),
+        grid_spec=grid_spec,
+    )(starts, src, yy, xx)
+    s_np = np.asarray(src)
+    ok = True
+    for t in range(n_tiles):
+        win = s_np[int(starts[t]) * K:int(starts[t]) * K + K]
+        sl = slice(t * TILE, (t + 1) * TILE)
+        expect = win[np.asarray(yy)[sl], np.asarray(xx)[sl]]
+        ok &= bool(np.allclose(np.asarray(out)[sl], expect))
+    print("probe D (win[yy, xx] 2-D advanced indexing) OK, exact:", ok,
+          flush=True)
+except Exception as e:
+    print("probe D FAIL:", str(e)[:400], flush=True)
