@@ -218,11 +218,18 @@ def main():
         # convoy-collapses at >=16 clients while cap 4 holds the
         # bandwidth ceiling, see docs/PERF.md "Serving saturation curve".
         levels = [int(x) for x in args.curve.split(",")]
-        caps = [int(x) for x in args.curve_max_batches.split(",")]
+        caps = [x.strip() for x in args.curve_max_batches.split(",")]
         by_cap = {}
         for cap in caps:
+            # fixed caps pin adaptive_batch=False (controlled A/B);
+            # the literal token "adaptive" measures the default
+            # attachment-aware cap instead (upper bound max_batch=16)
+            if cap == "adaptive":
+                server_kw = dict(max_batch=16, adaptive_batch=True)
+            else:
+                server_kw = dict(max_batch=int(cap), adaptive_batch=False)
             curve = []
-            with FaceServer(det, max_batch=cap) as server:
+            with FaceServer(det, **server_kw) as server:
                 drive(server.address, bodies, 1, 2.0)  # settle / warm
                 for c in levels:
                     lat, errs, shed, elapsed = drive(
@@ -235,6 +242,9 @@ def main():
                     import re as _re
                     qd = _re.search(
                         r"fdt_detect_queue_depth(?:{})? ([0-9.]+)",
+                        metrics_text)
+                    ac = _re.search(
+                        r"fdt_adaptive_batch_cap(?:{})? ([0-9.]+)",
                         metrics_text)
                     lat_np = np.asarray(lat) if lat else np.asarray([0.0])
                     curve.append({
@@ -249,6 +259,8 @@ def main():
                             float(np.percentile(lat_np, 99)), 1),
                         "queue_depth_last": (float(qd.group(1))
                                              if qd else None),
+                        "adaptive_cap_last": (float(ac.group(1))
+                                              if ac else None),
                     })
                     print(f"max_batch={cap} " + json.dumps(curve[-1]),
                           file=sys.stderr)

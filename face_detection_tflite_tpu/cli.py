@@ -128,6 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--with-segmentation", action="store_true")
     v.add_argument("--batch-window-ms", type=float, default=4.0)
     v.add_argument("--max-batch", type=int, default=16)
+    v.add_argument("--no-adaptive-batch", action="store_true",
+                   help="always drain micro-batches to --max-batch "
+                        "instead of adapting the cap to the measured "
+                        "throughput-optimal size for this host->device "
+                        "attachment (docs/PERF.md round-5 saturation)")
     v.add_argument("--replicas", type=int, default=0, metavar="N",
                    help="replicate detect serving over the first N chips "
                         "(per-chip weight copies, round-robin batches; "
@@ -460,7 +465,8 @@ def _cmd_serve(args) -> int:
                         max_batch=args.max_batch, devices=devices,
                         max_queue=args.max_queue,
                         recycle_after_batches=args.recycle_after_batches,
-                        max_rss_mb=args.max_rss_mb).start()
+                        max_rss_mb=args.max_rss_mb,
+                        adaptive_batch=not args.no_adaptive_batch).start()
     print(f"serving on {server.address}  "
           f"(POST /v1/detect, /v1/segment, /v1/embed; GET /metrics)"
           + (f"  [{len(devices)} detect replicas]" if devices else ""),

@@ -74,6 +74,85 @@ class ServerOverloaded(RuntimeError):
     request's latency monotonically, and nothing ever recovers."""
 
 
+class _AdaptiveCap:
+    """Steers the micro-batch drain cap to the throughput-optimal size.
+
+    The round-5 saturation curves (docs/PERF.md, `results.json:
+    serving_http_curve.by_max_batch`) showed the optimal micro-batch cap
+    is a property of the host->device ATTACHMENT: on an amortizing link
+    (direct PCIe) big batches win, while on a bandwidth-bound link
+    (the dev relay: ~40 MB/s H2D, per-image upload cost constant)
+    drains past the compute-amortization point add pure latency and
+    convoy-collapse the server (measured 3.95 vs 14.68 req/s at 16
+    clients).  Rather than ask deployments to hand-tune ``max_batch``,
+    this tracks an EWMA of per-image completion seconds per ladder
+    bucket and caps drains at the largest bucket still within
+    ``tolerance`` of the best observed — climbing one unexplored ladder
+    step at a time so amortization is discovered, and re-probing the
+    step above the current cap every ``explore_every`` records so a
+    changed environment (relay phase, recovered link) re-opens larger
+    batches.
+
+    Thread-safe; `record` runs on batcher/pipeline-worker threads and
+    `cap` on the batcher thread.
+    """
+
+    LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
+
+    def __init__(self, max_batch: int, alpha: float = 0.3,
+                 tolerance: float = 1.25, explore_every: int = 50):
+        self._ladder = [b for b in self.LADDER if b <= max_batch]
+        if not self._ladder or self._ladder[-1] != max_batch:
+            self._ladder.append(max_batch)
+        self._alpha = alpha
+        self._tol = tolerance
+        self._explore_every = explore_every
+        self._ewma: dict = {}       # ladder bucket -> per-image seconds
+        self._since_explore = 0
+        self._lock = threading.Lock()
+
+    def _bucket(self, n: int) -> int:
+        b = self._ladder[0]
+        for step in self._ladder:
+            if step <= n:
+                b = step
+        return b
+
+    def record(self, n_images: int, seconds: float) -> None:
+        if n_images <= 0 or seconds <= 0.0:
+            return
+        per_image = seconds / n_images
+        b = self._bucket(n_images)
+        with self._lock:
+            prev = self._ewma.get(b)
+            self._ewma[b] = (per_image if prev is None else
+                             prev + self._alpha * (per_image - prev))
+            self._since_explore += 1
+
+    @property
+    def cap(self) -> int:
+        with self._lock:
+            if not self._ewma:
+                return self._ladder[-1]
+            best = min(self._ewma.values())
+            allowed = [b for b in self._ladder
+                       if b in self._ewma
+                       and self._ewma[b] <= best * self._tol]
+            hi = max(allowed) if allowed else self._bucket(
+                min(self._ewma, key=self._ewma.get))
+            above = [b for b in self._ladder if b > hi]
+            if above and (above[0] not in self._ewma
+                          or self._since_explore >= self._explore_every):
+                self._since_explore = 0
+                return above[0]     # explore/refresh one step up
+            return hi
+
+    def snapshot(self) -> dict:
+        """Per-bucket EWMA (seconds/image) — for /metrics and tests."""
+        with self._lock:
+            return dict(self._ewma)
+
+
 class _Batcher:
     """Groups concurrent detect requests into batched program calls.
 
@@ -97,11 +176,16 @@ class _Batcher:
 
     def __init__(self, detector, window_ms: float = 4.0,
                  max_batch: int = 16, metrics: Optional[dict] = None,
-                 pool_for_mode=None, max_queue: int = 0, on_drain=None):
+                 pool_for_mode=None, max_queue: int = 0, on_drain=None,
+                 adaptive_cap: Optional[_AdaptiveCap] = None):
         import queue
         self._det = detector
         self._window_s = window_ms / 1000.0
         self._max_batch = max_batch
+        #: Optional attachment-aware drain cap (see _AdaptiveCap): when
+        #: set, drains stop at min(max_batch, adaptive_cap.cap) and every
+        #: group execution's (size, duration) feeds the estimator.
+        self._adaptive = adaptive_cap
         self._q: "queue.Queue" = queue.Queue(maxsize=max(0, max_queue))
         self._metrics = metrics or {}
         #: Optional mode -> ReplicaPool resolver (multi-chip serving):
@@ -147,8 +231,11 @@ class _Batcher:
         """First item + everything arriving within the window."""
         import queue
         items = [first]
+        limit = self._max_batch
+        if self._adaptive is not None:
+            limit = min(limit, self._adaptive.cap)
         deadline = time.monotonic() + self._window_s
-        while len(items) < self._max_batch:
+        while len(items) < limit:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
@@ -202,14 +289,20 @@ class _Batcher:
                     if hist is not None:
                         hist.observe(len(members))
                     if self._pool_for_mode is not None:
+                        t0 = time.perf_counter()
                         self._pool_for_mode(mode).submit(
                             imgs, orig_sizes=sizes).add_done_callback(
-                                lambda pf, members=members:
-                                    _resolve_group(pf, members))
+                                lambda pf, members=members, t0=t0:
+                                    _resolve_group(pf, members,
+                                                   self._adaptive, t0))
                         continue  # resolves asynchronously, per chip
+                    t0 = time.perf_counter()
                     results = (self._det.detect_faces_batch(
                         imgs, mode, _orig_sizes=sizes) if sizes else
                         self._det.detect_faces_batch(imgs, mode))
+                    if self._adaptive is not None:
+                        self._adaptive.record(len(members),
+                                              time.perf_counter() - t0)
                 except Exception as e:  # noqa: BLE001 — resolve futures
                     for _, fut in members:
                         if not fut.cancelled():
@@ -234,7 +327,8 @@ class _Batcher:
                 item[2].set_exception(RuntimeError("server closed"))
 
 
-def _resolve_group(pool_future: Future, members) -> None:
+def _resolve_group(pool_future: Future, members, adaptive=None,
+                   t0: float = 0.0) -> None:
     """Fans a ReplicaPool batch result out to its member request
     futures (runs on the pipeline worker thread that finished it)."""
     err = pool_future.exception()
@@ -243,6 +337,10 @@ def _resolve_group(pool_future: Future, members) -> None:
             if not fut.cancelled():
                 fut.set_exception(err)
         return
+    if adaptive is not None:
+        # submit->done duration: includes executor queueing, which is
+        # what the drain cap actually trades against on a slow link
+        adaptive.record(len(members), time.perf_counter() - t0)
     for (_, fut), faces in zip(members, pool_future.result()):
         if not fut.cancelled():
             fut.set_result(faces)
@@ -278,16 +376,21 @@ class FaceServer:
                  batch_window_ms: float = 4.0, max_batch: int = 16,
                  devices=None, max_queue: int = 128,
                  recycle_after_batches: Optional[int] = None,
-                 max_rss_mb: Optional[float] = None, rss_probe=None):
-        #: ``max_batch`` caps each micro-batch drain.  Tune it to the
-        #: host->device attachment: on a direct PCIe host big batches
-        #: amortize dispatch, but on a bandwidth-bound link (the dev
-        #: relay: ~40 MB/s H2D) per-image upload cost is constant, so
-        #: batches past the compute-amortization point (~4 on the relay)
-        #: add pure latency and serialize the pipelined executor's
-        #: overlap — measured saturation curves in docs/PERF.md
-        #: "Serving saturation curve" (results.json:
-        #: serving_http_curve.by_max_batch).
+                 max_rss_mb: Optional[float] = None, rss_probe=None,
+                 adaptive_batch: bool = True):
+        #: ``max_batch`` caps each micro-batch drain.  The right cap is a
+        #: property of the host->device attachment: on a direct PCIe host
+        #: big batches amortize dispatch, but on a bandwidth-bound link
+        #: (the dev relay: ~40 MB/s H2D) per-image upload cost is
+        #: constant, so batches past the compute-amortization point (~4
+        #: on the relay) add pure latency, serialize the pipelined
+        #: executor's overlap, and convoy-collapse the server — measured
+        #: saturation curves in docs/PERF.md "Round 5: serving
+        #: saturation" (results.json: serving_http_curve.by_max_batch).
+        #: ``adaptive_batch`` (default True) therefore treats
+        #: ``max_batch`` as an upper bound and steers the effective drain
+        #: cap to the measured throughput-optimal ladder bucket
+        #: (_AdaptiveCap); pass False to always drain to ``max_batch``.
         self._det = detector
         self._host = host
         self._requested_port = port
@@ -351,11 +454,17 @@ class FaceServer:
             "Serving-executor recycles (RSS bound / batch count)")
         self._m_rss = m.gauge(
             "fdt_process_rss_mb", "Process resident set size (MB)")
+        self._m_cap = m.gauge(
+            "fdt_adaptive_batch_cap",
+            "Current adaptive micro-batch drain cap (0 = fixed)")
+        self._adaptive_cap = (_AdaptiveCap(max_batch)
+                              if adaptive_batch and max_batch > 1 else None)
         self._batcher = _Batcher(
             detector, batch_window_ms, max_batch,
             metrics={"batch_size": self._m_batch},
             pool_for_mode=self._executor_for_mode,
-            max_queue=max_queue, on_drain=self._on_drain)
+            max_queue=max_queue, on_drain=self._on_drain,
+            adaptive_cap=self._adaptive_cap)
         # Non-batched detector entry points (segment/embed/combined) are
         # serialized against each other; the detect path is owned by the
         # batcher thread.  (The fused programs are pure — this lock only
@@ -401,6 +510,8 @@ class FaceServer:
         any asynchronously dispatched batches before returning."""
         self._batches_since_recycle += n_groups
         self._m_queue.set(self._batcher.queue_depth)
+        self._m_cap.set(float(self._adaptive_cap.cap)
+                        if self._adaptive_cap is not None else 0.0)
         rss = None
         if self._max_rss_mb is not None:
             rss = float(self._rss_probe())

@@ -634,6 +634,149 @@ class TestBackpressure:
             det.dispose()
 
 
+class TestAdaptiveCap:
+    """Round 5: the attachment-aware micro-batch drain cap.  The
+    saturation curves (docs/PERF.md, serving_http_curve.by_max_batch)
+    showed the optimal cap is a property of the host->device link —
+    _AdaptiveCap steers toward the measured throughput-optimal ladder
+    bucket instead of requiring hand-tuning."""
+
+    def _cap(self, **kw):
+        from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
+        return _AdaptiveCap(16, **kw)
+
+    def test_unknown_stats_allow_full_drain(self):
+        assert self._cap().cap == 16
+
+    def test_bandwidth_bound_link_backs_off(self):
+        # relay-like: per-image time GROWS with batch size (constant
+        # upload cost per image + convoy) -> cap settles at the knee
+        cap = self._cap()
+        for _ in range(10):
+            cap.record(1, 1 * 0.170)
+            cap.record(4, 4 * 0.075)
+            cap.record(8, 8 * 0.110)
+            cap.record(16, 16 * 0.270)
+        # exploration may momentarily allow one step above, but the
+        # steady-state cap excludes the collapsing 16-bucket
+        caps = {cap.cap for _ in range(5)}
+        assert 16 not in caps or caps != {16}
+        assert min(caps) in (4, 8)
+
+    def test_amortizing_link_climbs_to_max(self):
+        # PCIe-like: per-image time SHRINKS with batch size
+        cap = self._cap()
+        for _ in range(10):
+            cap.record(1, 1 * 0.020)
+            cap.record(4, 4 * 0.008)
+            cap.record(8, 8 * 0.006)
+            cap.record(16, 16 * 0.005)
+        assert cap.cap == 16
+
+    def test_exploration_climbs_one_step_at_a_time(self):
+        cap = self._cap()
+        cap.record(1, 0.020)
+        assert cap.cap == 2          # next unexplored ladder step
+        cap.record(2, 2 * 0.010)
+        assert cap.cap == 4
+        cap.record(4, 4 * 0.007)
+        assert cap.cap == 8
+
+    def test_periodic_reprobe_reopens_larger_batches(self):
+        cap = self._cap(explore_every=5)
+        for _ in range(2):
+            cap.record(4, 4 * 0.05)
+            cap.record(8, 8 * 0.20)   # 8 looks bad -> cap 4
+        assert cap.cap == 4           # 4 records so far: no re-probe yet
+        cap.record(4, 4 * 0.05)       # 5th record since last explore
+        assert cap.cap == 8           # step above re-offered once...
+        assert cap.cap == 4           # ...then back to the known best
+
+    def test_batcher_uses_adaptive_cap(self):
+        from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
+
+        class Stub:
+            def __init__(self):
+                self.batches = []
+
+            def detect_faces_batch(self, imgs, mode):
+                self.batches.append(imgs.shape[0])
+                return [[] for _ in range(imgs.shape[0])]
+
+        det = Stub()
+        cap = _AdaptiveCap(16)
+        # pre-train: link where batches beyond 2 are pathological
+        for _ in range(10):
+            cap.record(2, 2 * 0.010)
+            cap.record(4, 4 * 0.100)
+            cap.record(8, 8 * 0.100)
+            cap.record(16, 16 * 0.100)
+        b = _Batcher(det, window_ms=200.0, max_batch=16,
+                     adaptive_cap=cap)
+        img = np.zeros((16, 16, 3), np.uint8)
+        futs = [b.submit(img, FaceDetectionMode.FAST) for _ in range(8)]
+        for f in futs:
+            f.result(timeout=30)
+        b.close()
+        # drains honored the adapted cap (2), never the raw max_batch;
+        # the stub is instant so its own recordings keep the cap small
+        assert max(det.batches) <= 4
+        assert sum(det.batches) == 8
+
+    def test_batcher_records_sync_path_durations(self):
+        from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
+
+        class Slow:
+            def detect_faces_batch(self, imgs, mode):
+                time.sleep(0.01)
+                return [[] for _ in range(imgs.shape[0])]
+
+        cap = _AdaptiveCap(16)
+        b = _Batcher(Slow(), window_ms=50.0, max_batch=16,
+                     adaptive_cap=cap)
+        img = np.zeros((8, 8, 3), np.uint8)
+        futs = [b.submit(img, FaceDetectionMode.FAST) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=30)
+        b.close()
+        assert cap.snapshot(), "sync-path executions must feed the EWMA"
+
+    def test_server_exports_cap_gauge_and_off_switch(self, landmark_jpeg):
+        det = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                           model_dir=MODELS_DIR)
+        srv = FaceServer(det, batch_window_ms=1.0).start()
+        try:
+            s, d = _post(f"{srv.address}/v1/detect?mode=fast",
+                         landmark_jpeg)
+            assert s == 200 and len(d["faces"]) == 1
+            deadline = time.monotonic() + 10
+            val = 0.0
+            import re
+            while time.monotonic() < deadline and val <= 0.0:
+                _, body = _get(f"{srv.address}/metrics")
+                m = re.search(rb"fdt_adaptive_batch_cap(?:\{\})? ([0-9.]+)",
+                              body)
+                val = float(m.group(1)) if m else 0.0
+                time.sleep(0.05)
+            assert val > 0.0
+        finally:
+            srv.close()
+            det.dispose()
+        # off switch: gauge stays 0 (fixed cap)
+        det2 = FaceDetector(model=FaceDetectionModel.BACK_CAMERA,
+                            model_dir=MODELS_DIR)
+        srv2 = FaceServer(det2, batch_window_ms=1.0,
+                          adaptive_batch=False).start()
+        try:
+            s, d = _post(f"{srv2.address}/v1/detect?mode=fast",
+                         landmark_jpeg)
+            assert s == 200
+            assert srv2._adaptive_cap is None
+        finally:
+            srv2.close()
+            det2.dispose()
+
+
 class TestWorkerRecycle:
     """VERDICT r4 #4: the RSS-recycle mechanism the soak section
     promises — drains/rebuilds serving executors between micro-batches,
