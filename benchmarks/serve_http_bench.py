@@ -164,7 +164,14 @@ def main():
     ap.add_argument("--curve-max-batches", default="16,4",
                     help="comma-separated micro-batch caps; the curve "
                          "sweep runs once per cap, back-to-back, so the "
-                         "caps see the same relay phase")
+                         "caps see the same relay phase; the literal "
+                         "token 'adaptive' measures the default "
+                         "attachment-aware cap (_AdaptiveCap) as an arm")
+    ap.add_argument("--curve-key", default="serving_http_curve",
+                    help="results.json key for the curve record — a "
+                         "follow-up experiment (e.g. the adaptive-cap "
+                         "A/B) records under its own key instead of "
+                         "overwriting the baseline curve's arms")
     ap.add_argument("--max-batch", type=int, default=16,
                     help="FaceServer micro-batch cap. On an H2D-bound "
                          "attachment (this relay: ~40 MB/s) per-image "
@@ -265,7 +272,7 @@ def main():
                     print(f"max_batch={cap} " + json.dumps(curve[-1]),
                           file=sys.stderr)
             by_cap[str(cap)] = curve
-        results["serving_http_curve"] = {
+        results[args.curve_key] = {
             "duration_s_per_level": args.curve_duration,
             "max_queue": 128,
             "by_max_batch": by_cap,
@@ -397,7 +404,16 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             merged = json.load(f)
-    merged.setdefault("configs", {}).update(results)
+    cfgs = merged.setdefault("configs", {})
+    # curve records merge per-cap: a later run adding one arm (e.g.
+    # "adaptive") extends by_max_batch instead of dropping the
+    # previously recorded fixed-cap sweeps under the same key.
+    ck = args.curve_key
+    if ck in results and ck in cfgs:
+        prev = cfgs[ck].get("by_max_batch", {})
+        new = results[ck]
+        new["by_max_batch"] = {**prev, **new["by_max_batch"]}
+    cfgs.update(results)
     with open(args.out, "w") as f:
         json.dump(merged, f, indent=1)
     print(f"wrote {sorted(results)} into {args.out}", file=sys.stderr)

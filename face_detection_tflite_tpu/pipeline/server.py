@@ -93,8 +93,22 @@ class _AdaptiveCap:
     changed environment (relay phase, recovered link) re-opens larger
     batches.
 
-    Thread-safe; `record` runs on batcher/pipeline-worker threads and
-    `cap` on the batcher thread.
+    The per-image figure must be SERVICE time, not sojourn time.  The
+    first shipped version fed submit->done durations from the pipelined
+    executor, and the on-chip A/B showed the failure mode: under
+    overload the executor's queue wait dominates the sojourn and is
+    amortized over the batch size, so bigger batches always look
+    cheaper per image — a positive feedback that climbed the cap to the
+    convoying maximum exactly when the small cap mattered most
+    (measured: 48 clients, adaptive cap drifted to 16, 8.99 req/s vs
+    14.27 for fixed-4 in the same sweep).  `record_completion`
+    therefore uses the COMPLETION-GAP rule: a batch's service interval
+    starts at the later of its submit time and the previous completion
+    on the same executor stream, which excludes queue wait while the
+    executor is busy and degrades to plain sojourn when it is idle.
+
+    Thread-safe; `record`/`record_completion` run on batcher/
+    pipeline-worker threads and `cap` on the batcher thread.
     """
 
     LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
@@ -108,6 +122,7 @@ class _AdaptiveCap:
         self._tol = tolerance
         self._explore_every = explore_every
         self._ewma: dict = {}       # ladder bucket -> per-image seconds
+        self._last_done: dict = {}  # executor stream -> last completion t
         self._since_explore = 0
         self._lock = threading.Lock()
 
@@ -119,6 +134,8 @@ class _AdaptiveCap:
         return b
 
     def record(self, n_images: int, seconds: float) -> None:
+        """Feed one batch execution whose ``seconds`` is true service
+        time (the synchronous detect path: no queueing inside it)."""
         if n_images <= 0 or seconds <= 0.0:
             return
         per_image = seconds / n_images
@@ -129,23 +146,62 @@ class _AdaptiveCap:
                              prev + self._alpha * (per_image - prev))
             self._since_explore += 1
 
+    def record_completion(self, n_images: int, t_submit: float,
+                          t_done: float, stream=None) -> None:
+        """Feed one batch that completed through a pipelined executor.
+
+        Queue wait inside the executor must not count as per-image cost
+        (see class docstring: sojourn/batch amortizes wait and inflates
+        large buckets), so the service interval is
+        ``t_done - max(last completion on this stream, t_submit)``.
+        ``stream`` identifies the executor (one per chip under
+        ReplicaPool) so concurrent chips' completions don't truncate
+        each other's intervals.
+        """
+        with self._lock:
+            last = self._last_done.get(stream)
+            if last is not None and t_done <= last:
+                return              # out-of-order/duplicate completion
+            self._last_done[stream] = t_done
+        start = t_submit if last is None else max(last, t_submit)
+        self.record(n_images, t_done - start)
+
+    def _steady(self) -> int:
+        """Largest ladder bucket within tolerance of the best EWMA.
+        Caller holds the lock."""
+        if not self._ewma:
+            return self._ladder[-1]
+        best = min(self._ewma.values())
+        allowed = [b for b in self._ladder
+                   if b in self._ewma
+                   and self._ewma[b] <= best * self._tol]
+        return max(allowed) if allowed else self._bucket(
+            min(self._ewma, key=self._ewma.get))
+
     @property
     def cap(self) -> int:
+        """Drain cap for the NEXT micro-batch.  Reading it consumes the
+        periodic explore trigger (a probe one ladder step above the
+        steady cap), so only the batcher's drain loop should read it —
+        observability uses the side-effect-free :meth:`peek`."""
         with self._lock:
             if not self._ewma:
                 return self._ladder[-1]
-            best = min(self._ewma.values())
-            allowed = [b for b in self._ladder
-                       if b in self._ewma
-                       and self._ewma[b] <= best * self._tol]
-            hi = max(allowed) if allowed else self._bucket(
-                min(self._ewma, key=self._ewma.get))
+            hi = self._steady()
             above = [b for b in self._ladder if b > hi]
             if above and (above[0] not in self._ewma
                           or self._since_explore >= self._explore_every):
                 self._since_explore = 0
                 return above[0]     # explore/refresh one step up
             return hi
+
+    def peek(self) -> int:
+        """The steady cap, without consuming an explore trigger (the
+        /metrics gauge reads this; a gauge read must not swallow the
+        probe that would have steered a real drain)."""
+        with self._lock:
+            return (self._ladder[-1] if not self._ewma
+                    else self._steady())
 
     def snapshot(self) -> dict:
         """Per-bucket EWMA (seconds/image) — for /metrics and tests."""
@@ -289,12 +345,15 @@ class _Batcher:
                     if hist is not None:
                         hist.observe(len(members))
                     if self._pool_for_mode is not None:
+                        pool = self._pool_for_mode(mode)
                         t0 = time.perf_counter()
-                        self._pool_for_mode(mode).submit(
+                        pool.submit(
                             imgs, orig_sizes=sizes).add_done_callback(
-                                lambda pf, members=members, t0=t0:
+                                lambda pf, members=members, t0=t0,
+                                stream=id(pool):
                                     _resolve_group(pf, members,
-                                                   self._adaptive, t0))
+                                                   self._adaptive, t0,
+                                                   stream))
                         continue  # resolves asynchronously, per chip
                     t0 = time.perf_counter()
                     results = (self._det.detect_faces_batch(
@@ -328,7 +387,7 @@ class _Batcher:
 
 
 def _resolve_group(pool_future: Future, members, adaptive=None,
-                   t0: float = 0.0) -> None:
+                   t0: float = 0.0, stream=None) -> None:
     """Fans a ReplicaPool batch result out to its member request
     futures (runs on the pipeline worker thread that finished it)."""
     err = pool_future.exception()
@@ -338,9 +397,11 @@ def _resolve_group(pool_future: Future, members, adaptive=None,
                 fut.set_exception(err)
         return
     if adaptive is not None:
-        # submit->done duration: includes executor queueing, which is
-        # what the drain cap actually trades against on a slow link
-        adaptive.record(len(members), time.perf_counter() - t0)
+        # completion-gap service time, NOT submit->done: sojourn would
+        # amortize executor queue wait over the batch and teach the cap
+        # to convoy (see _AdaptiveCap docstring)
+        adaptive.record_completion(len(members), t0,
+                                   time.perf_counter(), stream)
     for (_, fut), faces in zip(members, pool_future.result()):
         if not fut.cancelled():
             fut.set_result(faces)
@@ -510,7 +571,7 @@ class FaceServer:
         any asynchronously dispatched batches before returning."""
         self._batches_since_recycle += n_groups
         self._m_queue.set(self._batcher.queue_depth)
-        self._m_cap.set(float(self._adaptive_cap.cap)
+        self._m_cap.set(float(self._adaptive_cap.peek())
                         if self._adaptive_cap is not None else 0.0)
         rss = None
         if self._max_rss_mb is not None:

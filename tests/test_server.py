@@ -689,8 +689,104 @@ class TestAdaptiveCap:
             cap.record(8, 8 * 0.20)   # 8 looks bad -> cap 4
         assert cap.cap == 4           # 4 records so far: no re-probe yet
         cap.record(4, 4 * 0.05)       # 5th record since last explore
+        assert cap.peek() == 4        # observability never sees probes
         assert cap.cap == 8           # step above re-offered once...
         assert cap.cap == 4           # ...then back to the known best
+
+    def test_peek_does_not_consume_the_explore_trigger(self):
+        # The /metrics gauge reads between drains; if that read consumed
+        # the periodic probe, re-probing would silently halve or vanish.
+        cap = self._cap(explore_every=3)
+        for _ in range(2):
+            cap.record(4, 4 * 0.05)
+            cap.record(8, 8 * 0.20)
+        for _ in range(10):           # gauge scrapes, any number of them
+            assert cap.peek() == 4
+        cap.record(4, 4 * 0.05)       # threshold reached
+        for _ in range(3):
+            assert cap.peek() == 4    # still not consumed
+        assert cap.cap == 8           # the drain loop gets the probe
+
+    def test_queue_wait_amortization_cannot_inflate_large_buckets(self):
+        # The measured round-5 failure mode (on-chip A/B, 48 clients:
+        # adaptive drifted to cap 16 and 8.99 req/s vs 14.27 for
+        # fixed-4): under overload, submit->done includes executor
+        # queue wait, which divided by a big batch made 16 look cheaper
+        # per image than 4 despite WORSE true service time.  The
+        # completion-gap rule must not fall for it: completions are
+        # back-to-back on one stream, so queue wait is excluded.
+        cap = self._cap()
+        t = 100.0
+        for _ in range(12):
+            # true service/img: 0.07 (4-batch), 0.10 (8), 0.12 (16)
+            for n, svc in ((4, 0.28), (8, 0.80), (16, 1.92)):
+                t_done = t + svc
+                # sojourn includes 3 s of queue wait: per-image sojourn
+                # would read 0.82 (4) vs 0.31 (16) -> prefers 16
+                cap.record_completion(n, t_submit=t_done - 3.0 - svc,
+                                      t_done=t_done, stream="chip0")
+                t = t_done
+        snap = cap.snapshot()
+        assert snap[16] > snap[4], (
+            "completion-gap must expose 16's worse service time")
+        caps = [cap.cap for _ in range(6)]
+        assert 16 not in caps, (
+            f"steady cap must exclude the convoying 16-bucket: {caps}")
+        assert min(caps) in (4, 8)  # 8 sits inside the 1.25x tolerance
+
+    def test_completion_gap_degrades_to_sojourn_when_idle(self):
+        cap = self._cap()
+        # first completion on a stream: interval = sojourn
+        cap.record_completion(4, t_submit=10.0, t_done=10.4, stream="s")
+        assert abs(cap.snapshot()[4] - 0.1) < 1e-9
+        # long idle gap: next batch submitted well after last_done, so
+        # the interval starts at ITS OWN submit time, not at last_done
+        cap.record_completion(4, t_submit=50.0, t_done=50.4, stream="s")
+        assert abs(cap.snapshot()[4] - 0.1) < 1e-9
+
+    def test_streams_tracked_independently(self):
+        # two chips completing concurrently: near-simultaneous
+        # completions on DIFFERENT streams must not truncate each
+        # other's service intervals to ~0
+        cap = self._cap()
+        cap.record_completion(4, t_submit=0.0, t_done=0.4, stream="a")
+        cap.record_completion(4, t_submit=0.0, t_done=0.401, stream="b")
+        assert cap.snapshot()[4] > 0.09
+        # duplicate/out-of-order completion on one stream is dropped
+        before = cap.snapshot()[4]
+        cap.record_completion(4, t_submit=0.0, t_done=0.3, stream="a")
+        assert cap.snapshot()[4] == before
+        assert cap._last_done["a"] == 0.4
+
+    def test_batcher_pool_path_feeds_completion_gap(self):
+        # the pool (pipelined-executor) path must record through
+        # record_completion with the pool's identity as the stream
+        from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
+
+        from concurrent.futures import Future
+
+        class StubPool:
+            def submit(self, imgs, orig_sizes=None):
+                fut = Future()
+                time.sleep(0.005)
+                fut.set_result([[] for _ in range(imgs.shape[0])])
+                return fut
+
+        class DetStub:
+            def detect_faces_batch(self, imgs, mode):
+                return [[] for _ in range(imgs.shape[0])]
+
+        pool = StubPool()
+        cap = _AdaptiveCap(16)
+        b = _Batcher(DetStub(), window_ms=50.0, max_batch=16,
+                     pool_for_mode=lambda mode: pool, adaptive_cap=cap)
+        img = np.zeros((8, 8, 3), np.uint8)
+        futs = [b.submit(img, FaceDetectionMode.FAST) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=30)
+        b.close()
+        assert cap.snapshot(), "pool path must feed the EWMA"
+        assert id(pool) in cap._last_done
 
     def test_batcher_uses_adaptive_cap(self):
         from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
