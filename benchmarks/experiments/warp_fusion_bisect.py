@@ -99,14 +99,16 @@ def v3(img, cx, cy, size, theta):
     lin4, mask4, fx, fy = jax.vmap(_indices)(cx, cy, size, theta)
     lin4, mask4, fx, fy = jax.lax.optimization_barrier(
         (lin4, mask4, fx, fy))
-    # one row-wise gather for all four taps: [B, 4*OUT*OUT]
-    flat = img.reshape(B, H * W * C)
-    lin = lin4.transpose(1, 0, 2, 3).reshape(B, 4 * OUT * OUT)
+    # one row-wise gather for all four taps: [B, 4*OUT*OUT].
+    # vmapped lin4/mask4 are [B, 4, OUT, OUT] (batch-major) — reshape
+    # directly; an earlier transpose(1, 0, 2, 3) here scrambled images'
+    # tap addresses into each other (B != 4) and invalidated this arm.
+    lin = lin4.reshape(B, 4 * OUT * OUT)
     planes = img.transpose(0, 3, 1, 2).reshape(B, C, H * W)
     taps = jnp.stack([jnp.take_along_axis(planes[:, c], lin, axis=1)
                       for c in range(C)], -1)       # [B, 4*T, C]
     taps = taps.reshape(B, 4, OUT, OUT, C).astype(jnp.float32)
-    taps = jnp.where(mask4.transpose(1, 0, 2, 3)[..., None], taps, 0.0)
+    taps = jnp.where(mask4[..., None], taps, 0.0)
     v00, v01, v10, v11 = taps[:, 0], taps[:, 1], taps[:, 2], taps[:, 3]
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx

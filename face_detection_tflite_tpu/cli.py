@@ -543,21 +543,29 @@ def _cmd_import_weights(args) -> int:
           f"({n_bytes / 1e6:.1f} MB fp32) — BatchNorm folded, "
           "shapes validated against the MobileFaceNet template")
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
-    np.savez_compressed(dst, **params)
-    print(f"wrote {dst}")
+    # Stage next to the destination and only move into the discovery
+    # path AFTER the forward-pass check: a verify failure must not
+    # leave a broken .npz installed where every future detector (and
+    # doctor's optional-models check) would silently pick it up.
+    staged = dst + ".staging.npz"  # np.savez appends .npz if absent
+    np.savez_compressed(staged, **params)
     if not args.no_verify:
         from .models.embedding import FaceEmbedding
-        emb = FaceEmbedding.load(dst)
+        emb = FaceEmbedding.load(staged)
         img = np.random.default_rng(0).integers(
             0, 255, (200, 200, 3), dtype=np.uint8)
         vec = emb.embed(img, (60.0, 90.0), (140.0, 90.0))
         norm = float(np.linalg.norm(vec))
         if not (np.isfinite(vec).all() and abs(norm - 1.0) < 1e-4):
+            os.remove(staged)
             print(f"error: forward-pass check failed (norm={norm}, "
-                  f"finite={bool(np.isfinite(vec).all())})",
+                  f"finite={bool(np.isfinite(vec).all())}); "
+                  "nothing was installed",
                   file=sys.stderr)
             return 1
         print(f"forward pass ok: 192-dim embedding, L2 norm {norm:.6f}")
+    os.replace(staged, dst)
+    print(f"wrote {dst}")
     print("embeddings are now identity-discriminative: the detector "
           "discovers this file automatically (doctor's optional-models "
           "check turns green; no UntrainedEmbeddingWarning)")

@@ -892,7 +892,8 @@ class FaceDetector:
     def detect_faces_batch(self, images: np.ndarray,
                            mode: FaceDetectionMode = FaceDetectionMode.FULL,
                            *, _orig_sizes=None,
-                           _predispatched=None) -> list[list[Face]]:
+                           _predispatched=None,
+                           _prepared=None) -> list[list[Face]]:
         """Batched detection: [B, H, W, 3] -> list of per-image Face lists.
 
         The TPU-native throughput path (no reference analog — the reference
@@ -901,10 +902,14 @@ class FaceDetector:
         per-image (w, h) when the caller pre-padded mixed-size images into
         one bucket; ``_predispatched`` (internal) carries an already
         dispatched detect-slab handle for these exact images so multi-bucket
-        callers can overlap detect dispatches before the first readback.
+        callers can overlap detect dispatches before the first readback;
+        ``_prepared`` (internal) carries that caller's _prepare_batch
+        output so the normalize+pad device ops aren't dispatched twice
+        per group (each relay dispatch costs ~2 ms).
         """
         self._check_disposed()
-        prep = self._prepare_batch(images)
+        prep = (_prepared if _prepared is not None
+                else self._prepare_batch(images))
         if prep is None:
             return []
         images, b, (w, h) = prep
@@ -1304,6 +1309,7 @@ class FaceDetector:
             # program up front: the adaptive path's first readback blocks,
             # so serial calls would leave the device idle between buckets.
             pre = None
+            prep = None
             dev_batch = batch
             if self.adaptive and len(by_size) > 1:
                 dev_batch = jnp.asarray(batch)
@@ -1320,10 +1326,13 @@ class FaceDetector:
                 prep = self._prepare_batch(dev_batch)
                 pre = self._dispatch_speculative(prep[0], mode,
                                                  real_b=prep[1])
-            groups.append((idxs, dev_batch, sizes, pre))
-        for idxs, dev_batch, sizes, pre in groups:
+            groups.append((idxs, dev_batch, sizes, pre, prep))
+        for idxs, dev_batch, sizes, pre, prep in groups:
+            # prep rides along so detect_faces_batch doesn't re-dispatch
+            # the normalize+pad ops _prepare_batch already emitted here.
             faces_per = self.detect_faces_batch(
-                dev_batch, mode, _orig_sizes=sizes, _predispatched=pre)
+                dev_batch, mode, _orig_sizes=sizes, _predispatched=pre,
+                _prepared=prep)
             for i, faces in zip(idxs, faces_per):
                 results[i] = faces
         return results

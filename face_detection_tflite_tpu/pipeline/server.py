@@ -112,6 +112,12 @@ class _AdaptiveCap:
     """
 
     LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
+    #: An unexplored step above steady is offered eagerly so
+    #: amortization is discovered fast — but only this many consecutive
+    #: times without a record landing in it.  Traffic that can't fill
+    #: the probe (mixed shapes split the drain; light load) must not
+    #: leave the effective cap pinned one step above steady forever.
+    MAX_UNANSWERED_OFFERS = 8
 
     def __init__(self, max_batch: int, alpha: float = 0.3,
                  tolerance: float = 1.25, explore_every: int = 50):
@@ -124,6 +130,8 @@ class _AdaptiveCap:
         self._ewma: dict = {}       # ladder bucket -> per-image seconds
         self._last_done: dict = {}  # executor stream -> last completion t
         self._since_explore = 0
+        self._offers: dict = {}     # bucket -> unanswered eager offers
+        self._explore_dir = -1      # flipped before use: first probe up
         self._lock = threading.Lock()
 
     def _bucket(self, n: int) -> int:
@@ -145,6 +153,7 @@ class _AdaptiveCap:
             self._ewma[b] = (per_image if prev is None else
                              prev + self._alpha * (per_image - prev))
             self._since_explore += 1
+            self._offers.pop(b, None)   # the probe got its answer
 
     def record_completion(self, n_images: int, t_submit: float,
                           t_done: float, stream=None) -> None:
@@ -180,19 +189,48 @@ class _AdaptiveCap:
 
     @property
     def cap(self) -> int:
-        """Drain cap for the NEXT micro-batch.  Reading it consumes the
-        periodic explore trigger (a probe one ladder step above the
-        steady cap), so only the batcher's drain loop should read it —
-        observability uses the side-effect-free :meth:`peek`."""
+        """Drain cap for the NEXT micro-batch.  Reading it consumes
+        explore triggers (probes one ladder step above/below steady),
+        so only the batcher's drain loop should read it —
+        observability uses the side-effect-free :meth:`peek`.
+
+        Cold start allows a full drain (request consolidation must work
+        from the first batch), and UNSAMPLED neighbors of the steady
+        bucket are explored eagerly in BOTH directions: upward so
+        amortization is discovered, and downward so a server that came
+        up under sustained overload — where every drain fills to
+        max_batch and only that bucket gets sampled — descends to the
+        knee within a few drains instead of sitting in the measured
+        convoy collapse with nothing below ever tried."""
         with self._lock:
             if not self._ewma:
                 return self._ladder[-1]
             hi = self._steady()
             above = [b for b in self._ladder if b > hi]
-            if above and (above[0] not in self._ewma
-                          or self._since_explore >= self._explore_every):
+            below = [b for b in self._ladder if b < hi]
+            # Eager exploration of unsampled neighbors (up first, then
+            # down), each bounded — see MAX_UNANSWERED_OFFERS.
+            for probe in ((above[0] if above else None),
+                          (below[-1] if below else None)):
+                if probe is not None and probe not in self._ewma:
+                    offered = self._offers.get(probe, 0)
+                    if offered < self.MAX_UNANSWERED_OFFERS:
+                        self._offers[probe] = offered + 1
+                        return probe
+            # Periodic refresh: alternate one step above (a recovered
+            # link re-opens larger batches) and one step below (a
+            # degraded link, or a small bucket polluted by a
+            # cold-compile outlier, is re-measured — descent must stay
+            # reachable).
+            if self._since_explore >= self._explore_every:
                 self._since_explore = 0
-                return above[0]     # explore/refresh one step up
+                self._explore_dir = -self._explore_dir
+                if self._explore_dir > 0 and above:
+                    return above[0]
+                if below:
+                    return below[-1]
+                if above:
+                    return above[0]
             return hi
 
     def peek(self) -> int:
@@ -280,8 +318,22 @@ class _Batcher:
                 self._q.put(None, timeout=1.0)
                 break
             except queue.Full:
+                if not self._thread.is_alive():
+                    # The worker died (it should be unkillable — this is
+                    # a last-resort guard): nothing will ever drain the
+                    # full queue, so resolve the stragglers here instead
+                    # of spinning forever.
+                    break
                 continue  # the worker is draining; space frees up
         self._thread.join(timeout=10)
+        if not self._thread.is_alive():
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None and not item[2].cancelled():
+                    item[2].set_exception(RuntimeError("server closed"))
 
     def _drain(self, first):
         """First item + everything arriving within the window."""
@@ -319,8 +371,18 @@ class _Batcher:
                    if getattr(self._det, "bucket_images", False) else None)
             groups: dict = {}
             for img, mode, fut in items:
-                key = (((bfn(img.shape[0]), bfn(img.shape[1])), mode)
-                       if bfn else (img.shape, mode))
+                try:
+                    # Per-item: a submission without a usable .shape
+                    # (unreachable via HTTP, where decode_image
+                    # guarantees HxWx3, but direct _Batcher callers are
+                    # arbitrary) must fail ITS future, not kill this
+                    # thread and wedge every later request.
+                    key = (((bfn(img.shape[0]), bfn(img.shape[1])), mode)
+                           if bfn else (img.shape, mode))
+                except Exception as e:  # noqa: BLE001
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                    continue
                 groups.setdefault(key, []).append((img, fut))
             for (shape, mode), members in groups.items():
                 # The padding/stacking consolidation lives INSIDE the try:
@@ -399,9 +461,15 @@ def _resolve_group(pool_future: Future, members, adaptive=None,
     if adaptive is not None:
         # completion-gap service time, NOT submit->done: sojourn would
         # amortize executor queue wait over the batch and teach the cap
-        # to convoy (see _AdaptiveCap docstring)
+        # to convoy (see _AdaptiveCap docstring).  The future's own
+        # fdt_stream (stamped by the ServingPipeline that ran it) beats
+        # the fallback id(pool): under ReplicaPool the pool is N chips,
+        # and merging their completions into one stream would truncate
+        # the intervals ~N-fold and re-teach the convoy.
         adaptive.record_completion(len(members), t0,
-                                   time.perf_counter(), stream)
+                                   time.perf_counter(),
+                                   getattr(pool_future, "fdt_stream",
+                                           stream))
     for (_, fut), faces in zip(members, pool_future.result()):
         if not fut.cancelled():
             fut.set_result(faces)

@@ -121,6 +121,12 @@ class ServingPipeline:
         from ..utils.image import validate_batch_shape
         validate_batch_shape(images.shape)
         fut: Future = Future()
+        # Tag which executor will run this batch: completion-time
+        # consumers (the FaceServer adaptive cap's completion-gap
+        # estimator) need a per-executor stream identity, and under
+        # ReplicaPool the pool hands out ITS PIPES' futures — the tag
+        # makes each chip its own stream without the pool's help.
+        fut.fdt_stream = id(self)
         # The closed check and enqueue are atomic w.r.t. close(), so a
         # batch can never land behind the shutdown sentinel (which would
         # leave its Future unresolved forever).

@@ -421,6 +421,26 @@ class TestImportWeightsCommand:
         finally:
             det.dispose()
 
+    def test_failed_verify_installs_nothing(self, capsys, tmp_path):
+        # Shape-valid but numerically bad checkpoint (NaN weights): the
+        # forward-pass check must fail AND leave nothing in the
+        # discovery path — a broken .npz there would be silently loaded
+        # by every future detector and turn doctor green on garbage.
+        import numpy as np
+        src = self._src_npz(tmp_path)
+        with np.load(src) as z:
+            params = dict(z)
+        poisoned = next(k for k in params if params[k].ndim >= 2)
+        params[poisoned] = np.full_like(params[poisoned], np.nan)
+        bad = str(tmp_path / "nan_ckpt.npz")
+        np.savez_compressed(bad, **params)
+        dst = str(tmp_path / "out" / "w.npz")
+        rc = cli.main(["import-weights", "mobilefacenet", bad,
+                       "--dst", dst])
+        assert rc == 1
+        assert not os.path.exists(dst), "failed verify must not install"
+        assert not os.path.exists(dst + ".staging.npz"), "staging cleaned"
+
     def test_explicit_dst_and_bad_checkpoint(self, capsys, tmp_path):
         src = self._src_npz(tmp_path)
         dst = str(tmp_path / "out" / "w.npz")

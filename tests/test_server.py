@@ -646,7 +646,63 @@ class TestAdaptiveCap:
         return _AdaptiveCap(16, **kw)
 
     def test_unknown_stats_allow_full_drain(self):
+        # Request consolidation must work from the very first batch: an
+        # unsampled controller lets the drain fill.
         assert self._cap().cap == 16
+
+    def test_cold_start_under_overload_descends_to_knee(self):
+        # The failure mode the eager DOWN probe exists for: a server
+        # that comes up under sustained load fills every drain to
+        # max_batch and samples only that bucket — through round 5's
+        # first cut it then sat in the measured convoy collapse forever
+        # (nothing below was ever explored).  Closed loop: every drain
+        # fills to whatever cap allows; true per-image service has its
+        # knee at 4 and degrades at 8/16 (the relay's measured shape).
+        cap = self._cap()
+        svc = {1: 0.170, 2: 0.100, 4: 0.075, 8: 0.110, 16: 0.270}
+        hist = []
+        for _ in range(40):
+            c = cap.cap
+            hist.append(c)
+            cap.record(c, c * svc[c])
+        assert hist[0] == 16          # cold start: full drain
+        # descended one rung per answered probe and settled at the knee
+        assert set(cap.snapshot()) == {2, 4, 8, 16}
+        caps = [cap.cap for _ in range(6)]
+        assert 16 not in caps and min(caps) in (2, 4)
+        assert cap.peek() == 4
+
+    def test_unanswered_probe_offers_are_bounded(self):
+        # Mixed-shape or light traffic can never fill a probe drain, so
+        # the probe bucket never records; each eager offer (up, then
+        # down) must stop after MAX_UNANSWERED_OFFERS instead of
+        # pinning the effective cap off-steady forever.
+        from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
+        cap = self._cap()
+        for _ in range(6):
+            cap.record(4, 4 * 0.05)   # only bucket 4 ever records
+        n = _AdaptiveCap.MAX_UNANSWERED_OFFERS
+        probes = [cap.cap for _ in range(2 * n + 5)]
+        assert probes[0] == 8         # eager up is offered first...
+        assert probes.count(8) == n   # ...bounded
+        assert probes.count(2) == n   # then eager down, also bounded
+        assert probes[-1] == 4        # then steady
+        cap.record(8, 8 * 0.04)       # an answer re-arms the climb (16)
+        assert cap.cap == 16
+
+    def test_periodic_probes_alternate_up_and_down(self):
+        # Descent must stay reachable: a degraded link (or a stale
+        # small-bucket EWMA) is only re-discovered if probes also go
+        # one step BELOW steady.
+        cap = self._cap(explore_every=3)
+        for b in (1, 2, 4, 8, 16):
+            cap.record(b, b * (0.05 if b == 8 else 0.2))  # steady = 8
+        cap._since_explore = 3
+        assert cap.cap == 16          # first periodic probe: up
+        cap._since_explore = 3
+        assert cap.cap == 4           # next: down
+        cap._since_explore = 3
+        assert cap.cap == 16          # alternating
 
     def test_bandwidth_bound_link_backs_off(self):
         # relay-like: per-image time GROWS with batch size (constant
@@ -654,14 +710,15 @@ class TestAdaptiveCap:
         cap = self._cap()
         for _ in range(10):
             cap.record(1, 1 * 0.170)
+            cap.record(2, 2 * 0.120)
             cap.record(4, 4 * 0.075)
             cap.record(8, 8 * 0.110)
             cap.record(16, 16 * 0.270)
         # exploration may momentarily allow one step above, but the
         # steady-state cap excludes the collapsing 16-bucket
         caps = {cap.cap for _ in range(5)}
-        assert 16 not in caps or caps != {16}
-        assert min(caps) in (4, 8)
+        assert 16 not in caps
+        assert cap.peek() in (4, 8)
 
     def test_amortizing_link_climbs_to_max(self):
         # PCIe-like: per-image time SHRINKS with batch size
@@ -684,11 +741,13 @@ class TestAdaptiveCap:
 
     def test_periodic_reprobe_reopens_larger_batches(self):
         cap = self._cap(explore_every=5)
+        # sample the low rungs too so no eager down-probe intervenes
+        cap.record(1, 1 * 0.30)
+        cap.record(2, 2 * 0.20)
         for _ in range(2):
             cap.record(4, 4 * 0.05)
             cap.record(8, 8 * 0.20)   # 8 looks bad -> cap 4
-        assert cap.cap == 4           # 4 records so far: no re-probe yet
-        cap.record(4, 4 * 0.05)       # 5th record since last explore
+        # 6 records crossed the cadence: the next drain read probes UP
         assert cap.peek() == 4        # observability never sees probes
         assert cap.cap == 8           # step above re-offered once...
         assert cap.cap == 4           # ...then back to the known best
@@ -697,14 +756,13 @@ class TestAdaptiveCap:
         # The /metrics gauge reads between drains; if that read consumed
         # the periodic probe, re-probing would silently halve or vanish.
         cap = self._cap(explore_every=3)
+        cap.record(1, 1 * 0.30)
+        cap.record(2, 2 * 0.20)
         for _ in range(2):
             cap.record(4, 4 * 0.05)
             cap.record(8, 8 * 0.20)
         for _ in range(10):           # gauge scrapes, any number of them
-            assert cap.peek() == 4
-        cap.record(4, 4 * 0.05)       # threshold reached
-        for _ in range(3):
-            assert cap.peek() == 4    # still not consumed
+            assert cap.peek() == 4    # threshold long crossed: still 4
         assert cap.cap == 8           # the drain loop gets the probe
 
     def test_queue_wait_amortization_cannot_inflate_large_buckets(self):
@@ -787,6 +845,76 @@ class TestAdaptiveCap:
         b.close()
         assert cap.snapshot(), "pool path must feed the EWMA"
         assert id(pool) in cap._last_done
+
+    def test_completion_stream_prefers_the_executing_pipeline(self):
+        # Under ReplicaPool the pool future IS one of its pipes'
+        # futures, stamped fdt_stream=id(pipe) by ServingPipeline:
+        # per-chip streams, not one merged pool stream (which would
+        # truncate intervals ~N-fold and re-teach the convoy).
+        from concurrent.futures import Future
+
+        from face_detection_tflite_tpu.pipeline.server import (
+            _AdaptiveCap, _resolve_group)
+
+        cap = _AdaptiveCap(16)
+        fut = Future()
+        fut.fdt_stream = "chip3"
+        fut.set_result([[], []])
+        members = [(None, Future()), (None, Future())]
+        _resolve_group(fut, members, adaptive=cap, t0=0.0,
+                       stream="whole-pool")
+        assert "chip3" in cap._last_done
+        assert "whole-pool" not in cap._last_done
+
+    def test_malformed_submission_fails_its_future_not_the_thread(self):
+        # A direct caller submitting an object with no .shape (or a
+        # rank-1 shape under bucketing) must get the exception on ITS
+        # future; the batcher thread survives and later requests work.
+        class Det:
+            bucket_images = True
+
+            def _bucket(self, n):
+                return 64 * ((int(n) + 63) // 64)
+
+            def detect_faces_batch(self, imgs, mode, _orig_sizes=None):
+                return [[] for _ in range(imgs.shape[0])]
+
+        b = _Batcher(Det(), window_ms=5.0, max_batch=16)
+        bad = b.submit(b"not an array", FaceDetectionMode.FAST)
+        with pytest.raises(AttributeError):
+            bad.result(timeout=30)
+        good = b.submit(np.zeros((8, 8, 3), np.uint8),
+                        FaceDetectionMode.FAST)
+        assert good.result(timeout=30) == []
+        b.close()
+
+    def test_close_survives_dead_worker_with_full_queue(self):
+        # Last-resort guard: if the worker thread ever dies, close()
+        # must not spin on put(None) forever against a full bounded
+        # queue — it resolves the stragglers itself.
+        class Det:
+            def detect_faces_batch(self, imgs, mode):
+                return [[] for _ in range(imgs.shape[0])]
+
+        from concurrent.futures import Future
+
+        b = _Batcher(Det(), window_ms=5.0, max_batch=16, max_queue=2)
+        # stop the worker cooperatively (sentinel), then refill the queue
+        b._q.put(None)
+        b._thread.join(10)
+        assert not b._thread.is_alive()
+        futs = []
+        for _ in range(2):
+            f = Future()
+            b._q.put_nowait((np.zeros((4, 4, 3), np.uint8),
+                             FaceDetectionMode.FAST, f))
+            futs.append(f)
+        t0 = time.monotonic()
+        b.close()
+        assert time.monotonic() - t0 < 5.0, "close() must not spin"
+        for f in futs:
+            with pytest.raises(RuntimeError):
+                f.result(timeout=1)
 
     def test_batcher_uses_adaptive_cap(self):
         from face_detection_tflite_tpu.pipeline.server import _AdaptiveCap
