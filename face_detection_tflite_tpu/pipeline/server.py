@@ -172,6 +172,11 @@ class _AdaptiveCap:
             if last is not None and t_done <= last:
                 return              # out-of-order/duplicate completion
             self._last_done[stream] = t_done
+            if len(self._last_done) > 128:
+                # Worker recycles mint new executor objects (new stream
+                # ids); drop the oldest entry so a long-lived server's
+                # stream table stays bounded.
+                self._last_done.pop(next(iter(self._last_done)))
         start = t_submit if last is None else max(last, t_submit)
         self.record(n_images, t_done - start)
 

@@ -816,6 +816,15 @@ class TestAdaptiveCap:
         assert cap.snapshot()[4] == before
         assert cap._last_done["a"] == 0.4
 
+    def test_stream_table_stays_bounded(self):
+        # Worker recycles mint new executors (fresh stream ids); a
+        # long-lived server must not grow the last-done table forever.
+        cap = self._cap()
+        for i in range(300):
+            cap.record_completion(4, t_submit=float(i),
+                                  t_done=float(i) + 0.4, stream=f"s{i}")
+        assert len(cap._last_done) <= 128
+
     def test_batcher_pool_path_feeds_completion_gap(self):
         # the pool (pipelined-executor) path must record through
         # record_completion with the pool's identity as the stream
